@@ -1,0 +1,193 @@
+"""Log-mel spectrogram front-ends.
+
+Two variants, matching the reference bit-level semantics:
+
+* Whisper (src/whisper.cpp:3170-3260): SR 16000, n_fft 400, hop 160,
+  periodic Hann, front reflect-pad 200, end zero-pad 30 s + 200,
+  power-spectrum x mel filterbank (filters come from the checkpoint),
+  log10(max(p, 1e-10)), clamp to global max-8, (x+4)/4.
+* NeMo / SortFormer (streaming-sortformer/src/sortformer.cpp:779-894):
+  preemphasis 0.97, n_fft 512, win 400, hop 160, center constant-pad 200,
+  Hann padded to 512, log(x + 2^-24), frames padded to a multiple of 16.
+
+The hot path is a single jitted function (gather frames -> Hann -> rFFT ->
+|.|^2 -> matmul with the filterbank on the MXU -> log/normalize); the frame
+count is bucketed so long audio reuses one compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_LENGTH = 30
+N_SAMPLES_CHUNK = SAMPLE_RATE * CHUNK_LENGTH   # 480000
+N_FRAMES_CHUNK = N_SAMPLES_CHUNK // HOP_LENGTH  # 3000
+
+_FRAME_BUCKET = 1024  # frames per compile bucket (~10.24 s of audio)
+
+
+def hann_window(length: int, periodic: bool = True) -> np.ndarray:
+    """Periodic Hann as in the reference (src/whisper.cpp:3023-3031)."""
+    denom = length if periodic else length - 1
+    i = np.arange(length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * i / denom))).astype(np.float32)
+
+
+@dataclasses.dataclass
+class Mel:
+    data: jnp.ndarray    # (n_len, n_mel) float32 — frame-major (TPU friendly)
+    n_len: int           # total frames incl. the 30 s zero tail
+    n_len_org: int       # frames covering the real audio (seek bound)
+
+    @property
+    def n_mel(self) -> int:
+        return int(self.data.shape[1])
+
+    def ref_layout(self) -> np.ndarray:
+        """(n_mel, n_len) float32 layout used by reference debug dumps."""
+        return np.asarray(self.data).T
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _mel_frames_jit(padded: jnp.ndarray, window: jnp.ndarray,
+                    filters_t: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """padded (L,) -> log10 mel (n_frames, n_mel); no normalization yet."""
+    idx = (jnp.arange(n_frames)[:, None] * HOP_LENGTH
+           + jnp.arange(N_FFT)[None, :])
+    frames = padded[idx] * window[None, :]
+    spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
+    power = (spec.real * spec.real + spec.imag * spec.imag).astype(jnp.float32)
+    mel = jnp.dot(power, filters_t, preferred_element_type=jnp.float32)
+    return jnp.log10(jnp.maximum(mel, 1e-10))
+
+
+@jax.jit
+def _normalize_jit(logmel: jnp.ndarray) -> jnp.ndarray:
+    mmax = jnp.max(logmel) - 8.0
+    return (jnp.maximum(logmel, mmax) + 4.0) / 4.0
+
+
+def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
+    """Whisper log-mel of 16 kHz mono float32 `samples`.
+
+    `filters` is the (n_mel, n_fft_bins=201) filterbank from the checkpoint.
+    """
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    n = samples.shape[0]
+    pad_half = N_FFT // 2  # 200
+
+    n_len = (n + N_SAMPLES_CHUNK + 2 * pad_half - N_FFT) // HOP_LENGTH
+    n_len_org = 1 + (n + pad_half - N_FFT) // HOP_LENGTH if n + pad_half >= N_FFT else 0
+
+    n_frames_pad = max(_FRAME_BUCKET,
+                       -(-n_len // _FRAME_BUCKET) * _FRAME_BUCKET)
+    padded_len = n_frames_pad * HOP_LENGTH + (N_FFT - HOP_LENGTH)
+    padded = np.zeros(padded_len, dtype=np.float32)
+    if n > 0:
+        padded[pad_half:pad_half + n] = samples
+        # reflect-pad the head: padded[0:200] = samples[200:0:-1]
+        m = min(pad_half, n - 1)
+        if m > 0:
+            padded[pad_half - m:pad_half] = samples[m:0:-1]
+
+    window = jnp.asarray(hann_window(N_FFT))
+    filters_t = jnp.asarray(np.ascontiguousarray(filters.T, dtype=np.float32))
+    logmel = _mel_frames_jit(jnp.asarray(padded), window, filters_t, n_frames_pad)
+    logmel = logmel[:n_len]
+    data = _normalize_jit(logmel)
+    return Mel(data=data, n_len=n_len, n_len_org=n_len_org)
+
+
+def log_mel_spectrogram_numpy(samples: np.ndarray, filters: np.ndarray) -> np.ndarray:
+    """Plain-numpy oracle for tests; returns (n_mel, n_len)."""
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    n = samples.shape[0]
+    pad_half = N_FFT // 2
+    padded = np.zeros(n + N_SAMPLES_CHUNK + 2 * pad_half, dtype=np.float32)
+    padded[pad_half:pad_half + n] = samples
+    m = min(pad_half, n - 1)
+    if m > 0:
+        padded[pad_half - m:pad_half] = samples[m:0:-1]
+    n_len = (padded.shape[0] - N_FFT) // HOP_LENGTH
+    win = hann_window(N_FFT)
+    idx = np.arange(n_len)[:, None] * HOP_LENGTH + np.arange(N_FFT)[None, :]
+    frames = padded[idx] * win[None, :]
+    spec = np.fft.rfft(frames, axis=-1)
+    power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+    mel = power @ filters.astype(np.float32).T
+    logmel = np.log10(np.maximum(mel, 1e-10))
+    mmax = logmel.max() - 8.0
+    return (np.maximum(logmel, mmax) + 4.0).T / 4.0
+
+
+# ---------------------------------------------------------------------------
+# NeMo / SortFormer variant
+# ---------------------------------------------------------------------------
+
+NEMO_N_FFT = 512
+NEMO_WIN = 400
+NEMO_HOP = 160
+NEMO_PREEMPH = 0.97
+NEMO_LOG_GUARD = 2.0 ** -24
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _nemo_frames_jit(padded: jnp.ndarray, window: jnp.ndarray,
+                     filters_t: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    idx = (jnp.arange(n_frames)[:, None] * NEMO_HOP
+           + jnp.arange(NEMO_N_FFT)[None, :])
+    frames = padded[idx] * window[None, :]
+    spec = jnp.fft.rfft(frames, n=NEMO_N_FFT, axis=-1)
+    power = (spec.real * spec.real + spec.imag * spec.imag).astype(jnp.float32)
+    mel = jnp.dot(power, filters_t, preferred_element_type=jnp.float32)
+    return jnp.log(mel + NEMO_LOG_GUARD)
+
+
+def nemo_log_mel(samples: np.ndarray, filters: np.ndarray,
+                 pad_to: int = 16) -> jnp.ndarray:
+    """SortFormer mel front-end -> (n_frames_padded, n_mel=128) float32.
+
+    Mirrors streaming-sortformer/src/sortformer.cpp:779-894: preemphasis,
+    center constant-pad n_fft//2... window 400 centered in 512-point frame,
+    log(x + 2^-24), frames zero(log-guard)-padded to a multiple of `pad_to`.
+    """
+    x = np.ascontiguousarray(samples, dtype=np.float32)
+    # preemphasis y[t] = x[t] - 0.97 x[t-1], y[0] = x[0]
+    y = np.empty_like(x)
+    if x.shape[0] > 0:
+        y[0] = x[0]
+        y[1:] = x[1:] - NEMO_PREEMPH * x[:-1]
+    pad = NEMO_N_FFT // 2
+    padded_core = np.concatenate([np.zeros(pad, np.float32), y, np.zeros(pad, np.float32)])
+    n_frames = 1 + (padded_core.shape[0] - NEMO_N_FFT) // NEMO_HOP if padded_core.shape[0] >= NEMO_N_FFT else 0
+
+    # center the 400-sample Hann in the 512-point frame (NeMo's torch.stft
+    # center-pads the window symmetrically: 56 zeros either side)
+    win = np.zeros(NEMO_N_FFT, np.float32)
+    off = (NEMO_N_FFT - NEMO_WIN) // 2
+    win[off:off + NEMO_WIN] = hann_window(NEMO_WIN, periodic=False)
+
+    bucket = 256
+    n_frames_pad = max(bucket, -(-n_frames // bucket) * bucket)
+    need = (n_frames_pad - 1) * NEMO_HOP + NEMO_N_FFT
+    buf = np.zeros(need, np.float32)
+    buf[:padded_core.shape[0]] = padded_core
+
+    filters_t = jnp.asarray(np.ascontiguousarray(filters.T, dtype=np.float32))
+    logmel = _nemo_frames_jit(jnp.asarray(buf), jnp.asarray(win), filters_t, n_frames_pad)
+    logmel = logmel[:n_frames]
+
+    n_out = -(-n_frames // pad_to) * pad_to
+    if n_out > n_frames:
+        fill = jnp.full((n_out - n_frames, logmel.shape[1]),
+                        float(np.log(NEMO_LOG_GUARD)), jnp.float32)
+        logmel = jnp.concatenate([logmel, fill], axis=0)
+    return logmel

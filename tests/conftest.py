@@ -1,0 +1,39 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pytest  # noqa: E402
+
+REFERENCE = Path("/root/reference")
+
+
+def reference_path(rel: str) -> Path:
+    p = REFERENCE / rel
+    if not p.exists():
+        pytest.skip(f"reference fixture {rel} not available")
+    return p
+
+
+@pytest.fixture
+def ref_models():
+    return reference_path("models")
+
+
+@pytest.fixture
+def jfk_wav():
+    return reference_path("samples/jfk.wav")
