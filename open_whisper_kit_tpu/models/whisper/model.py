@@ -1,0 +1,386 @@
+"""Whisper encoder-decoder as pure JAX functions over a params pytree.
+
+Faithful re-derivation of the reference compute graphs
+(src/whisper.cpp:1976-2269 conv+encoder, :2272-2346 cross-KV,
+:2458-2836 decoder) in TPU-idiomatic form:
+
+* params are nested dicts of jnp arrays; per-layer weights are stacked on a
+  leading layer axis (lax.scan over encoder blocks, Python loop for the
+  decoder so XLA can alias in-place KV-cache updates),
+* attention uses einsum with f32 accumulation on the MXU; the decoder
+  self-attn K cache and the cross-attention K are pre-scaled by
+  d_head**-0.25 exactly like the reference (whisper.cpp:2505,2548,2308),
+* the KV cache is a static-shape [n_layer, B, n_ctx, n_state] pair written
+  with lax.dynamic_update_slice; beam reorder is a batched gather
+  (jnp.take) instead of the reference's cell-surgery seq_cp,
+* matmuls run in `compute_dtype` (bfloat16 by default) with float32
+  layernorm/softmax/logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...io.ggml_whisper import WhisperCheckpoint, WhisperHParams
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_vocab: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+    n_mels: int
+    eps: float = 1e-5
+
+    @classmethod
+    def from_hparams(cls, hp: WhisperHParams) -> "WhisperConfig":
+        return cls(hp.n_vocab, hp.n_audio_ctx, hp.n_audio_state, hp.n_audio_head,
+                   hp.n_audio_layer, hp.n_text_ctx, hp.n_text_state,
+                   hp.n_text_head, hp.n_text_layer, hp.n_mels)
+
+    @property
+    def d_audio_head(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+    @property
+    def d_text_head(self) -> int:
+        return self.n_text_state // self.n_text_head
+
+
+# presets matching the OpenAI model family (for random init / benches)
+PRESETS: dict[str, WhisperConfig] = {
+    "tiny": WhisperConfig(51865, 1500, 384, 6, 4, 448, 384, 6, 4, 80),
+    "tiny.en": WhisperConfig(51864, 1500, 384, 6, 4, 448, 384, 6, 4, 80),
+    "base": WhisperConfig(51865, 1500, 512, 8, 6, 448, 512, 8, 6, 80),
+    "small": WhisperConfig(51865, 1500, 768, 12, 12, 448, 768, 12, 12, 80),
+    "medium": WhisperConfig(51865, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80),
+    "large-v2": WhisperConfig(51865, 1500, 1280, 20, 32, 448, 1280, 20, 32, 80),
+    "large-v3": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128),
+    "large-v3-turbo": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 4, 128),
+}
+
+
+# ---------------------------------------------------------------------------
+# Param construction
+# ---------------------------------------------------------------------------
+
+def _ln(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def init_params(cfg: WhisperConfig, seed: int = 0,
+                dtype: jnp.dtype = jnp.bfloat16) -> Params:
+    """Random-init params with the real model shapes (bench / shape tests)."""
+    rng = np.random.default_rng(seed)
+    s, v = cfg.n_audio_state, cfg.n_vocab
+
+    def w(*shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] if len(shape) > 1 else 1) ** -0.5
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale, dtype)
+
+    def enc_block():
+        return {
+            "attn_ln_w": w(s, scale=1.0) * 0 + 1, "attn_ln_b": w(s, scale=0.02),
+            "q_w": w(s, s), "q_b": w(s, scale=0.02), "k_w": w(s, s),
+            "v_w": w(s, s), "v_b": w(s, scale=0.02),
+            "o_w": w(s, s), "o_b": w(s, scale=0.02),
+            "mlp_ln_w": w(s, scale=1.0) * 0 + 1, "mlp_ln_b": w(s, scale=0.02),
+            "mlp0_w": w(s, 4 * s), "mlp0_b": w(4 * s, scale=0.02),
+            "mlp1_w": w(4 * s, s), "mlp1_b": w(s, scale=0.02),
+        }
+
+    def dec_block():
+        d = enc_block()
+        d.update({
+            "cross_ln_w": w(s, scale=1.0) * 0 + 1, "cross_ln_b": w(s, scale=0.02),
+            "cq_w": w(s, s), "cq_b": w(s, scale=0.02), "ck_w": w(s, s),
+            "cv_w": w(s, s), "cv_b": w(s, scale=0.02),
+            "co_w": w(s, s), "co_b": w(s, scale=0.02),
+        })
+        return d
+
+    def stack(blocks):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    enc = {
+        "conv1_w": w(3, cfg.n_mels, s, scale=(3 * cfg.n_mels) ** -0.5),
+        "conv1_b": w(s, scale=0.02),
+        "conv2_w": w(3, s, s, scale=(3 * s) ** -0.5),
+        "conv2_b": w(s, scale=0.02),
+        "pos": w(cfg.n_audio_ctx, s, scale=0.02),
+        "blocks": stack([enc_block() for _ in range(cfg.n_audio_layer)]),
+        "ln_post_w": w(s, scale=1.0) * 0 + 1, "ln_post_b": w(s, scale=0.02),
+    }
+    dec = {
+        "te": w(v, s, scale=0.02),
+        "pe": w(cfg.n_text_ctx, s, scale=0.02),
+        "blocks": stack([dec_block() for _ in range(cfg.n_text_layer)]),
+        "ln_w": w(s, scale=1.0) * 0 + 1, "ln_b": w(s, scale=0.02),
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
+def params_from_checkpoint(ck: WhisperCheckpoint,
+                           dtype: jnp.dtype = jnp.bfloat16) -> Params:
+    """Build the params pytree from a parsed ggml-bin checkpoint.
+
+    Tensor names follow the reference table (src/whisper-arch.h:42-141).
+    2-D ggml weights are stored (out,in); we keep them transposed (in,out)
+    so forward matmuls are plain x @ W.
+    """
+    cfg = WhisperConfig.from_hparams(ck.hparams)
+
+    def get(name, transpose=False, cast=True):
+        t = ck.to_float(name)
+        if transpose:
+            t = t.T
+        a = jnp.asarray(t)
+        return a.astype(dtype) if cast else a
+
+    def enc_block(i):
+        p = f"encoder.blocks.{i}"
+        return {
+            "attn_ln_w": get(f"{p}.attn_ln.weight"), "attn_ln_b": get(f"{p}.attn_ln.bias"),
+            "q_w": get(f"{p}.attn.query.weight", True), "q_b": get(f"{p}.attn.query.bias"),
+            "k_w": get(f"{p}.attn.key.weight", True),
+            "v_w": get(f"{p}.attn.value.weight", True), "v_b": get(f"{p}.attn.value.bias"),
+            "o_w": get(f"{p}.attn.out.weight", True), "o_b": get(f"{p}.attn.out.bias"),
+            "mlp_ln_w": get(f"{p}.mlp_ln.weight"), "mlp_ln_b": get(f"{p}.mlp_ln.bias"),
+            "mlp0_w": get(f"{p}.mlp.0.weight", True), "mlp0_b": get(f"{p}.mlp.0.bias"),
+            "mlp1_w": get(f"{p}.mlp.2.weight", True), "mlp1_b": get(f"{p}.mlp.2.bias"),
+        }
+
+    def dec_block(i):
+        p = f"decoder.blocks.{i}"
+        return {
+            "attn_ln_w": get(f"{p}.attn_ln.weight"), "attn_ln_b": get(f"{p}.attn_ln.bias"),
+            "q_w": get(f"{p}.attn.query.weight", True), "q_b": get(f"{p}.attn.query.bias"),
+            "k_w": get(f"{p}.attn.key.weight", True),
+            "v_w": get(f"{p}.attn.value.weight", True), "v_b": get(f"{p}.attn.value.bias"),
+            "o_w": get(f"{p}.attn.out.weight", True), "o_b": get(f"{p}.attn.out.bias"),
+            "cross_ln_w": get(f"{p}.cross_attn_ln.weight"), "cross_ln_b": get(f"{p}.cross_attn_ln.bias"),
+            "cq_w": get(f"{p}.cross_attn.query.weight", True), "cq_b": get(f"{p}.cross_attn.query.bias"),
+            "ck_w": get(f"{p}.cross_attn.key.weight", True),
+            "cv_w": get(f"{p}.cross_attn.value.weight", True), "cv_b": get(f"{p}.cross_attn.value.bias"),
+            "co_w": get(f"{p}.cross_attn.out.weight", True), "co_b": get(f"{p}.cross_attn.out.bias"),
+            "mlp_ln_w": get(f"{p}.mlp_ln.weight"), "mlp_ln_b": get(f"{p}.mlp_ln.bias"),
+            "mlp0_w": get(f"{p}.mlp.0.weight", True), "mlp0_b": get(f"{p}.mlp.0.bias"),
+            "mlp1_w": get(f"{p}.mlp.2.weight", True), "mlp1_b": get(f"{p}.mlp.2.bias"),
+        }
+
+    def stack(blocks):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    # conv weights: ggml/torch (out, in, k) -> jax WIO (k, in, out)
+    c1 = ck.to_float("encoder.conv1.weight").transpose(2, 1, 0)
+    c2 = ck.to_float("encoder.conv2.weight").transpose(2, 1, 0)
+    enc = {
+        "conv1_w": jnp.asarray(c1, dtype),
+        "conv1_b": get("encoder.conv1.bias").reshape(-1),
+        "conv2_w": jnp.asarray(c2, dtype),
+        "conv2_b": get("encoder.conv2.bias").reshape(-1),
+        "pos": get("encoder.positional_embedding"),
+        "blocks": stack([enc_block(i) for i in range(cfg.n_audio_layer)]),
+        "ln_post_w": get("encoder.ln_post.weight"), "ln_post_b": get("encoder.ln_post.bias"),
+    }
+    dec = {
+        "te": get("decoder.token_embedding.weight"),
+        "pe": get("decoder.positional_embedding"),
+        "blocks": stack([dec_block(i) for i in range(cfg.n_text_layer)]),
+        "ln_w": get("decoder.ln.weight"), "ln_b": get("decoder.ln.bias"),
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _mm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _attention(q, k, v, n_head, scale, mask=None):
+    """q (B,Tq,S), k (B,Tk,S), v (B,Tk,S) -> (B,Tq,S); softmax in f32.
+
+    `scale` multiplies the score matrix (the reference applies it inside
+    soft_max_ext, whisper.cpp:2180/2624).
+    """
+    B, Tq, S = q.shape
+    Tk = k.shape[1]
+    d = S // n_head
+    qh = q.reshape(B, Tq, n_head, d)
+    kh = k.reshape(B, Tk, n_head, d)
+    vh = v.reshape(B, Tk, n_head, d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(B, Tq, S), probs
+
+
+def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    scale = 1.0 / np.sqrt(cfg.d_audio_head)
+    h = _ln(x, p["attn_ln_w"], p["attn_ln_b"], cfg.eps)
+    q = _mm(h, p["q_w"]) + p["q_b"]
+    k = _mm(h, p["k_w"])  # no key bias (whisper.cpp:2125)
+    v = _mm(h, p["v_w"]) + p["v_b"]
+    a, _ = _attention(q, k, v, cfg.n_audio_head, scale)
+    x = x + _mm(a, p["o_w"]) + p["o_b"]
+    h = _ln(x, p["mlp_ln_w"], p["mlp_ln_b"], cfg.eps)
+    h = jax.nn.gelu(_mm(h, p["mlp0_w"]) + p["mlp0_b"], approximate=True)
+    return x + _mm(h, p["mlp1_w"]) + p["mlp1_b"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode(cfg: WhisperConfig, enc: Params, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel (B, 2*n_ctx, n_mels) -> encoder output (B, n_ctx, n_state).
+
+    Mirrors whisper_build_graph_conv + whisper_build_graph_encoder
+    (src/whisper.cpp:1976-2269): conv1(s1)+gelu, conv2(s2)+gelu, +pos-embed
+    slice, pre-LN transformer stack, final layernorm.
+    """
+    dtype = enc["conv1_w"].dtype
+    x = mel.astype(dtype)
+    dn = ("NWC", "WIO", "NWC")
+    x = jax.lax.conv_general_dilated(x, enc["conv1_w"], (1,), [(1, 1)],
+                                     dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+    x = jax.nn.gelu((x + enc["conv1_b"].astype(jnp.float32)), approximate=True).astype(dtype)
+    x = jax.lax.conv_general_dilated(x, enc["conv2_w"], (2,), [(1, 1)],
+                                     dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+    x = jax.nn.gelu((x + enc["conv2_b"].astype(jnp.float32)), approximate=True).astype(dtype)
+
+    n_ctx = x.shape[1]
+    x = x + enc["pos"][:n_ctx].astype(dtype)
+
+    def body(h, bp):
+        return _encoder_block(cfg, bp, h), None
+
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    return _ln(x, enc["ln_post_w"], enc["ln_post_b"], cfg.eps)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cross_kv(cfg: WhisperConfig, dec: Params, enc_out: jnp.ndarray):
+    """enc_out (B,Ta,S) -> (xk, xv) each (L,B,Ta,S); xk pre-scaled d**-0.25.
+
+    Mirrors whisper_build_graph_cross (src/whisper.cpp:2272-2346).
+    """
+    kscale = float(cfg.d_text_head) ** -0.25
+    blocks = dec["blocks"]
+
+    def body(_, bp):
+        k = _mm(enc_out, bp["ck_w"]) * kscale
+        v = _mm(enc_out, bp["cv_w"]) + bp["cv_b"]
+        return None, (k, v)
+
+    _, (xk, xv) = jax.lax.scan(body, None, blocks)
+    return xk, xv
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: WhisperConfig, n_beams: int, dtype=jnp.bfloat16):
+    shape = (cfg.n_text_layer, n_beams, cfg.n_text_ctx, cfg.n_text_state)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _layer_params(blocks: Params, il: int) -> Params:
+    return jax.tree.map(lambda x: x[il], blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "collect_cross_qk"),
+                   donate_argnames=("kv_k", "kv_v"))
+def decode(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
+           kv_k: jnp.ndarray, kv_v: jnp.ndarray, kv_head: jnp.ndarray,
+           xk: jnp.ndarray, xv: jnp.ndarray,
+           collect_cross_qk: bool = False):
+    """One decoder forward over `tokens` (B,T) starting at cache slot kv_head.
+
+    Returns (logits (B,T,n_vocab) f32, kv_k, kv_v, cross_qk).
+    cross_qk is (L,B,H,T,Ta) softmax cross-attention probabilities (the
+    DTW timestamp signal, whisper.cpp:2720-2736) or None.
+
+    Mirrors whisper_build_graph_decoder (src/whisper.cpp:2458-2836):
+    Q and K of self-attention pre-scaled by d**-0.25 (K stored scaled in the
+    cache); cross-attention scores scaled by d**-0.25 against the pre-scaled
+    cross K.
+    """
+    dtype = kv_k.dtype
+    B, T = tokens.shape
+    C = kv_k.shape[2]
+    kqscale = float(cfg.d_text_head) ** -0.25
+    positions = kv_head + jnp.arange(T)
+
+    x = dec["te"][tokens].astype(dtype) + dec["pe"][positions][None, :, :].astype(dtype)
+
+    # causal-with-cache mask: token at global pos p attends kv cols <= p
+    col = jnp.arange(C)[None, None, None, :]
+    pos = positions[None, None, :, None]
+    mask = jnp.where(col <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    cross_probs = []
+    for il in range(cfg.n_text_layer):
+        p = _layer_params(dec["blocks"], il)
+
+        h = _ln(x, p["attn_ln_w"], p["attn_ln_b"], cfg.eps)
+        q = (_mm(h, p["q_w"]) + p["q_b"]) * kqscale
+        k = _mm(h, p["k_w"]) * kqscale
+        v = _mm(h, p["v_w"]) + p["v_b"]
+
+        kv_k = jax.lax.dynamic_update_slice(
+            kv_k, k[None].astype(dtype), (il, 0, kv_head, 0))
+        kv_v = jax.lax.dynamic_update_slice(
+            kv_v, v[None].astype(dtype), (il, 0, kv_head, 0))
+
+        a, _ = _attention(q, kv_k[il], kv_v[il], cfg.n_text_head, 1.0, mask)
+        x = x + _mm(a, p["o_w"]) + p["o_b"]
+
+        h = _ln(x, p["cross_ln_w"], p["cross_ln_b"], cfg.eps)
+        cq = _mm(h, p["cq_w"]) + p["cq_b"]
+        ca, probs = _attention(cq, xk[il], xv[il], cfg.n_text_head, kqscale)
+        if collect_cross_qk:
+            cross_probs.append(probs)
+        x = x + _mm(ca, p["co_w"]) + p["co_b"]
+
+        h = _ln(x, p["mlp_ln_w"], p["mlp_ln_b"], cfg.eps)
+        h = jax.nn.gelu(_mm(h, p["mlp0_w"]) + p["mlp0_b"], approximate=True)
+        x = x + _mm(h, p["mlp1_w"]) + p["mlp1_b"]
+
+    x = _ln(x, dec["ln_w"], dec["ln_b"], cfg.eps)
+    logits = jnp.dot(x, dec["te"].T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    cross_qk = jnp.stack(cross_probs) if collect_cross_qk else None
+    return logits, kv_k, kv_v, cross_qk
+
+
+@functools.partial(jax.jit, donate_argnames=("kv_k", "kv_v"))
+def reorder_kv(kv_k: jnp.ndarray, kv_v: jnp.ndarray, src: jnp.ndarray):
+    """Beam shuffle: new cache row b = old row src[b] (replaces the
+    reference's kv_seq_cp cell surgery, whisper.cpp:7301-7352)."""
+    return jnp.take(kv_k, src, axis=1), jnp.take(kv_v, src, axis=1)

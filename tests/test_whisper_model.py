@@ -1,0 +1,185 @@
+"""Whisper model correctness: independent torch oracle + cache invariants.
+
+The oracle is a from-scratch torch implementation of the (well-known)
+Whisper architecture — conv1(s1)/conv2(s2)+GELU, sinusoid-free learned pos
+embeds, pre-LN blocks, q/k scaled by d**-0.25 — written directly here so a
+bug in the JAX port can't be self-consistent with it.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from open_whisper_kit_tpu.models.whisper import model as M
+
+CFG = M.WhisperConfig(
+    n_vocab=128, n_audio_ctx=48, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
+    n_text_layer=2, n_mels=80,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_params(CFG, seed=0, dtype=jnp.float32)
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+
+
+def torch_ln(x, w, b, eps=1e-5):
+    return F.layer_norm(x, (x.shape[-1],), t(w), t(b), eps)
+
+
+def torch_attn(q, k, v, n_head, scale, mask=None):
+    B, Tq, S = q.shape
+    Tk = k.shape[1]
+    d = S // n_head
+    qh = q.view(B, Tq, n_head, d).permute(0, 2, 1, 3)
+    kh = k.view(B, Tk, n_head, d).permute(0, 2, 1, 3)
+    vh = v.view(B, Tk, n_head, d).permute(0, 2, 1, 3)
+    scores = qh @ kh.transpose(-1, -2) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = torch.softmax(scores, dim=-1)
+    out = probs @ vh
+    return out.permute(0, 2, 1, 3).reshape(B, Tq, S)
+
+
+def torch_block(p, x, n_head, eps=1e-5):
+    d = x.shape[-1] // n_head
+    h = torch_ln(x, p["attn_ln_w"], p["attn_ln_b"], eps)
+    q = h @ t(p["q_w"]) + t(p["q_b"])
+    k = h @ t(p["k_w"])
+    v = h @ t(p["v_w"]) + t(p["v_b"])
+    x = x + torch_attn(q, k, v, n_head, 1.0 / np.sqrt(d)) @ t(p["o_w"]) + t(p["o_b"])
+    h = torch_ln(x, p["mlp_ln_w"], p["mlp_ln_b"], eps)
+    h = F.gelu(h @ t(p["mlp0_w"]) + t(p["mlp0_b"]), approximate="tanh")
+    return x + h @ t(p["mlp1_w"]) + t(p["mlp1_b"])
+
+
+def block_params(blocks, i):
+    return {k: np.asarray(v[i]) for k, v in blocks.items()}
+
+
+def torch_encode(params, mel):
+    enc = params["encoder"]
+    x = t(mel)  # (B, T, n_mels)
+    w1 = t(enc["conv1_w"]).permute(2, 1, 0)  # WIO -> OIW
+    x = F.conv1d(x.transpose(1, 2), w1, t(enc["conv1_b"]), stride=1, padding=1)
+    x = F.gelu(x, approximate="tanh")
+    w2 = t(enc["conv2_w"]).permute(2, 1, 0)
+    x = F.conv1d(x, w2, t(enc["conv2_b"]), stride=2, padding=1)
+    x = F.gelu(x, approximate="tanh").transpose(1, 2)  # (B, T/2, S)
+    x = x + t(enc["pos"])[: x.shape[1]]
+    for i in range(CFG.n_audio_layer):
+        x = torch_block(block_params(enc["blocks"], i), x, CFG.n_audio_head)
+    return torch_ln(x, enc["ln_post_w"], enc["ln_post_b"])
+
+
+def torch_decode(params, tokens, enc_out):
+    dec = params["decoder"]
+    d = CFG.d_text_head
+    kq = d ** -0.25
+    B, T = tokens.shape
+    x = t(dec["te"])[torch.from_numpy(tokens)] + t(dec["pe"])[:T]
+    causal = torch.full((T, T), float("-inf")).triu(1)
+    for i in range(CFG.n_text_layer):
+        p = block_params(dec["blocks"], i)
+        h = torch_ln(x, p["attn_ln_w"], p["attn_ln_b"])
+        q = (h @ t(p["q_w"]) + t(p["q_b"])) * kq
+        k = (h @ t(p["k_w"])) * kq
+        v = h @ t(p["v_w"]) + t(p["v_b"])
+        x = x + torch_attn(q, k, v, CFG.n_text_head, 1.0, causal) @ t(p["o_w"]) + t(p["o_b"])
+        h = torch_ln(x, p["cross_ln_w"], p["cross_ln_b"])
+        cq = (h @ t(p["cq_w"]) + t(p["cq_b"]))
+        ck = enc_out @ t(p["ck_w"])
+        cv = enc_out @ t(p["cv_w"]) + t(p["cv_b"])
+        # total cross score scale d**-0.5 (reference: K pre-scaled + softmax scale)
+        x = x + torch_attn(cq, ck, cv, CFG.n_text_head, 1.0 / np.sqrt(d)) @ t(p["co_w"]) + t(p["co_b"])
+        h = torch_ln(x, p["mlp_ln_w"], p["mlp_ln_b"])
+        h = F.gelu(h @ t(p["mlp0_w"]) + t(p["mlp0_b"]), approximate="tanh")
+        x = x + h @ t(p["mlp1_w"]) + t(p["mlp1_b"])
+    x = torch_ln(x, dec["ln_w"], dec["ln_b"])
+    return x @ t(dec["te"]).T
+
+
+def test_encoder_matches_torch_oracle(params):
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((2, 2 * CFG.n_audio_ctx, CFG.n_mels)).astype(np.float32)
+    got = np.asarray(M.encode(CFG, params["encoder"], jnp.asarray(mel)))
+    want = torch_encode(params, mel).numpy()
+    assert got.shape == (2, CFG.n_audio_ctx, CFG.n_audio_state)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_decoder_matches_torch_oracle(params):
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, 2 * CFG.n_audio_ctx, CFG.n_mels)).astype(np.float32)
+    enc_out = M.encode(CFG, params["encoder"], jnp.asarray(mel))
+    tokens = rng.integers(0, CFG.n_vocab, size=(1, 7)).astype(np.int32)
+
+    xk, xv = M.cross_kv(CFG, params["decoder"], enc_out)
+    assert xk.shape == (CFG.n_text_layer, 1, CFG.n_audio_ctx, CFG.n_text_state)
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.float32)
+    logits, kv_k, kv_v, _ = M.decode(
+        CFG, params["decoder"], jnp.asarray(tokens), kv_k, kv_v,
+        jnp.int32(0), xk, xv)
+
+    want = torch_decode(params, tokens, torch.from_numpy(np.asarray(enc_out))).numpy()
+    np.testing.assert_allclose(np.asarray(logits), want, atol=5e-3)
+
+
+def test_incremental_equals_full(params):
+    """Feeding tokens one at a time through the KV cache must equal the
+    single-pass decode (the static-cache replacement for ggml's ring cells)."""
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((1, 2 * CFG.n_audio_ctx, CFG.n_mels)).astype(np.float32)
+    enc_out = M.encode(CFG, params["encoder"], jnp.asarray(mel))
+    xk, xv = M.cross_kv(CFG, params["decoder"], enc_out)
+    tokens = rng.integers(0, CFG.n_vocab, size=(1, 6)).astype(np.int32)
+
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.float32)
+    full_logits, _, _, _ = M.decode(CFG, params["decoder"], jnp.asarray(tokens),
+                                    kv_k, kv_v, jnp.int32(0), xk, xv)
+    full_last = np.asarray(full_logits)[:, -1]
+
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.float32)
+    for i in range(tokens.shape[1]):
+        step_logits, kv_k, kv_v, _ = M.decode(
+            CFG, params["decoder"], jnp.asarray(tokens[:, i:i + 1]),
+            kv_k, kv_v, jnp.int32(i), xk, xv)
+    np.testing.assert_allclose(np.asarray(step_logits)[:, -1], full_last, atol=2e-4)
+
+
+def test_beam_reorder(params):
+    """Reordering cache rows then continuing == continuing the source rows."""
+    rng = np.random.default_rng(4)
+    B = 3
+    mel = rng.standard_normal((B, 2 * CFG.n_audio_ctx, CFG.n_mels)).astype(np.float32)
+    enc_out = M.encode(CFG, params["encoder"], jnp.asarray(mel))
+    xk, xv = M.cross_kv(CFG, params["decoder"], enc_out)
+    toks = rng.integers(0, CFG.n_vocab, size=(B, 4)).astype(np.int32)
+
+    kv_k, kv_v = M.init_kv_cache(CFG, B, dtype=jnp.float32)
+    _, kv_k, kv_v, _ = M.decode(CFG, params["decoder"], jnp.asarray(toks),
+                                kv_k, kv_v, jnp.int32(0), xk, xv)
+    src = jnp.asarray([2, 0, 0], dtype=jnp.int32)
+    kv_k2, kv_v2 = M.reorder_kv(kv_k, kv_v, src)
+
+    nxt = rng.integers(0, CFG.n_vocab, size=(B, 1)).astype(np.int32)
+    # after reorder, row b continues beam src[b]; cross kv must be gathered too
+    xk2 = jnp.take(xk, src, axis=1)
+    xv2 = jnp.take(xv, src, axis=1)
+    logits2, _, _, _ = M.decode(CFG, params["decoder"], jnp.asarray(nxt),
+                                kv_k2, kv_v2, jnp.int32(4), xk2, xv2)
+
+    # oracle: full decode of the source beams with the same next token
+    toks_src = np.concatenate([toks[np.asarray(src)], nxt], axis=1)
+    enc_src = torch.from_numpy(np.asarray(enc_out))[torch.from_numpy(np.asarray(src))]
+    want = torch_decode(params, toks_src, enc_src).numpy()[:, -1]
+    np.testing.assert_allclose(np.asarray(logits2)[:, -1], want, atol=5e-3)
