@@ -1,0 +1,740 @@
+"""The transcription driver: windows, temperature fallback, beams, segments.
+
+Host-side control flow mirroring whisper_full_with_state
+(src/whisper.cpp:6827-7800) with all per-token compute jitted:
+the encoder runs once per 30 s window, the decoder is a batched
+single-step jit over the live beams, and the full logit rule-set +
+sampling reductions run on-device so only a handful of scalars per beam
+cross the host boundary each token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import mel as mel_mod
+from ..io import ggml_whisper
+from ..models.whisper import model as M
+from . import logit_rules as LR
+from . import tokenizer as tok_mod
+from .params import FullParams, SamplingStrategy
+
+CHUNK_SIZE = 30          # seconds (WHISPER_CHUNK_SIZE)
+DELTA_MIN = 10           # 100 ms in 10ms frames
+HISTORY_CONDITIONING_TEMP_CUTOFF = 0.5
+MAX_DECODERS = 8
+_PROMPT_BUCKET = 64
+
+
+@dataclasses.dataclass
+class TokenData:
+    """Mirror of whisper_token_data (include/whisper.h:84-108)."""
+    id: int
+    tid: int
+    p: float
+    plog: float
+    pt: float
+    ptsum: float
+    t0: int = -1
+    t1: int = -1
+    t_dtw: int = -1
+    vlen: float = 0.0
+
+
+@dataclasses.dataclass
+class Segment:
+    t0: int                      # centiseconds (10 ms units * ... t*10 ms)
+    t1: int
+    text: str
+    no_speech_prob: float
+    tokens: list[TokenData]
+    speaker_turn_next: bool = False
+
+
+@dataclasses.dataclass
+class Timings:
+    t_mel_ms: float = 0.0
+    t_encode_ms: float = 0.0
+    t_decode_ms: float = 0.0
+    t_sample_ms: float = 0.0
+    n_encode: int = 0
+    n_decode: int = 0
+    n_sample: int = 0
+
+
+@dataclasses.dataclass
+class TranscribeResult:
+    segments: list[Segment]
+    lang_id: int = -1
+    timings: Timings = dataclasses.field(default_factory=Timings)
+
+    @property
+    def text(self) -> str:
+        return "".join(s.text for s in self.segments)
+
+
+class _DecoderState:
+    """Host mirror of whisper_decoder (sequence + window state)."""
+
+    def __init__(self):
+        self.tokens: list[TokenData] = []
+        self.sum_logprobs_all = 0.0
+        self.result_len = 0
+        self.seek_delta = 100 * CHUNK_SIZE
+        self.failed = False
+        self.completed = False
+        self.has_ts = False
+        # filled by ranking
+        self.sum_logprobs = -math.inf
+        self.avg_logprobs = -math.inf
+        self.entropy = 0.0
+        self.score = -math.inf
+
+
+class WhisperContext:
+    """Weights + vocab + jitted compute; the whisper_context analog."""
+
+    def __init__(self, cfg: M.WhisperConfig, params: M.Params,
+                 vocab: tok_mod.WhisperVocab, filters: np.ndarray,
+                 n_loaded: int, dtype=jnp.bfloat16, model_type: str = "custom"):
+        self.cfg = cfg
+        self.params = params
+        self.vocab = vocab
+        self.filters = filters
+        self.n_loaded = n_loaded
+        self.dtype = dtype
+        self.model_type = model_type
+        self._mask_cache: dict = {}
+
+    @classmethod
+    def from_file(cls, path: str, dtype=jnp.bfloat16) -> "WhisperContext":
+        ck = ggml_whisper.load_checkpoint(path)
+        cfg = M.WhisperConfig.from_hparams(ck.hparams)
+        vocab = tok_mod.build_vocab(ck.tokens, ck.hparams.n_vocab)
+        if ck.n_loaded == 0:
+            # stub checkpoint (tests/ fake-model trick): run the pipeline on
+            # zero weights; the decode loop short-circuits (whisper.cpp:7426)
+            params = jax.tree.map(jnp.zeros_like, M.init_params(cfg, dtype=dtype))
+        else:
+            params = M.params_from_checkpoint(ck, dtype=dtype)
+        return cls(cfg, params, vocab, ck.mel_filters, ck.n_loaded, dtype,
+                   ck.hparams.model_type)
+
+    @classmethod
+    def from_preset(cls, name: str, seed: int = 0, dtype=jnp.bfloat16) -> "WhisperContext":
+        """Random-weight real-shape model (benches, shape tests)."""
+        cfg = M.PRESETS[name]
+        params = M.init_params(cfg, seed=seed, dtype=dtype)
+        # synthetic byte vocab is enough for pipeline mechanics
+        tokens = [b"<%d>" % i for i in range(min(cfg.n_vocab, 50257))]
+        vocab = tok_mod.build_vocab(tokens, cfg.n_vocab)
+        filters = _synthetic_mel_filters(cfg.n_mels)
+        return cls(cfg, params, vocab, filters, n_loaded=1, dtype=dtype,
+                   model_type=name)
+
+    # -- compute wrappers ---------------------------------------------------
+
+    def encode_window(self, mel_data: jnp.ndarray, seek: int, audio_ctx: int):
+        """mel_data (n_len, n_mel); returns (enc_out, xk, xv) for the window
+        starting at frame `seek` (whisper_encode_internal, whisper.cpp:2358)."""
+        n_ctx = audio_ctx if audio_ctx > 0 else self.cfg.n_audio_ctx
+        n_len = mel_data.shape[0]
+        i0 = min(seek, n_len)
+        need = 2 * n_ctx
+        if i0 + need <= n_len:
+            window = jax.lax.dynamic_slice_in_dim(mel_data, i0, need, axis=0)
+        else:  # zero-pad past the end (whisper.cpp:2392-2399)
+            w = np.zeros((need, self.cfg.n_mels), np.float32)
+            avail = n_len - i0
+            if avail > 0:
+                w[:avail] = np.asarray(mel_data[i0:i0 + avail])
+            window = jnp.asarray(w)
+        enc_out = M.encode(self.cfg, self.params["encoder"], window[None])
+        xk, xv = M.cross_kv(self.cfg, self.params["decoder"], enc_out)
+        return enc_out, xk, xv
+
+    def rule_masks(self, p: FullParams):
+        key = (p.suppress_blank, p.no_timestamps, p.tdrz_enable, p.suppress_nst,
+               p.suppress_regex, p.max_initial_ts)
+        if key not in self._mask_cache:
+            base, init = LR.build_static_masks(
+                self.vocab, suppress_blank=p.suppress_blank,
+                no_timestamps=p.no_timestamps, tdrz_enable=p.tdrz_enable,
+                suppress_nst=p.suppress_nst, suppress_regex=p.suppress_regex,
+                max_initial_ts=p.max_initial_ts, n_audio_ctx=self.cfg.n_audio_ctx)
+            self._mask_cache[key] = (jnp.asarray(base), jnp.asarray(init))
+        return self._mask_cache[key]
+
+    @property
+    def rule_config(self) -> LR.RuleConfig:
+        return LR.RuleConfig(self.cfg.n_vocab, self.vocab.token_eot,
+                             self.vocab.token_beg)
+
+
+def _synthetic_mel_filters(n_mels: int, n_bins: int = 201) -> np.ndarray:
+    """Triangular mel-like filterbank for preset (random-weight) contexts."""
+    pts = np.linspace(0, n_bins - 1, n_mels + 2)
+    f = np.zeros((n_mels, n_bins), np.float32)
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        x = np.arange(n_bins)
+        up = (x - lo) / max(c - lo, 1e-6)
+        dn = (hi - x) / max(hi - c, 1e-6)
+        f[m] = np.clip(np.minimum(up, dn), 0, None) / n_bins
+    return f
+
+
+def detect_language(ctx: WhisperContext, mel: mel_mod.Mel,
+                    offset_ms: int = 0) -> tuple[int, np.ndarray]:
+    """whisper_lang_auto_detect_with_state (src/whisper.cpp:4021-4094)."""
+    seek = offset_ms // 10
+    if seek >= mel.n_len_org:
+        raise ValueError("offset past end of audio")
+    _, xk, xv = ctx.encode_window(mel.data, seek, 0)
+    kv_k, kv_v = M.init_kv_cache(ctx.cfg, 1, dtype=ctx.dtype)
+    toks = jnp.asarray([[ctx.vocab.token_sot]], dtype=jnp.int32)
+    logits, _, _, _ = M.decode(ctx.cfg, ctx.params["decoder"], toks,
+                               kv_k, kv_v, jnp.int32(0), xk, xv)
+    row = np.asarray(logits)[0, -1]
+    lang_ids = [ctx.vocab.token_lang(i) for i in range(len(tok_mod.LANGUAGES))]
+    lang_logits = row[lang_ids]
+    e = np.exp(lang_logits - lang_logits.max())
+    probs = e / e.sum()
+    return int(np.argmax(probs)), probs
+
+
+def whisper_full(ctx: WhisperContext, p: FullParams,
+                 samples: np.ndarray) -> TranscribeResult:
+    """Transcribe `samples` (16 kHz mono f32). Port of whisper_full_with_state."""
+    timings = Timings()
+    vocab = ctx.vocab
+    cfg = ctx.cfg
+    rc = ctx.rule_config
+    result = TranscribeResult(segments=[], timings=timings)
+
+    t0 = time.perf_counter()
+    mel = mel_mod.log_mel_spectrogram(np.asarray(samples, np.float32), ctx.filters)
+    mel.data.block_until_ready()
+    timings.t_mel_ms = (time.perf_counter() - t0) * 1e3
+
+    if p.token_timestamps:
+        from ..timestamps import energy as E
+        result._ts_state = E.TimestampState(
+            E.get_signal_energy(np.asarray(samples, np.float32), 32))
+
+    language = p.language
+    if ctx.cfg.n_vocab >= 51865 and (
+            language is None or language == "" or language == "auto" or p.detect_language):
+        lang, _probs = detect_language(ctx, mel)
+        result.lang_id = lang
+        language = tok_mod.lang_str(lang)
+        if p.detect_language:
+            return result
+    elif language is not None:
+        result.lang_id = tok_mod.lang_id(language)
+
+    seek_start = p.offset_ms // 10
+    seek_end = mel.n_len_org if p.duration_ms == 0 else seek_start + p.duration_ms // 10
+
+    if seek_end < seek_start + DELTA_MIN:
+        return result
+
+    # temperature schedule
+    if p.temperature_inc > 0:
+        temperatures = []
+        t = p.temperature
+        while t < 1.0 + 1e-6:
+            temperatures.append(t)
+            t += p.temperature_inc
+    else:
+        temperatures = [p.temperature]
+
+    if p.strategy == SamplingStrategy.GREEDY:
+        n_decoders = p.greedy.best_of
+    else:
+        n_decoders = max(p.greedy.best_of, p.beam_search.beam_size)
+    n_decoders = max(1, n_decoders)
+    if n_decoders > MAX_DECODERS:
+        raise ValueError(f"too many decoders ({n_decoders} > {MAX_DECODERS})")
+
+    no_timestamps = p.no_timestamps
+    # first-release distilled models require no_timestamps (whisper.cpp:7003-7009)
+    if cfg.n_text_layer == 2 and cfg.n_vocab != 51866 and not no_timestamps:
+        no_timestamps = True
+
+    # prompt history
+    prompt_past0: list[int] = []
+    prompt_past1: list[int] = []
+    max_prompt_ctx = min(p.n_max_text_ctx, cfg.n_text_ctx // 2)
+
+    prompt_tokens = p.prompt_tokens
+    if prompt_tokens is None and p.initial_prompt:
+        prompt_tokens = vocab.tokenize(p.initial_prompt)
+    if prompt_tokens:
+        if p.carry_initial_prompt:
+            max_t = max(1, max_prompt_ctx - 1)
+            prompt_past0 = list(prompt_tokens[-max_t:])
+        else:
+            prompt_past1 = list(prompt_tokens)
+
+    audio_ctx = p.audio_ctx
+    if audio_ctx > cfg.n_audio_ctx:
+        raise ValueError(f"audio_ctx {audio_ctx} > max {cfg.n_audio_ctx}")
+
+    # task prompt
+    prompt_init = [vocab.token_sot]
+    if vocab.is_multilingual:
+        lid = tok_mod.lang_id(language or "en")
+        result.lang_id = lid
+        prompt_init.append(vocab.token_lang(lid))
+        prompt_init.append(vocab.token_translate if p.translate
+                           else vocab.token_transcribe)
+    if no_timestamps:
+        prompt_init.append(vocab.token_not)
+
+    base_mask, init_mask = ctx.rule_masks(
+        dataclasses.replace(p, no_timestamps=no_timestamps))
+    dec_params = ctx.params["decoder"]
+    rng_key = jax.random.PRNGKey(0)
+
+    seek = seek_start
+
+    while True:
+        if p.progress_callback:
+            progress = 100 * (seek - seek_start) // max(1, seek_end - seek_start)
+            p.progress_callback(progress)
+        if seek + DELTA_MIN >= seek_end:
+            break
+        if p.encoder_begin_callback and not p.encoder_begin_callback():
+            break
+
+        t0 = time.perf_counter()
+        _enc_out, xk, xv = ctx.encode_window(mel.data, seek, audio_ctx)
+        xk.block_until_ready()
+        timings.t_encode_ms += (time.perf_counter() - t0) * 1e3
+        timings.n_encode += 1
+
+        # drop confusing history near the very end (whisper.cpp:7060-7064)
+        if seek > seek_start and seek + 500 >= seek_end:
+            prompt_past0.clear()
+            prompt_past1.clear()
+
+        best_decoder_id = 0
+        decoders: list[_DecoderState] = []
+        no_speech_prob = 0.0
+        prompt: list[int] = []
+
+        for it, t_cur in enumerate(temperatures):
+            if p.strategy == SamplingStrategy.GREEDY:
+                n_dec_cur = p.greedy.best_of if t_cur > 0 else 1
+            else:
+                n_dec_cur = p.greedy.best_of if t_cur > 0 else p.beam_search.beam_size
+            n_dec_cur = max(1, n_dec_cur)
+            beam_mode = p.strategy == SamplingStrategy.BEAM_SEARCH and t_cur <= 0
+
+            decoders = [_DecoderState() for _ in range(n_dec_cur)]
+
+            # build prompt (whisper.cpp:7121-7148)
+            prompt = []
+            if p.n_max_text_ctx > 0 and t_cur < HISTORY_CONDITIONING_TEMP_CUTOFF:
+                can0 = p.carry_initial_prompt and prompt_past0
+                can1 = bool(prompt_past1)
+                if max_prompt_ctx > 0 and (can0 or can1):
+                    prompt.append(vocab.token_prev)
+                    n_take0 = 0
+                    if can0:
+                        n_take0 = len(prompt_past0)
+                        prompt.extend(prompt_past0)
+                    n_take1 = min(max_prompt_ctx - n_take0 - 1, len(prompt_past1))
+                    if n_take1 > 0:
+                        prompt.extend(prompt_past1[-n_take1:])
+            prompt.extend(prompt_init)
+
+            # prompt decode, B=1
+            t0 = time.perf_counter()
+            kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
+            T_real = len(prompt)
+            T_pad = max(_PROMPT_BUCKET,
+                        -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET)
+            toks = np.zeros((1, T_pad), np.int32)
+            toks[0, :T_real] = prompt
+            logits_all, kv_k, kv_v, _ = M.decode(
+                cfg, dec_params, jnp.asarray(toks), kv_k, kv_v,
+                jnp.int32(0), xk, xv)
+            last_logits = logits_all[:, T_real - 1]  # (1, V)
+            nsp = LR.compute_no_speech_prob(last_logits[0], jnp.int32(vocab.token_nosp))
+            no_speech_prob = float(nsp)
+            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+            timings.n_decode += 1
+
+            if n_dec_cur > 1:
+                kv_k = jnp.repeat(kv_k, n_dec_cur, axis=1)
+                kv_v = jnp.repeat(kv_v, n_dec_cur, axis=1)
+                xk_b = jnp.repeat(xk, n_dec_cur, axis=1)
+                xv_b = jnp.repeat(xv, n_dec_cur, axis=1)
+                step_logits = jnp.repeat(last_logits, n_dec_cur, axis=0)
+            else:
+                xk_b, xv_b = xk, xv
+                step_logits = last_logits
+            kv_head = T_real
+
+            n_max = cfg.n_text_ctx // 2 - 4
+            for i in range(n_max):
+                # ---- rules + sampling (on device, batched over beams) ----
+                t0 = time.perf_counter()
+                st = _beam_state(decoders, vocab)
+                f_logits, f_logprobs, f_probs = LR.apply_rules(
+                    rc, step_logits, base_mask, init_mask, st,
+                    jnp.float32(t_cur))
+
+                if beam_mode:
+                    k = p.beam_search.beam_size
+                    top_id, top_p, top_lp, pt, ptsum, tid = LR.sample_topk(
+                        rc, k, f_logits, f_logprobs, f_probs)
+                    _beam_expand_and_merge(
+                        decoders, np.asarray(top_id), np.asarray(top_p),
+                        np.asarray(top_lp), np.asarray(pt), np.asarray(ptsum),
+                        np.asarray(tid), i, vocab.token_beg)
+                    src = np.array([d._src for d in decoders], np.int32)
+                    if not np.array_equal(src, np.arange(n_dec_cur)):
+                        kv_k, kv_v = M.reorder_kv(kv_k, kv_v, jnp.asarray(src))
+                else:
+                    if t_cur < 1e-6:
+                        out = LR.sample_greedy(rc, f_logits, f_logprobs, f_probs)
+                    else:
+                        rng_key, sub = jax.random.split(rng_key)
+                        out = LR.sample_multinomial(rc, sub, f_logits,
+                                                    f_logprobs, f_probs)
+                    tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (np.asarray(x) for x in out)
+                    for j, d in enumerate(decoders):
+                        if d.completed or d.failed:
+                            continue
+                        td = TokenData(int(tok_a[j]), int(tid_a[j]), float(p_a[j]),
+                                       float(lp_a[j]), float(pt_a[j]), float(pts_a[j]))
+                        if td.id >= vocab.token_beg:
+                            td.tid = td.id
+                            td.pt = td.p
+                        d.tokens.append(td)
+                        d.sum_logprobs_all += td.plog
+                timings.t_sample_ms += (time.perf_counter() - t0) * 1e3
+                timings.n_sample += 1
+
+                # ---- per-decoder state update (whisper.cpp:7355-7459) ----
+                for j, d in enumerate(decoders):
+                    if d.completed or d.failed:
+                        continue
+                    token = d.tokens[-1]
+                    if token.id > vocab.token_beg:
+                        seek_delta_new = 2 * (token.id - vocab.token_beg)
+                        if (d.has_ts and d.seek_delta > seek_delta_new
+                                and d.result_len < i):
+                            d.failed = True
+                            continue
+                        d.seek_delta = seek_delta_new
+                        d.result_len = i + 1
+                        d.has_ts = True
+
+                    if (token.id == vocab.token_eot
+                            or (p.max_tokens > 0 and i >= p.max_tokens)
+                            or (d.has_ts and seek + d.seek_delta + DELTA_MIN >= seek_end)):
+                        if d.result_len == 0 and not no_timestamps:
+                            if seek + d.seek_delta + DELTA_MIN >= seek_end:
+                                d.result_len = i + 1
+                            else:
+                                d.failed = True
+                                continue
+                        if p.single_segment or no_timestamps:
+                            d.result_len = i + 1
+                            d.seek_delta = 100 * CHUNK_SIZE
+                        d.completed = True
+                        continue
+
+                    # stub-model short-circuit (tests; whisper.cpp:7426-7431)
+                    if ctx.n_loaded == 0:
+                        d.seek_delta = 100 * CHUNK_SIZE
+                        d.completed = True
+                        continue
+
+                    # repetition-loop bail-out
+                    if i == n_max - 1 and (d.result_len == 0
+                                           or d.seek_delta < 100 * CHUNK_SIZE // 2):
+                        d.failed = True
+                        continue
+
+                if all(d.completed or d.failed for d in decoders):
+                    break
+
+                # ---- next decode step, all beams ----
+                t0 = time.perf_counter()
+                next_tok = np.array(
+                    [[d.tokens[-1].id if d.tokens else vocab.token_eot]
+                     for d in decoders], np.int32)
+                step_logits_all, kv_k, kv_v, _ = M.decode(
+                    cfg, dec_params, jnp.asarray(next_tok), kv_k, kv_v,
+                    jnp.int32(kv_head), xk_b, xv_b)
+                step_logits = step_logits_all[:, 0]
+                kv_head += 1
+                timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+                timings.n_decode += 1
+
+                if p.abort_callback and p.abort_callback():
+                    return result
+
+            # ---- rank sequences (whisper.cpp:7545-7580) ----
+            best_score = -math.inf
+            best_decoder_id = 0
+            for j, d in enumerate(decoders):
+                if d.failed:
+                    continue
+                d.tokens = d.tokens[:d.result_len]
+                _score_sequence(d, p.length_penalty)
+                if d.result_len > 32 and d.entropy < p.entropy_thold:
+                    d.failed = True
+                    continue
+                if d.score > best_score:
+                    best_score = d.score
+                    best_decoder_id = j
+
+            success = True
+            if it != len(temperatures) - 1:
+                d = decoders[best_decoder_id]
+                if d.failed or (d.avg_logprobs < p.logprob_thold
+                                and no_speech_prob < p.no_speech_thold):
+                    success = False
+            if success:
+                break
+
+        # ---- segment emission (whisper.cpp:7608-7772) ----
+        best = decoders[best_decoder_id]
+        seek_delta = best.seek_delta
+        tokens_cur = best.tokens
+        result_len = best.result_len
+
+        is_no_speech = (no_speech_prob > p.no_speech_thold
+                        and best.avg_logprobs < p.logprob_thold)
+
+        # rolling context update
+        new_past1: list[int] = []
+        if (not p.carry_initial_prompt and prompt
+                and prompt[0] == vocab.token_prev):
+            new_past1 = prompt[1:len(prompt) - len(prompt_init)]
+        prompt_past1 = new_past1
+        if not is_no_speech:
+            prompt_past1.extend(t.id for t in tokens_cur[:result_len])
+
+        if tokens_cur and ctx.n_loaded > 0 and not is_no_speech:
+            _emit_segments(ctx, p, result, tokens_cur, seek, seek_delta,
+                           no_speech_prob)
+
+        # single-timestamp ending skips the whole chunk (whisper.cpp:7758-7764)
+        single_ts_end = (len(tokens_cur) > 1
+                         and tokens_cur[-2].id < vocab.token_beg
+                         and tokens_cur[-1].id > vocab.token_beg)
+        if single_ts_end:
+            seek_delta = min(seek_end - seek, CHUNK_SIZE * 100)
+
+        seek += seek_delta
+
+    return result
+
+
+def _beam_state(decoders: list[_DecoderState],
+                vocab: tok_mod.WhisperVocab) -> LR.BeamState:
+    B = len(decoders)
+    is_initial = np.zeros(B, bool)
+    last_ts = np.zeros(B, bool)
+    penult_ts = np.zeros(B, bool)
+    has_ts = np.zeros(B, bool)
+    ts_min = np.zeros(B, np.int32)
+    for j, d in enumerate(decoders):
+        n = len(d.tokens)
+        is_initial[j] = n == 0
+        last_ts[j] = n > 0 and d.tokens[-1].id >= vocab.token_beg
+        penult_ts[j] = n < 2 or d.tokens[-2].id >= vocab.token_beg
+        has_ts[j] = d.has_ts
+        ts_min[j] = vocab.token_beg + d.seek_delta // 2 if d.has_ts else 0
+    return LR.BeamState(jnp.asarray(is_initial), jnp.asarray(last_ts),
+                        jnp.asarray(penult_ts), jnp.asarray(has_ts),
+                        jnp.asarray(ts_min))
+
+
+def _beam_expand_and_merge(decoders, top_id, top_p, top_lp, pt, ptsum, tid, i,
+                           token_beg: int):
+    """Candidate generation + global merge (whisper.cpp:7301-7352).
+
+    Sets d._src on every decoder for the KV gather.
+    """
+    candidates = []
+    for j, d in enumerate(decoders):
+        d._src = j
+        if d.completed or d.failed:
+            continue
+        for c in range(top_id.shape[1]):
+            td = TokenData(int(top_id[j, c]), int(tid[j]), float(top_p[j, c]),
+                           float(top_lp[j, c]), float(pt[j]), float(ptsum[j]))
+            if td.id >= token_beg:
+                td.tid = td.id
+                td.pt = td.p
+            candidates.append((d.sum_logprobs_all + td.plog, j, td, d))
+
+    # sort by sum_logprobs desc, then source decoder index asc
+    candidates.sort(key=lambda c: (-c[0], c[1]))
+
+    # assign top candidates to the active decoders, skipping duplicates
+    new_states = []
+    cur = 0
+    for j, d in enumerate(decoders):
+        if d.completed or d.failed:
+            new_states.append(None)
+            continue
+        if cur >= len(candidates):
+            cur = 0
+        sum_lp, src_j, td, src_d = candidates[cur]
+        cur += 1
+        # dedupe identical sequences (compare token ids incl. the new one)
+        if i > 0:
+            seq = [t.id for t in src_d.tokens] + [td.id]
+            while cur < len(candidates):
+                s2 = candidates[cur]
+                seq2 = [t.id for t in s2[3].tokens] + [s2[2].id]
+                if seq2 == seq:
+                    cur += 1
+                else:
+                    break
+        new_states.append((sum_lp, src_j, td, src_d))
+
+    # apply (copy source sequence + append token)
+    snapshot = {j: (list(d.tokens), d.seek_delta, d.has_ts, d.result_len)
+                for j, d in enumerate(decoders)}
+    for j, (d, ns) in enumerate(zip(decoders, new_states)):
+        if ns is None:
+            continue
+        sum_lp, src_j, td, _ = ns
+        toks, sd, hts, rl = snapshot[src_j]
+        d.tokens = list(toks)
+        d.tokens.append(dataclasses.replace(td))
+        d.sum_logprobs_all = sum_lp
+        d.seek_delta = sd
+        d.has_ts = hts
+        d.result_len = rl
+        d._src = src_j
+
+
+def _score_sequence(d: _DecoderState, length_penalty: float):
+    """whisper_sequence_score (src/whisper.cpp:6595-6641)."""
+    if d.result_len == 0:
+        return
+    total = sum(t.plog for t in d.tokens[:d.result_len])
+    d.sum_logprobs = total
+    d.avg_logprobs = total / d.result_len
+    penalty = d.result_len
+    if length_penalty > 0:
+        penalty = ((5.0 + penalty) / 6.0) ** length_penalty
+    d.score = total / penalty
+
+    counts: dict[int, int] = {}
+    lo = max(0, d.result_len - 32)
+    for t in d.tokens[lo:d.result_len]:
+        counts[t.id] = counts.get(t.id, 0) + 1
+    cnt = d.result_len - lo
+    entropy = 0.0
+    for c in counts.values():
+        pr = c / cnt
+        entropy -= pr * math.log(pr)
+    d.entropy = entropy
+
+
+def _emit_segments(ctx: WhisperContext, p: FullParams, result: TranscribeResult,
+                   tokens_cur: list[TokenData], seek: int, seek_delta: int,
+                   no_speech_prob: float):
+    """Token walk -> timestamped segments (whisper.cpp:7638-7757)."""
+    vocab = ctx.vocab
+    i0 = 0
+    t0 = seek + 2 * (tokens_cur[0].tid - vocab.token_beg)
+    text = ""
+    speaker_turn_next = False
+
+    i = 0
+    n = len(tokens_cur)
+    while i < n:
+        tk = tokens_cur[i]
+        if p.print_special or tk.id < vocab.token_eot:
+            text += vocab.token_to_str(tk.id)
+        if p.tdrz_enable and tk.id == vocab.token_solm:
+            speaker_turn_next = True
+
+        if tk.id > vocab.token_beg and not p.single_segment:
+            t1 = seek + 2 * (tk.tid - vocab.token_beg)
+            if text:
+                seg = Segment(t0, t1, text, no_speech_prob,
+                              list(tokens_cur[i0:i + 1]), speaker_turn_next)
+                result.segments.append(seg)
+                _post_segment(ctx, p, result)
+            text = ""
+            while i < n and tokens_cur[i].id > vocab.token_beg:
+                i += 1
+            i -= 1
+            t0 = t1
+            i0 = i + 1
+            speaker_turn_next = False
+        i += 1
+
+    if text:
+        t1 = seek + seek_delta
+        seg = Segment(t0, t1, text, no_speech_prob,
+                      list(tokens_cur[i0:]), speaker_turn_next)
+        result.segments.append(seg)
+        _post_segment(ctx, p, result)
+
+
+def _post_segment(ctx: WhisperContext, p: FullParams, result: TranscribeResult):
+    n_new = 1
+    if p.token_timestamps:
+        from ..timestamps import energy as E
+        E.compute_token_level_timestamps(ctx, result, len(result.segments) - 1,
+                                         p.thold_pt, p.thold_ptsum)
+        if p.max_len > 0:
+            n_new = _wrap_segment(ctx, result, p.max_len, p.split_on_word)
+    if p.new_segment_callback:
+        p.new_segment_callback(result, n_new)
+
+
+def _wrap_segment(ctx: WhisperContext, result: TranscribeResult,
+                  max_len: int, split_on_word: bool) -> int:
+    """whisper_wrap_segment (src/whisper.cpp:6077-6129): split the last
+    segment into pieces of at most max_len UTF-8 chars."""
+    vocab = ctx.vocab
+    segment = result.segments[-1]
+    res = segment.t0
+    acc = ""
+    acc_tokens: list[TokenData] = []
+    pieces: list[Segment] = []
+
+    for tk in segment.tokens:
+        if tk.id >= vocab.token_eot:
+            continue
+        txt = vocab.token_to_str(tk.id)
+        cur = txt
+        if split_on_word and acc and cur.startswith(" "):
+            trim = True
+        else:
+            trim = False
+        if len(acc) + len(cur) > max_len and acc or trim and len(acc) + len(cur) > max_len:
+            pieces.append(Segment(res, tk.t0 if tk.t0 >= 0 else segment.t1,
+                                  acc, segment.no_speech_prob, acc_tokens))
+            res = tk.t0 if tk.t0 >= 0 else segment.t0
+            acc = cur.lstrip() if split_on_word else cur
+            acc_tokens = [tk]
+        else:
+            acc += cur
+            acc_tokens.append(tk)
+    pieces.append(Segment(res, segment.t1, acc, segment.no_speech_prob,
+                          acc_tokens, segment.speaker_turn_next))
+    result.segments[-1:] = pieces
+    return len(pieces)

@@ -1,0 +1,119 @@
+"""Decoding parameter surface mirroring whisper_full_params.
+
+Field set and defaults match whisper_full_default_params
+(src/whisper.cpp:5928-6035; struct include/whisper.h:487-591).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable
+
+
+class SamplingStrategy(enum.Enum):
+    GREEDY = 0
+    BEAM_SEARCH = 1
+
+
+@dataclasses.dataclass
+class GreedyParams:
+    best_of: int = 5
+
+
+@dataclasses.dataclass
+class BeamSearchParams:
+    beam_size: int = 5
+    patience: float = -1.0
+
+
+@dataclasses.dataclass
+class VadParams:
+    """whisper_vad_default_params (include/whisper.h:192-199)."""
+    threshold: float = 0.5
+    min_speech_duration_ms: int = 250
+    min_silence_duration_ms: int = 100
+    max_speech_duration_s: float = float("inf")
+    speech_pad_ms: int = 30
+    samples_overlap: float = 0.1
+
+
+@dataclasses.dataclass
+class FullParams:
+    strategy: SamplingStrategy = SamplingStrategy.GREEDY
+
+    n_threads: int = 4                 # kept for API parity; XLA owns threading
+    n_max_text_ctx: int = 16384
+    offset_ms: int = 0
+    duration_ms: int = 0
+
+    translate: bool = False
+    no_context: bool = True
+    no_timestamps: bool = False
+    single_segment: bool = False
+    print_special: bool = False
+    print_progress: bool = True
+    print_realtime: bool = False
+    print_timestamps: bool = True
+
+    token_timestamps: bool = False
+    thold_pt: float = 0.01
+    thold_ptsum: float = 0.01
+    max_len: int = 0
+    split_on_word: bool = False
+    max_tokens: int = 0
+
+    debug_mode: bool = False
+    audio_ctx: int = 0
+
+    tdrz_enable: bool = False
+
+    suppress_regex: str | None = None
+
+    initial_prompt: str | None = None
+    carry_initial_prompt: bool = False
+    prompt_tokens: list[int] | None = None
+
+    language: str | None = "en"
+    detect_language: bool = False
+
+    suppress_blank: bool = True
+    suppress_nst: bool = False
+
+    temperature: float = 0.0
+    max_initial_ts: float = 1.0
+    length_penalty: float = -1.0
+
+    temperature_inc: float = 0.2
+    entropy_thold: float = 2.4
+    logprob_thold: float = -1.0
+    no_speech_thold: float = 0.6
+
+    greedy: GreedyParams = dataclasses.field(default_factory=GreedyParams)
+    beam_search: BeamSearchParams = dataclasses.field(default_factory=BeamSearchParams)
+
+    new_segment_callback: Callable | None = None
+    progress_callback: Callable | None = None
+    encoder_begin_callback: Callable | None = None
+    abort_callback: Callable | None = None
+    logits_filter_callback: Callable | None = None
+
+    grammar_rules: object | None = None
+    i_start_rule: int = 0
+    grammar_penalty: float = 100.0
+
+    vad: bool = False
+    vad_model_path: str | None = None
+    vad_params: VadParams = dataclasses.field(default_factory=VadParams)
+
+    # TPU-specific: token timestamps via DTW on cross-attention (the
+    # reference selects this with whisper_context_params.dtw_token_timestamps)
+    dtw_token_timestamps: bool = False
+
+    @classmethod
+    def greedy_default(cls) -> "FullParams":
+        return cls(strategy=SamplingStrategy.GREEDY)
+
+    @classmethod
+    def beam_default(cls) -> "FullParams":
+        return cls(strategy=SamplingStrategy.BEAM_SEARCH)
