@@ -1,0 +1,138 @@
+"""Benchmark: whisper large-v3-turbo encoder/decoder throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric is real-time factor for large-v3-turbo:
+    RTF = 30 s audio / (1 encoder pass + 200 decoded tokens)
+vs_baseline compares against the reference's best published number for the
+same model (M2 Ultra Metal FA=1: Enc 148.79 ms, Dec 1.30 ms/token
+-> RTF ~= 73.4x; BASELINE.md / scripts/bench-all-gg.txt:166).
+
+All timed regions are N iterations chained with data dependencies inside one
+jit dispatch (lax.scan / lax.while_loop), so dispatch overhead and async
+tunnel latency don't contaminate the per-iteration numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+MODEL = "large-v3-turbo"
+BASELINE_ENC_MS = 148.79
+BASELINE_DEC_MS = 1.30
+N_DEC_TOKENS = 200
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from open_whisper_kit_tpu.models.whisper import model as M
+
+    cfg = M.PRESETS[MODEL]
+    params = M.init_params(cfg, seed=0, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal(
+        (1, 2 * cfg.n_audio_ctx, cfg.n_mels)).astype(np.float32))
+
+    # ---- encoder: N chained passes in one dispatch ----
+    N_ENC = 8
+
+    @jax.jit
+    def enc_loop(enc_params, mel0):
+        def body(x, _):
+            out = M.encode(cfg, enc_params, x)
+            # data dependency: perturb the input with the output's mean
+            x2 = mel0 + jnp.mean(out).astype(mel0.dtype) * 1e-6
+            return x2, ()
+        x, _ = jax.lax.scan(body, mel0, None, length=N_ENC)
+        return jnp.sum(x)
+
+    float(enc_loop(params["encoder"], mel))  # warm + fetch
+    t0 = time.perf_counter()
+    float(enc_loop(params["encoder"], mel))
+    enc_s = (time.perf_counter() - t0) / N_ENC
+
+    # ---- decoder: K chained greedy steps in one dispatch ----
+    enc_out = M.encode(cfg, params["encoder"], mel)
+    xk, xv = M.cross_kv(cfg, params["decoder"], enc_out)
+
+    def make_dec_loop(batch, length):
+        @jax.jit
+        def dec_loop(dec_params, xk, xv):
+            kv_k, kv_v = M.init_kv_cache(cfg, batch, dtype=jnp.bfloat16)
+            tok0 = jnp.zeros((batch, 1), jnp.int32)
+
+            def body(carry, _):
+                tok, kv_k, kv_v, head = carry
+                logits, kv_k, kv_v, _ = M.decode_impl(
+                    cfg, dec_params, tok, kv_k, kv_v, head, xk, xv)
+                tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+                return (tok, kv_k, kv_v, head + 1), ()
+
+            (tok, _, _, _), _ = jax.lax.scan(
+                body, (tok0, kv_k, kv_v, jnp.int32(0)), None, length=length)
+            return jnp.sum(tok)
+        return dec_loop
+
+    K = 256
+    dec_loop = make_dec_loop(1, K)
+    float(dec_loop(params["decoder"], xk, xv))
+    t0 = time.perf_counter()
+    float(dec_loop(params["decoder"], xk, xv))
+    dec_s = (time.perf_counter() - t0) / K
+
+    # ---- batch-of-5 decode (reference's Bch5 column) ----
+    xk5 = jnp.repeat(xk, 5, axis=1)
+    xv5 = jnp.repeat(xv, 5, axis=1)
+    dec5_loop = make_dec_loop(5, K)
+    float(dec5_loop(params["decoder"], xk5, xv5))
+    t0 = time.perf_counter()
+    float(dec5_loop(params["decoder"], xk5, xv5))
+    bch5_s = (time.perf_counter() - t0) / K
+
+    # ---- prompt processing (PP column): 256 tokens in one pass ----
+    @jax.jit
+    def pp(dec_params, xk, xv):
+        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=jnp.bfloat16)
+        toks = jnp.zeros((1, 256), jnp.int32)
+        logits, _, _, _ = M.decode_impl(cfg, dec_params, toks, kv_k, kv_v,
+                                        jnp.int32(0), xk, xv)
+        return jnp.sum(logits[:, -1])
+
+    float(pp(params["decoder"], xk, xv))
+    t0 = time.perf_counter()
+    float(pp(params["decoder"], xk, xv))
+    pp_s = (time.perf_counter() - t0) / 256
+
+    rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
+    baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
+
+    result = {
+        "metric": f"rtf_{MODEL.replace('-', '_')}",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / baseline_rtf, 3),
+        "detail": {
+            "enc_ms": round(enc_s * 1e3, 2),
+            "dec_ms_per_token": round(dec_s * 1e3, 3),
+            "bch5_ms_per_token": round(bch5_s * 1e3, 3),
+            "pp_ms_per_token": round(pp_s * 1e3, 4),
+            "baseline_enc_ms": BASELINE_ENC_MS,
+            "baseline_dec_ms": BASELINE_DEC_MS,
+            "baseline_rtf": round(baseline_rtf, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Fused on-device greedy segment decoder.
+
+The reference pays one graph launch + a device->host logits copy per token
+(whisper.cpp:7493, 2954). Here the entire t=0 greedy segment decode — prompt
+ingest, no-speech probability, the full logit rule-set, argmax sampling, the
+sliding-window/EOT state machine (whisper.cpp:7355-7459) — runs inside a
+single jitted lax.while_loop; the host gets back one small buffer bundle per
+30 s window. This is the main single-chip RTF lever on TPU.
+
+Used for the common t=0 single-decoder path; sampled/beam fallback paths use
+the host loop in decode/full.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.whisper import model as M
+from . import logit_rules as LR
+
+CHUNK_FRAMES = 3000  # 100 * WHISPER_CHUNK_SIZE
+
+
+class SegmentResult(NamedTuple):
+    tokens: jnp.ndarray      # (n_max,) i32
+    p: jnp.ndarray           # (n_max,) f32
+    plog: jnp.ndarray
+    pt: jnp.ndarray
+    ptsum: jnp.ndarray
+    tid: jnp.ndarray         # (n_max,) i32
+    n_tokens: jnp.ndarray    # i32, number sampled
+    result_len: jnp.ndarray  # i32
+    seek_delta: jnp.ndarray  # i32
+    has_ts: jnp.ndarray      # bool
+    completed: jnp.ndarray   # bool
+    failed: jnp.ndarray      # bool
+    sum_logprobs_all: jnp.ndarray  # f32
+    no_speech_prob: jnp.ndarray    # f32
+
+
+class _Carry(NamedTuple):
+    kv_k: jnp.ndarray
+    kv_v: jnp.ndarray
+    kv_head: jnp.ndarray
+    i: jnp.ndarray
+    logits: jnp.ndarray          # (1, V) raw logits of the pending position
+    tokens: jnp.ndarray
+    p: jnp.ndarray
+    plog: jnp.ndarray
+    pt: jnp.ndarray
+    ptsum: jnp.ndarray
+    tid: jnp.ndarray
+    sum_logprobs_all: jnp.ndarray
+    last_was_ts: jnp.ndarray
+    penult_was_ts: jnp.ndarray
+    has_ts: jnp.ndarray
+    seek_delta: jnp.ndarray
+    result_len: jnp.ndarray
+    completed: jnp.ndarray
+    failed: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "rc", "n_max", "max_tokens", "single_segment",
+                     "no_timestamps", "stub"),
+    donate_argnames=("kv_k", "kv_v"))
+def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
+                   dec: M.Params, prompt: jnp.ndarray, t_real: jnp.ndarray,
+                   kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                   xk: jnp.ndarray, xv: jnp.ndarray,
+                   base_mask: jnp.ndarray, init_mask: jnp.ndarray,
+                   token_nosp: jnp.ndarray, seek: jnp.ndarray,
+                   seek_end: jnp.ndarray, *, n_max: int,
+                   max_tokens: int = 0, single_segment: bool = False,
+                   no_timestamps: bool = False,
+                   stub: bool = False) -> SegmentResult:
+    """Greedy-decode one window. prompt (1, T_pad) i32, t_real = live length."""
+    token_beg = rc.token_beg
+    token_eot = rc.token_eot
+    delta_min = 10
+
+    # ---- prompt ingest ----
+    logits_all, kv_k, kv_v, _ = M.decode_impl(
+        cfg, dec, prompt, kv_k, kv_v, jnp.int32(0), xk, xv)
+    last_logits = jax.lax.dynamic_index_in_dim(
+        logits_all, t_real - 1, axis=1, keepdims=False)  # (1, V)
+    no_speech_prob = LR.compute_no_speech_prob(last_logits[0], token_nosp)
+
+    carry = _Carry(
+        kv_k=kv_k, kv_v=kv_v, kv_head=t_real, i=jnp.int32(0),
+        logits=last_logits,
+        tokens=jnp.zeros((n_max,), jnp.int32),
+        p=jnp.zeros((n_max,), jnp.float32),
+        plog=jnp.zeros((n_max,), jnp.float32),
+        pt=jnp.zeros((n_max,), jnp.float32),
+        ptsum=jnp.zeros((n_max,), jnp.float32),
+        tid=jnp.zeros((n_max,), jnp.int32),
+        sum_logprobs_all=jnp.float32(0.0),
+        last_was_ts=jnp.bool_(False), penult_was_ts=jnp.bool_(True),
+        has_ts=jnp.bool_(False), seek_delta=jnp.int32(CHUNK_FRAMES),
+        result_len=jnp.int32(0),
+        completed=jnp.bool_(False), failed=jnp.bool_(False))
+
+    def cond(c: _Carry):
+        return (~c.completed) & (~c.failed) & (c.i < n_max)
+
+    def body(c: _Carry) -> _Carry:
+        i = c.i
+        st = LR.BeamState(
+            is_initial=(i == 0)[None],
+            last_was_ts=c.last_was_ts[None],
+            penult_was_ts=c.penult_was_ts[None],
+            has_ts=c.has_ts[None],
+            ts_min=jnp.where(c.has_ts, token_beg + c.seek_delta // 2, 0)[None])
+        f_logits, f_logprobs, f_probs = LR.apply_rules(
+            rc, c.logits, base_mask, init_mask, st, jnp.float32(0.0))
+        tok, p, plog, pt, ptsum, tid = LR.sample_greedy(
+            rc, f_logits, f_logprobs, f_probs)
+        tok0 = tok[0]
+        is_ts_tok = tok0 >= token_beg
+        tid0 = jnp.where(is_ts_tok, tok0, tid[0])
+        pt0 = jnp.where(is_ts_tok, p[0], pt[0])
+
+        tokens = c.tokens.at[i].set(tok0)
+        p_buf = c.p.at[i].set(p[0])
+        plog_buf = c.plog.at[i].set(plog[0])
+        pt_buf = c.pt.at[i].set(pt0)
+        ptsum_buf = c.ptsum.at[i].set(ptsum[0])
+        tid_buf = c.tid.at[i].set(tid0)
+        sum_lp = c.sum_logprobs_all + plog[0]
+
+        # ---- state machine (whisper.cpp:7355-7459) ----
+        gt_beg = tok0 > token_beg
+        sd_new = 2 * (tok0 - token_beg)
+        ts_fail = gt_beg & c.has_ts & (c.seek_delta > sd_new) & (c.result_len < i)
+        take_ts = gt_beg & ~ts_fail
+        seek_delta = jnp.where(take_ts, sd_new, c.seek_delta)
+        result_len = jnp.where(take_ts, i + 1, c.result_len)
+        has_ts = c.has_ts | take_ts
+
+        end_hit = ((tok0 == token_eot)
+                   | ((max_tokens > 0) & (i >= max_tokens))
+                   | (has_ts & (seek + seek_delta + delta_min >= seek_end)))
+        end_hit = end_hit & ~ts_fail
+        at_audio_end = seek + seek_delta + delta_min >= seek_end
+        # result_len==0 handling on end
+        rl_zero = (result_len == 0) & jnp.bool_(not no_timestamps)
+        end_fail = end_hit & rl_zero & ~at_audio_end
+        result_len = jnp.where(end_hit & rl_zero & at_audio_end, i + 1, result_len)
+        end_ok = end_hit & ~end_fail
+        if single_segment or no_timestamps:
+            result_len = jnp.where(end_ok, i + 1, result_len)
+            seek_delta = jnp.where(end_ok, CHUNK_FRAMES, seek_delta)
+        completed = end_ok
+        failed = ts_fail | end_fail
+
+        if stub:  # weightless test checkpoints (whisper.cpp:7426-7431)
+            seek_delta = jnp.where(~completed & ~failed, CHUNK_FRAMES, seek_delta)
+            completed = jnp.where(failed, completed, jnp.bool_(True))
+
+        # repetition-loop bail-out at the last step (whisper.cpp:7440-7445)
+        rep_fail = ((i == n_max - 1) & ~completed & ~failed
+                    & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
+        failed = failed | rep_fail
+
+        # ---- next decode step (result unused on the final iteration) ----
+        step_logits, kv_k, kv_v, _ = M.decode_impl(
+            cfg, dec, tok[:, None], c.kv_k, c.kv_v, c.kv_head, xk, xv)
+
+        return _Carry(
+            kv_k=kv_k, kv_v=kv_v, kv_head=c.kv_head + 1, i=i + 1,
+            logits=step_logits[:, 0],
+            tokens=tokens, p=p_buf, plog=plog_buf, pt=pt_buf,
+            ptsum=ptsum_buf, tid=tid_buf, sum_logprobs_all=sum_lp,
+            last_was_ts=is_ts_tok,
+            penult_was_ts=c.last_was_ts | (i == 0),
+            has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
+            completed=completed, failed=failed)
+
+    c = jax.lax.while_loop(cond, body, carry)
+
+    return SegmentResult(
+        tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,
+        tid=c.tid, n_tokens=c.i, result_len=c.result_len,
+        seek_delta=c.seek_delta, has_ts=c.has_ts, completed=c.completed,
+        failed=c.failed, sum_logprobs_all=c.sum_logprobs_all,
+        no_speech_prob=no_speech_prob)

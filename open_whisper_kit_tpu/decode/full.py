@@ -356,6 +356,72 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                         prompt.extend(prompt_past1[-n_take1:])
             prompt.extend(prompt_init)
 
+            n_max = cfg.n_text_ctx // 2 - 4
+
+            # fused on-device path for the common t=0 single-decoder case
+            use_device_loop = (n_dec_cur == 1 and t_cur < 1e-6
+                               and p.grammar_rules is None
+                               and p.logits_filter_callback is None)
+            if use_device_loop:
+                t0 = time.perf_counter()
+                kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
+                T_real = len(prompt)
+                T_pad = max(_PROMPT_BUCKET,
+                            -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET)
+                toks = np.zeros((1, T_pad), np.int32)
+                toks[0, :T_real] = prompt
+                from . import device_loop as DL
+                res_dev = DL.decode_segment(
+                    cfg, rc, dec_params, jnp.asarray(toks), jnp.int32(T_real),
+                    kv_k, kv_v, xk, xv, base_mask, init_mask,
+                    jnp.int32(vocab.token_nosp), jnp.int32(seek),
+                    jnp.int32(seek_end), n_max=n_max,
+                    max_tokens=p.max_tokens, single_segment=p.single_segment,
+                    no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+                n_tok = int(res_dev.n_tokens)
+                ids = np.asarray(res_dev.tokens)
+                ps = np.asarray(res_dev.p)
+                plogs = np.asarray(res_dev.plog)
+                pts = np.asarray(res_dev.pt)
+                ptsums = np.asarray(res_dev.ptsum)
+                tids = np.asarray(res_dev.tid)
+                d = decoders[0]
+                d.tokens = [TokenData(int(ids[k]), int(tids[k]), float(ps[k]),
+                                      float(plogs[k]), float(pts[k]),
+                                      float(ptsums[k])) for k in range(n_tok)]
+                d.sum_logprobs_all = float(res_dev.sum_logprobs_all)
+                d.result_len = int(res_dev.result_len)
+                d.seek_delta = int(res_dev.seek_delta)
+                d.has_ts = bool(res_dev.has_ts)
+                d.completed = bool(res_dev.completed)
+                d.failed = bool(res_dev.failed)
+                no_speech_prob = float(res_dev.no_speech_prob)
+                timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+                timings.n_decode += n_tok + 1
+                timings.n_sample += n_tok
+                best_decoder_id = 0
+                best_score = -math.inf
+                for j, dd in enumerate(decoders):
+                    if dd.failed:
+                        continue
+                    dd.tokens = dd.tokens[:dd.result_len]
+                    _score_sequence(dd, p.length_penalty)
+                    if dd.result_len > 32 and dd.entropy < p.entropy_thold:
+                        dd.failed = True
+                        continue
+                    if dd.score > best_score:
+                        best_score = dd.score
+                        best_decoder_id = j
+                success = True
+                if it != len(temperatures) - 1:
+                    dd = decoders[best_decoder_id]
+                    if dd.failed or (dd.avg_logprobs < p.logprob_thold
+                                     and no_speech_prob < p.no_speech_thold):
+                        success = False
+                if success:
+                    break
+                continue
+
             # prompt decode, B=1
             t0 = time.perf_counter()
             kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)

@@ -314,12 +314,10 @@ def _layer_params(blocks: Params, il: int) -> Params:
     return jax.tree.map(lambda x: x[il], blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "collect_cross_qk"),
-                   donate_argnames=("kv_k", "kv_v"))
-def decode(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
-           kv_k: jnp.ndarray, kv_v: jnp.ndarray, kv_head: jnp.ndarray,
-           xk: jnp.ndarray, xv: jnp.ndarray,
-           collect_cross_qk: bool = False):
+def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
+                kv_k: jnp.ndarray, kv_v: jnp.ndarray, kv_head: jnp.ndarray,
+                xk: jnp.ndarray, xv: jnp.ndarray,
+                collect_cross_qk: bool = False):
     """One decoder forward over `tokens` (B,T) starting at cache slot kv_head.
 
     Returns (logits (B,T,n_vocab) f32, kv_k, kv_v, cross_qk).
@@ -377,6 +375,10 @@ def decode(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
                      preferred_element_type=jnp.float32)
     cross_qk = jnp.stack(cross_probs) if collect_cross_qk else None
     return logits, kv_k, kv_v, cross_qk
+
+
+decode = functools.partial(jax.jit, static_argnames=("cfg", "collect_cross_qk"),
+                           donate_argnames=("kv_k", "kv_v"))(decode_impl)
 
 
 @functools.partial(jax.jit, donate_argnames=("kv_k", "kv_v"))

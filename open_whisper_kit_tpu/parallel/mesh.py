@@ -1,0 +1,106 @@
+"""Device mesh + sharding specs for multi-chip whisper inference.
+
+TPU-native replacement for the reference's multi-device machinery
+(ggml_backend_sched placement, the split-buffer TP hook
+ggml/include/ggml-backend.h:199-201, and the ggml-rpc distributed backend):
+a `jax.sharding.Mesh` with
+
+* `dp` — data parallelism over 30 s windows / files
+  (whisper_full_parallel semantics, src/whisper.cpp:7801-7929),
+* `tp` — tensor parallelism over attention heads / MLP hidden dim,
+  with XLA GSPMD inserting the all-reduces over ICI.
+
+Params are annotated with NamedSharding specs; activations carry the batch
+axis on `dp`. Everything else is left to the compiler.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.whisper.model import WhisperConfig
+
+
+def make_mesh(n_devices: int | None = None, tp: int | None = None,
+              devices=None) -> Mesh:
+    """Build a (dp, tp) mesh. tp defaults to the largest power of two <= 2
+    that divides the device count (inference TP rarely needs more per the
+    head-count divisibility constraint)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if tp is None:
+        tp = 2 if n % 2 == 0 and n > 1 else 1
+    dp = n // tp
+    assert dp * tp == n, (n, dp, tp)
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _block_specs(cross: bool) -> dict[str, P]:
+    s = {
+        "attn_ln_w": P(), "attn_ln_b": P(),
+        "q_w": P(None, None, "tp"), "q_b": P(None, "tp"),
+        "k_w": P(None, None, "tp"),
+        "v_w": P(None, None, "tp"), "v_b": P(None, "tp"),
+        "o_w": P(None, "tp", None), "o_b": P(),
+        "mlp_ln_w": P(), "mlp_ln_b": P(),
+        "mlp0_w": P(None, None, "tp"), "mlp0_b": P(None, "tp"),
+        "mlp1_w": P(None, "tp", None), "mlp1_b": P(),
+    }
+    if cross:
+        s.update({
+            "cross_ln_w": P(), "cross_ln_b": P(),
+            "cq_w": P(None, None, "tp"), "cq_b": P(None, "tp"),
+            "ck_w": P(None, None, "tp"),
+            "cv_w": P(None, None, "tp"), "cv_b": P(None, "tp"),
+            "co_w": P(None, "tp", None), "co_b": P(),
+        })
+    return s
+
+
+def whisper_param_specs(cfg: WhisperConfig) -> dict[str, Any]:
+    """PartitionSpec pytree matching models/whisper/model.py params."""
+    return {
+        "encoder": {
+            "conv1_w": P(), "conv1_b": P(), "conv2_w": P(), "conv2_b": P(),
+            "pos": P(),
+            "blocks": _block_specs(cross=False),
+            "ln_post_w": P(), "ln_post_b": P(),
+        },
+        "decoder": {
+            "te": P(), "pe": P(),
+            "blocks": _block_specs(cross=True),
+            "ln_w": P(), "ln_b": P(),
+        },
+    }
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    if specs is None:
+        raise ValueError("specs required")
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Activations / mel windows: leading batch axis on dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def kv_sharding(mesh: Mesh) -> NamedSharding:
+    """KV cache (L, B, C, S): batch on dp, state on tp (matches the
+    head-sharded K/V projections)."""
+    return NamedSharding(mesh, P(None, "dp", None, "tp"))
+
+
+def cross_kv_sharding(mesh: Mesh) -> NamedSharding:
+    """Cross K/V (L, B, Ta, S)."""
+    return NamedSharding(mesh, P(None, "dp", None, "tp"))

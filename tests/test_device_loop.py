@@ -1,0 +1,43 @@
+"""Device-loop decoder must match the host-loop decoder token-for-token."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from open_whisper_kit_tpu.decode import full as F
+from open_whisper_kit_tpu.decode.params import FullParams
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return F.WhisperContext.from_preset("tiny.en", dtype=jnp.float32)
+
+
+def _run(ctx, audio, force_host):
+    p = FullParams(print_progress=False)
+    p.greedy.best_of = 1
+    p.temperature_inc = 0
+    if force_host:
+        # a no-op logits filter forces the host path
+        p.logits_filter_callback = lambda *a: None
+    return F.whisper_full(ctx, p, audio)
+
+
+def test_device_loop_matches_host_loop(ctx):
+    audio = (np.random.default_rng(7).standard_normal(16000 * 2)
+             .astype(np.float32) * 0.1)
+    res_dev = _run(ctx, audio, force_host=False)
+    res_host = _run(ctx, audio, force_host=True)
+
+    toks_dev = [[t.id for t in s.tokens] for s in res_dev.segments]
+    toks_host = [[t.id for t in s.tokens] for s in res_host.segments]
+    assert toks_dev == toks_host
+    assert [s.t0 for s in res_dev.segments] == [s.t0 for s in res_host.segments]
+    assert [s.t1 for s in res_dev.segments] == [s.t1 for s in res_host.segments]
+
+    for sd, sh in zip(res_dev.segments, res_host.segments):
+        for td, th in zip(sd.tokens, sh.tokens):
+            assert td.id == th.id and td.tid == th.tid
+            np.testing.assert_allclose(td.p, th.p, atol=1e-4)
+            np.testing.assert_allclose(td.plog, th.plog, atol=1e-3)
+            np.testing.assert_allclose(td.ptsum, th.ptsum, atol=1e-4)
