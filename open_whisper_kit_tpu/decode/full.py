@@ -111,6 +111,16 @@ class WhisperContext:
         self.dtype = dtype
         self.model_type = model_type
         self._mask_cache: dict = {}
+        self._vad = None
+
+    def get_vad(self, model_path: str | None):
+        """Lazy-load the Silero VAD context (whisper.cpp:6656-6665)."""
+        if self._vad is None:
+            if not model_path:
+                raise ValueError("vad=True requires vad_model_path")
+            from ..models.silero.vad import SileroVAD
+            self._vad = SileroVAD.from_file(model_path)
+        return self._vad
 
     @classmethod
     def from_file(cls, path: str, dtype=jnp.bfloat16) -> "WhisperContext":
@@ -217,6 +227,23 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
     cfg = ctx.cfg
     rc = ctx.rule_config
     result = TranscribeResult(segments=[], timings=timings)
+
+    # VAD pre-filter: transcribe only speech, then back-map timestamps
+    # (whisper_full, src/whisper.cpp:7937-7960 + whisper_vad :6643-6825)
+    vad_mapping: list[tuple[int, int]] | None = None
+    if p.vad:
+        from ..vad import segments as VS
+        vad_model = ctx.get_vad(p.vad_model_path)
+        probs = vad_model.detect_speech(np.asarray(samples, np.float32))
+        vsegs = VS.segments_from_probs(probs, p.vad_params)
+        if not vsegs:
+            return result
+        fr = VS.filter_samples(np.asarray(samples, np.float32), vsegs,
+                               p.vad_params)
+        if fr.samples.size == 0:
+            return result
+        samples = fr.samples
+        vad_mapping = fr.mapping
 
     t0 = time.perf_counter()
     mel = mel_mod.log_mel_spectrogram(np.asarray(samples, np.float32), ctx.filters)
@@ -606,6 +633,22 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             seek_delta = min(seek_end - seek, CHUNK_SIZE * 100)
 
         seek += seek_delta
+
+    if vad_mapping:
+        # remap processed-time segments to original time
+        # (whisper_full_get_segment_t0/t1_from_state, whisper.cpp:7989-8027)
+        from ..vad.segments import map_processed_to_original as _map
+        for s in result.segments:
+            t0m = _map(s.t0, vad_mapping)
+            t1m = _map(s.t1, vad_mapping)
+            if t1m - t0m < 10:
+                t1m = t0m + 10
+            s.t0, s.t1 = t0m, t1m
+            for tk in s.tokens:
+                if tk.t0 >= 0:
+                    tk.t0 = _map(tk.t0, vad_mapping)
+                if tk.t1 >= 0:
+                    tk.t1 = _map(tk.t1, vad_mapping)
 
     return result
 

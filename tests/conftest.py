@@ -35,11 +35,11 @@ def reference_path(rel: str) -> Path:
     return p
 
 
-@pytest.fixture
+@pytest.fixture(scope="session")
 def ref_models():
     return reference_path("models")
 
 
-@pytest.fixture
+@pytest.fixture(scope="session")
 def jfk_wav():
     return reference_path("samples/jfk.wav")
