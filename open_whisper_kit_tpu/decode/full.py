@@ -621,9 +621,20 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
         if not is_no_speech:
             prompt_past1.extend(t.id for t in tokens_cur[:result_len])
 
+        n_seg_before = len(result.segments)
         if tokens_cur and ctx.n_loaded > 0 and not is_no_speech:
             _emit_segments(ctx, p, result, tokens_cur, seek, seek_delta,
                            no_speech_prob)
+
+        # DTW token timestamps over this window's new segments
+        # (whisper.cpp:7727-7745)
+        n_new_segs = len(result.segments) - n_seg_before
+        if p.dtw_token_timestamps and n_new_segs > 0:
+            from ..timestamps import dtw as DTW
+            n_frames = min(min(100 * CHUNK_SIZE, seek_delta), seek_end - seek)
+            result._dtw_encoder_cache = (seek, (None, xk, xv))
+            DTW.compute_dtw_timestamps(ctx, result, n_seg_before, n_new_segs,
+                                       seek, n_frames, language)
 
         # single-timestamp ending skips the whole chunk (whisper.cpp:7758-7764)
         single_ts_end = (len(tokens_cur) > 1
