@@ -91,6 +91,86 @@ def _read_value(f, vtype: int):
     raise ValueError(f"GGUF: unknown value type {vtype}")
 
 
+class GGUFWriter:
+    """Minimal GGUF v3 writer (converter tooling + test fixtures).
+
+    Counterpart of the reference's python writer used by
+    streaming-sortformer/scripts/convert_to_gguf.py; independent
+    implementation from the public format spec.
+    """
+
+    def __init__(self, path: str | Path, alignment: int = 32):
+        self.path = Path(path)
+        self.alignment = alignment
+        self._kv: list[tuple[str, int, Any]] = []
+        self._tensors: list[tuple[str, np.ndarray, int]] = []
+
+    def add_uint32(self, key: str, v: int):
+        self._kv.append((key, _T_U32, int(v)))
+
+    def add_float32(self, key: str, v: float):
+        self._kv.append((key, _T_F32, float(v)))
+
+    def add_string(self, key: str, v: str):
+        self._kv.append((key, _T_STR, v))
+
+    def add_tensor(self, name: str, data: np.ndarray, ggml_type: int | None = None):
+        data = np.ascontiguousarray(data)
+        if ggml_type is None:
+            ggml_type = (quant.GGML_TYPE_F16 if data.dtype == np.float16
+                         else quant.GGML_TYPE_F32)
+        if ggml_type == quant.GGML_TYPE_F16:
+            data = data.astype(np.float16)
+        elif ggml_type == quant.GGML_TYPE_F32:
+            data = data.astype(np.float32)
+        self._tensors.append((name, data, ggml_type))
+
+    def write(self):
+        def s(txt: str) -> bytes:
+            b = txt.encode("utf-8")
+            return struct.pack("<Q", len(b)) + b
+
+        out = bytearray()
+        out += GGUF_MAGIC
+        out += struct.pack("<I", 3)
+        out += struct.pack("<Q", len(self._tensors))
+        out += struct.pack("<Q", len(self._kv) + 1)
+
+        out += s("general.alignment") + struct.pack("<I", _T_U32) \
+            + struct.pack("<I", self.alignment)
+        for key, vtype, v in self._kv:
+            out += s(key) + struct.pack("<I", vtype)
+            if vtype == _T_U32:
+                out += struct.pack("<I", v)
+            elif vtype == _T_F32:
+                out += struct.pack("<f", v)
+            elif vtype == _T_STR:
+                out += s(v)
+            else:
+                raise ValueError(f"unsupported kv type {vtype}")
+
+        offset = 0
+        blobs = []
+        for name, data, ttype in self._tensors:
+            dims = list(reversed(data.shape))  # gguf dims: fastest first
+            out += s(name)
+            out += struct.pack("<I", len(dims))
+            for d in dims:
+                out += struct.pack("<Q", d)
+            out += struct.pack("<I", ttype)
+            out += struct.pack("<Q", offset)
+            blob = data.tobytes()
+            pad = (-len(blob)) % self.alignment
+            blobs.append(blob + b"\0" * pad)
+            offset += len(blob) + pad
+
+        pad = (-len(out)) % self.alignment
+        out += b"\0" * pad
+        for blob in blobs:
+            out += blob
+        self.path.write_bytes(bytes(out))
+
+
 def load_gguf(path: str | Path, load_tensors: bool = True) -> GGUFFile:
     path = Path(path)
     with open(path, "rb") as f:

@@ -1,0 +1,370 @@
+"""AOSC streaming state machine + diarization drivers.
+
+Port of the reference's streaming logic
+(streaming-sortformer/src/sortformer.cpp):
+* stream_config defaults (:1673-1690) and latency presets (sortformer.h:137-202),
+* spkcache/FIFO state with mean-silence embedding (:1705-1752),
+* compress_spkcache — log-odds importance scores, non-speech disabling,
+  latest-frame boost, strong/weak top-K boosts, silence padding, top-K gather
+  preserving frame order (:1784-1920),
+* the chunked batch driver sortformer_diarize (:2271-2571) and the true
+  streaming API (:2676-3281).
+
+The per-chunk compute (pre-encoder + conformer/transformer head) runs as two
+jitted device calls; the state machine is small host-side numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import model as SM
+
+N_SPK = 4
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    chunk_len: int = 188
+    fifo_len: int = 0
+    spkcache_len: int = 188
+    spkcache_update_period: int = 188
+    chunk_left_context: int = 1
+    chunk_right_context: int = 1
+    spkcache_sil_frames_per_spk: int = 3
+    sil_threshold: float = 0.2
+    pred_score_threshold: float = 0.25
+    scores_boost_latest: float = 0.05
+    strong_boost_rate: float = 0.75
+    weak_boost_rate: float = 1.5
+    min_pos_scores_rate: float = 0.5
+    max_index: int = 99999
+
+
+# latency presets (streaming-sortformer/src/sortformer.h:137-202)
+PRESETS = {
+    "low_latency": StreamConfig(chunk_len=6, fifo_len=188,
+                                spkcache_update_period=144,
+                                chunk_right_context=7),
+    "2s": StreamConfig(chunk_len=15, fifo_len=188,
+                       spkcache_update_period=144, chunk_right_context=10),
+    "3s": StreamConfig(chunk_len=30, fifo_len=188,
+                       spkcache_update_period=144, chunk_right_context=7),
+    "5s": StreamConfig(chunk_len=55, fifo_len=188,
+                       spkcache_update_period=144, chunk_right_context=7),
+    "offline": StreamConfig(),
+}
+
+
+class StreamState:
+    """spkcache + FIFO + silence profile; a serializable pytree-of-numpy."""
+
+    def __init__(self, d_model: int):
+        self.d_model = d_model
+        self.spkcache = np.zeros((0, d_model), np.float32)
+        self.spkcache_preds = np.zeros((0, N_SPK), np.float32)
+        self.spkcache_preds_valid = False
+        self.fifo = np.zeros((0, d_model), np.float32)
+        self.fifo_preds = np.zeros((0, N_SPK), np.float32)
+        self.mean_sil_emb = np.zeros(d_model, np.float32)
+        self.n_sil_frames = 0
+
+    @property
+    def spkcache_len(self) -> int:
+        return self.spkcache.shape[0]
+
+    @property
+    def fifo_len(self) -> int:
+        return self.fifo.shape[0]
+
+
+def update_silence_profile(st: StreamState, cfg: StreamConfig,
+                           pop_embs: np.ndarray, pop_preds: np.ndarray):
+    """Running mean of embeddings whose summed preds < sil_threshold."""
+    for t in range(pop_embs.shape[0]):
+        if pop_preds[t].sum() < cfg.sil_threshold:
+            st.n_sil_frames += 1
+            w_new = 1.0 / st.n_sil_frames
+            st.mean_sil_emb = (1.0 - w_new) * st.mean_sil_emb + w_new * pop_embs[t]
+
+
+def _boost_topk(scores: np.ndarray, k_per_spk: int, scale: float, offset: float):
+    """In-place top-K boost per speaker (sortformer.cpp:1755-1781)."""
+    n_frames = scores.shape[0]
+    if k_per_spk <= 0 or k_per_spk > n_frames:
+        return
+    boost = -scale * math.log(offset)
+    for s in range(scores.shape[1]):
+        col = scores[:, s]
+        idx = np.argpartition(-col, k_per_spk - 1)[:k_per_spk]
+        scores[idx, s] += boost   # -inf + finite stays -inf
+
+
+def compress_spkcache(st: StreamState, cfg: StreamConfig):
+    """Compress the speaker cache to cfg.spkcache_len frames
+    (sortformer.cpp:1784-1920)."""
+    n_frames = st.spkcache_len
+    target = cfg.spkcache_len
+    per_spk = target // N_SPK - cfg.spkcache_sil_frames_per_spk
+    strong_k = int(per_spk * cfg.strong_boost_rate)
+    weak_k = min(int(per_spk * cfg.weak_boost_rate), n_frames)
+    min_pos_k = int(per_spk * cfg.min_pos_scores_rate)
+
+    p = st.spkcache_preds
+    thr = cfg.pred_score_threshold
+    log_1_sum = np.log(np.maximum(1.0 - p, thr)).sum(axis=1, keepdims=True)
+    lp = np.log(np.maximum(p, thr))
+    l1p = np.log(np.maximum(1.0 - p, thr))
+    scores = lp - l1p + log_1_sum - math.log(0.5)
+
+    scores[p <= 0.5] = -np.inf
+
+    for s in range(N_SPK):
+        pos_cnt = int((scores[:, s] > 0).sum())
+        if pos_cnt >= min_pos_k:
+            kill = (scores[:, s] <= 0) & (p[:, s] > 0.5)
+            scores[kill, s] = -np.inf
+
+    if cfg.scores_boost_latest > 0 and n_frames > target:
+        latest = scores[target:]
+        latest[np.isfinite(latest)] += cfg.scores_boost_latest
+
+    _boost_topk(scores, strong_k, 2.0, 0.5)
+    _boost_topk(scores, weak_k, 1.0, 0.5)
+
+    n_sil_pad = cfg.spkcache_sil_frames_per_spk
+    n_total = n_frames + n_sil_pad
+    scores_full = np.concatenate(
+        [scores, np.full((n_sil_pad, N_SPK), np.inf, np.float32)])
+
+    # flatten speaker-major (NeMo permute(0,2,1).reshape)
+    flat = scores_full.T.reshape(-1)   # index = s * n_total + t
+    order = np.argpartition(-flat, target - 1)[:target]
+
+    topk = np.where(np.isneginf(flat[order]), cfg.max_index, order)
+    topk = np.sort(topk)
+
+    n_frames_no_sil = n_total - n_sil_pad
+    new_embs = np.empty((target, st.d_model), np.float32)
+    new_preds = np.empty((target, N_SPK), np.float32)
+    for i in range(target):
+        idx = int(topk[i])
+        disabled = idx == cfg.max_index
+        t = idx % n_total
+        if t >= n_frames_no_sil:
+            disabled = True
+        if disabled:
+            new_embs[i] = st.mean_sil_emb
+            new_preds[i] = 0.0
+        else:
+            new_embs[i] = st.spkcache[t]
+            new_preds[i] = st.spkcache_preds[t]
+
+    st.spkcache = new_embs
+    st.spkcache_preds = new_preds
+
+
+def _state_update(st: StreamState, cfg: StreamConfig,
+                  chunk_embs: np.ndarray, chunk_preds: np.ndarray,
+                  full_preds: np.ndarray):
+    """FIFO append / pop / spkcache update for one chunk
+    (sortformer.cpp:2437-2530)."""
+    old_sc_len = st.spkcache_len
+    old_fifo_len = st.fifo_len
+
+    if old_fifo_len > 0:
+        st.fifo_preds = full_preds[old_sc_len:old_sc_len + old_fifo_len].copy()
+    else:
+        st.fifo_preds = np.zeros((0, N_SPK), np.float32)
+
+    upd_fifo = np.concatenate([st.fifo, chunk_embs])
+    upd_preds = np.concatenate([st.fifo_preds, chunk_preds])
+    new_total = upd_fifo.shape[0]
+
+    if new_total > cfg.fifo_len:
+        pop = cfg.spkcache_update_period
+        pop = max(pop, chunk_embs.shape[0] - cfg.fifo_len + old_fifo_len)
+        pop = min(pop, new_total)
+
+        pop_embs = upd_fifo[:pop]
+        pop_preds = upd_preds[:pop]
+        update_silence_profile(st, cfg, pop_embs, pop_preds)
+
+        st.fifo = upd_fifo[pop:].copy()
+        st.fifo_preds = upd_preds[pop:].copy()
+
+        new_sc_len = old_sc_len + pop
+        st.spkcache = np.concatenate([st.spkcache, pop_embs])
+        if st.spkcache_preds_valid:
+            st.spkcache_preds = np.concatenate([st.spkcache_preds, pop_preds])
+
+        if new_sc_len > cfg.spkcache_len:
+            if not st.spkcache_preds_valid:
+                st.spkcache_preds = np.concatenate(
+                    [full_preds[:old_sc_len], pop_preds])
+                st.spkcache_preds_valid = True
+            compress_spkcache(st, cfg)
+    else:
+        st.fifo = upd_fifo
+        st.fifo_preds = upd_preds
+
+
+class SortformerDiarizer:
+    """Batch + streaming diarization over the jitted compute stages."""
+
+    def __init__(self, cfg: SM.SortformerConfig, params: SM.Params):
+        self.cfg = cfg
+        self.params = params
+
+    @classmethod
+    def from_file(cls, path: str, dtype=jnp.float32) -> "SortformerDiarizer":
+        from ...io.gguf import load_gguf
+        cfg, params = SM.params_from_gguf(load_gguf(path), dtype=dtype)
+        return cls(cfg, params)
+
+    def _chunk_predict(self, combined: np.ndarray) -> np.ndarray:
+        preds = SM.head(self.cfg, self.params, jnp.asarray(combined)[None])
+        return np.asarray(preds[0])
+
+    def diarize(self, samples: np.ndarray,
+                stream_cfg: StreamConfig | None = None,
+                progress_callback=None) -> np.ndarray:
+        """16 kHz mono f32 -> per-80ms-frame speaker probs (n_frames, 4).
+
+        Port of sortformer_diarize (sortformer.cpp:2271-2571).
+        """
+        cfg = self.cfg
+        scfg = stream_cfg or StreamConfig()
+        sub = cfg.subsampling
+
+        mel, seq_len = SM.compute_mel(cfg, self.params, samples)
+        mel_np = np.asarray(mel)          # (n_frames_out, n_mels)
+        feat_len = seq_len
+
+        st = StreamState(cfg.d_model)
+        total_preds: list[np.ndarray] = []
+
+        stt_feat = 0
+        while stt_feat < feat_len:
+            end_feat = min(stt_feat + scfg.chunk_len * sub, feat_len)
+            left_off = min(scfg.chunk_left_context * sub, stt_feat)
+            right_off = min(scfg.chunk_right_context * sub, feat_len - end_feat)
+
+            chunk_mel = mel_np[stt_feat - left_off:end_feat + right_off]
+            lc = round(left_off / sub)
+            rc = math.ceil(right_off / sub)
+
+            preenc = np.asarray(SM.preencode(
+                cfg, self.params, jnp.asarray(chunk_mel)[None])[0])
+            chunk_used = preenc.shape[0] - lc - rc
+
+            combined = np.concatenate([st.spkcache, st.fifo, preenc])
+            full_preds = self._chunk_predict(combined)
+
+            pred_start = st.spkcache_len + st.fifo_len + lc
+            chunk_preds = full_preds[pred_start:pred_start + chunk_used]
+            total_preds.append(chunk_preds)
+
+            chunk_embs = preenc[lc:lc + chunk_used]
+            _state_update(st, scfg, chunk_embs, chunk_preds.copy(), full_preds)
+
+            stt_feat = end_feat
+            if progress_callback:
+                progress_callback(min(100, 100 * stt_feat // max(1, feat_len)))
+
+        if not total_preds:
+            return np.zeros((0, N_SPK), np.float32)
+        return np.concatenate(total_preds)
+
+
+class SortformerStream:
+    """True streaming API: feed arbitrary sample counts, poll frame probs.
+
+    Port of sortformer_stream_* (sortformer.cpp:2676-3281): keeps an audio
+    remainder so mel frames align to hop boundaries, accumulates mel until a
+    full chunk (+right context) is available, then advances the AOSC state.
+    """
+
+    AUDIO_OVERLAP = 352   # n_fft - hop = samples carried between feeds
+
+    def __init__(self, diarizer: SortformerDiarizer,
+                 preset: str | StreamConfig = "low_latency"):
+        self.d = diarizer
+        self.cfg = diarizer.cfg
+        self.scfg = (PRESETS[preset] if isinstance(preset, str)
+                     else preset)
+        self.st = StreamState(self.cfg.d_model)
+        self._audio = np.zeros(0, np.float32)
+        self._mel = np.zeros((0, self.cfg.n_mels), np.float32)
+        self._out: list[np.ndarray] = []
+        self._total_samples = 0
+
+    def feed(self, samples: np.ndarray):
+        """Append audio; runs chunks as they fill."""
+        self._audio = np.concatenate(
+            [self._audio, np.asarray(samples, np.float32)])
+        self._total_samples += len(samples)
+        self._process(final=False)
+
+    def finish(self):
+        """Flush remaining audio (right context padded with silence)."""
+        self._process(final=True)
+
+    def _process(self, final: bool):
+        cfg, scfg, sub = self.cfg, self.scfg, self.cfg.subsampling
+        hop = cfg.hop_length
+        # mel frames available from buffered audio (need n_fft window)
+        n = len(self._audio)
+        chunk_feat = scfg.chunk_len * sub
+        need_feat = chunk_feat + scfg.chunk_right_context * sub
+
+        while True:
+            avail_feat = n // hop
+            if avail_feat < need_feat and not final:
+                return
+            if avail_feat <= 0:
+                return
+            take_feat = min(chunk_feat, avail_feat)
+            # compute mel over the whole remaining buffer each round
+            mel, seq_len = SM.compute_mel(cfg, self.d.params, self._audio)
+            mel_np = np.asarray(mel)[:seq_len]
+
+            end_feat = min(take_feat, seq_len)
+            right_off = min(scfg.chunk_right_context * sub, seq_len - end_feat)
+            chunk_mel = mel_np[:end_feat + right_off]
+            if chunk_mel.shape[0] == 0:
+                return
+            rc = math.ceil(right_off / sub)
+
+            preenc = np.asarray(SM.preencode(
+                cfg, self.d.params, jnp.asarray(chunk_mel)[None])[0])
+            chunk_used = preenc.shape[0] - rc
+            if chunk_used <= 0:
+                return
+
+            st = self.st
+            combined = np.concatenate([st.spkcache, st.fifo, preenc])
+            full_preds = self.d._chunk_predict(combined)
+            pred_start = st.spkcache_len + st.fifo_len
+            chunk_preds = full_preds[pred_start:pred_start + chunk_used]
+            self._out.append(chunk_preds.copy())
+
+            chunk_embs = preenc[:chunk_used]
+            _state_update(st, scfg, chunk_embs, chunk_preds.copy(), full_preds)
+
+            consumed = end_feat * hop
+            self._audio = self._audio[consumed:]
+            n = len(self._audio)
+            if final and n < hop:
+                return
+            if not final and n // hop < need_feat:
+                return
+
+    def probs(self) -> np.ndarray:
+        if not self._out:
+            return np.zeros((0, N_SPK), np.float32)
+        return np.concatenate(self._out)

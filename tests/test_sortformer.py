@@ -1,0 +1,298 @@
+"""SortFormer tests: GGUF round-trip, rel-pos attention invariants, AOSC
+state machine, RTTM output (golden format vs the reference's
+nemo_streaming.rttm fixture)."""
+
+import math
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from open_whisper_kit_tpu.align import rttm as R
+from open_whisper_kit_tpu.io.gguf import GGUFWriter, load_gguf
+from open_whisper_kit_tpu.models.sortformer import model as SM
+from open_whisper_kit_tpu.models.sortformer import streaming as SS
+
+TINY = SM.SortformerConfig(
+    n_mels=32, d_model=32, n_layers=2, n_heads=4, conv_kernel=5,
+    ff_expansion=2, subsampling_channels=8,
+    tf_layers=2, tf_d_model=16, tf_heads=4, tf_ff=32)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return SM.init_params(TINY, seed=0)
+
+
+def _write_tiny_gguf(tmp_path, cfg, params):
+    """Write params back out under the reference tensor names."""
+    w = GGUFWriter(tmp_path / "tiny-sortformer.gguf")
+    w.add_string("general.architecture", "sortformer")
+    w.add_uint32("sortformer.mel.n_mels", cfg.n_mels)
+    w.add_uint32("sortformer.mel.n_fft", cfg.n_fft)
+    w.add_uint32("sortformer.mel.hop_length", cfg.hop_length)
+    w.add_uint32("sortformer.mel.win_length", cfg.win_length)
+    w.add_uint32("sortformer.mel.sample_rate", cfg.sample_rate)
+    w.add_uint32("sortformer.encoder.n_layers", cfg.n_layers)
+    w.add_uint32("sortformer.encoder.d_model", cfg.d_model)
+    w.add_uint32("sortformer.encoder.n_heads", cfg.n_heads)
+    w.add_uint32("sortformer.encoder.conv_kernel_size", cfg.conv_kernel)
+    w.add_uint32("sortformer.encoder.ff_expansion", cfg.ff_expansion)
+    w.add_uint32("sortformer.encoder.subsampling_factor", cfg.subsampling)
+    w.add_uint32("sortformer.encoder.subsampling_conv_channels",
+                 cfg.subsampling_channels)
+    w.add_uint32("sortformer.transformer.n_layers", cfg.tf_layers)
+    w.add_uint32("sortformer.transformer.d_model", cfg.tf_d_model)
+    w.add_uint32("sortformer.transformer.n_heads", cfg.tf_heads)
+    w.add_uint32("sortformer.transformer.ff_inner", cfg.tf_ff)
+    w.add_uint32("sortformer.n_speakers", cfg.n_spk)
+
+    def A(x):
+        return np.asarray(x, np.float32)
+
+    w.add_tensor("preprocessor.featurizer.fb", A(params["mel_fb"]))
+    w.add_tensor("preprocessor.featurizer.window", A(params["mel_window"]))
+
+    pe = params["preenc"]
+    # jax HWIO -> torch OIHW
+    for i, key in ((0, "conv0"), (2, "conv2"), (3, "conv3"), (5, "conv5"),
+                   (6, "conv6")):
+        w.add_tensor(f"encoder.pre_encode.conv.{i}.weight",
+                     A(pe[f"{key}_w"]).transpose(3, 2, 0, 1))
+        w.add_tensor(f"encoder.pre_encode.conv.{i}.bias", A(pe[f"{key}_b"]))
+    w.add_tensor("encoder.pre_encode.out.weight", A(pe["out_w"]).T)
+    w.add_tensor("encoder.pre_encode.out.bias", A(pe["out_b"]))
+
+    cl = params["conformer"]
+    for i in range(cfg.n_layers):
+        p = f"encoder.layers.{i}"
+        def L(name):
+            return A(cl[name][i])
+        w.add_tensor(f"{p}.norm_feed_forward1.weight", L("norm_ff1_w"))
+        w.add_tensor(f"{p}.norm_feed_forward1.bias", L("norm_ff1_b"))
+        w.add_tensor(f"{p}.feed_forward1.linear1.weight", L("ff1_up_w").T)
+        w.add_tensor(f"{p}.feed_forward1.linear1.bias", L("ff1_up_b"))
+        w.add_tensor(f"{p}.feed_forward1.linear2.weight", L("ff1_down_w").T)
+        w.add_tensor(f"{p}.feed_forward1.linear2.bias", L("ff1_down_b"))
+        w.add_tensor(f"{p}.norm_self_att.weight", L("norm_sa_w"))
+        w.add_tensor(f"{p}.norm_self_att.bias", L("norm_sa_b"))
+        w.add_tensor(f"{p}.self_attn.linear_q.weight", L("q_w").T)
+        w.add_tensor(f"{p}.self_attn.linear_q.bias", L("q_b"))
+        w.add_tensor(f"{p}.self_attn.linear_k.weight", L("k_w").T)
+        w.add_tensor(f"{p}.self_attn.linear_k.bias", L("k_b"))
+        w.add_tensor(f"{p}.self_attn.linear_v.weight", L("v_w").T)
+        w.add_tensor(f"{p}.self_attn.linear_v.bias", L("v_b"))
+        w.add_tensor(f"{p}.self_attn.linear_out.weight", L("out_w").T)
+        w.add_tensor(f"{p}.self_attn.linear_out.bias", L("out_b"))
+        w.add_tensor(f"{p}.self_attn.linear_pos.weight", L("pos_w").T)
+        w.add_tensor(f"{p}.self_attn.pos_bias_u", L("pos_bias_u"))
+        w.add_tensor(f"{p}.self_attn.pos_bias_v", L("pos_bias_v"))
+        w.add_tensor(f"{p}.norm_conv.weight", L("norm_conv_w"))
+        w.add_tensor(f"{p}.norm_conv.bias", L("norm_conv_b"))
+        w.add_tensor(f"{p}.conv.pointwise_conv1.weight",
+                     L("pw1_w").T[:, :, None])
+        w.add_tensor(f"{p}.conv.pointwise_conv1.bias", L("pw1_b"))
+        w.add_tensor(f"{p}.conv.depthwise_conv.weight",
+                     L("dw_w").T[:, None, :])
+        w.add_tensor(f"{p}.conv.depthwise_conv.bias", L("dw_b"))
+        w.add_tensor(f"{p}.conv.pointwise_conv2.weight",
+                     L("pw2_w").T[:, :, None])
+        w.add_tensor(f"{p}.conv.pointwise_conv2.bias", L("pw2_b"))
+        w.add_tensor(f"{p}.norm_feed_forward2.weight", L("norm_ff2_w"))
+        w.add_tensor(f"{p}.norm_feed_forward2.bias", L("norm_ff2_b"))
+        w.add_tensor(f"{p}.feed_forward2.linear1.weight", L("ff2_up_w").T)
+        w.add_tensor(f"{p}.feed_forward2.linear1.bias", L("ff2_up_b"))
+        w.add_tensor(f"{p}.feed_forward2.linear2.weight", L("ff2_down_w").T)
+        w.add_tensor(f"{p}.feed_forward2.linear2.bias", L("ff2_down_b"))
+        w.add_tensor(f"{p}.norm_out.weight", L("norm_out_w"))
+        w.add_tensor(f"{p}.norm_out.bias", L("norm_out_b"))
+
+    tl = params["transformer"]
+    for i in range(cfg.tf_layers):
+        p = f"transformer_encoder.layers.{i}"
+        def T(name):
+            return A(tl[name][i])
+        w.add_tensor(f"{p}.first_sub_layer.query_net.weight", T("q_w").T)
+        w.add_tensor(f"{p}.first_sub_layer.query_net.bias", T("q_b"))
+        w.add_tensor(f"{p}.first_sub_layer.key_net.weight", T("k_w").T)
+        w.add_tensor(f"{p}.first_sub_layer.key_net.bias", T("k_b"))
+        w.add_tensor(f"{p}.first_sub_layer.value_net.weight", T("v_w").T)
+        w.add_tensor(f"{p}.first_sub_layer.value_net.bias", T("v_b"))
+        w.add_tensor(f"{p}.first_sub_layer.out_projection.weight", T("out_w").T)
+        w.add_tensor(f"{p}.first_sub_layer.out_projection.bias", T("out_b"))
+        w.add_tensor(f"{p}.layer_norm_1.weight", T("ln1_w"))
+        w.add_tensor(f"{p}.layer_norm_1.bias", T("ln1_b"))
+        w.add_tensor(f"{p}.second_sub_layer.dense_in.weight", T("ff_up_w").T)
+        w.add_tensor(f"{p}.second_sub_layer.dense_in.bias", T("ff_up_b"))
+        w.add_tensor(f"{p}.second_sub_layer.dense_out.weight", T("ff_down_w").T)
+        w.add_tensor(f"{p}.second_sub_layer.dense_out.bias", T("ff_down_b"))
+        w.add_tensor(f"{p}.layer_norm_2.weight", T("ln2_w"))
+        w.add_tensor(f"{p}.layer_norm_2.bias", T("ln2_b"))
+
+    w.add_tensor("sortformer_modules.encoder_proj.weight", A(params["proj_w"]).T)
+    w.add_tensor("sortformer_modules.encoder_proj.bias", A(params["proj_b"]))
+    w.add_tensor("sortformer_modules.first_hidden_to_hidden.weight",
+                 A(params["pred_hidden_w"]).T)
+    w.add_tensor("sortformer_modules.first_hidden_to_hidden.bias",
+                 A(params["pred_hidden_b"]))
+    w.add_tensor("sortformer_modules.single_hidden_to_spks.weight",
+                 A(params["pred_spk_w"]).T)
+    w.add_tensor("sortformer_modules.single_hidden_to_spks.bias",
+                 A(params["pred_spk_b"]))
+    w.write()
+    return w.path
+
+
+def test_gguf_roundtrip(tmp_path, tiny_params):
+    path = _write_tiny_gguf(tmp_path, TINY, tiny_params)
+    g = load_gguf(path)
+    cfg2, params2 = SM.params_from_gguf(g)
+    assert cfg2.d_model == TINY.d_model
+    assert cfg2.n_layers == TINY.n_layers
+
+    # every leaf must round-trip exactly (all f32)
+    import jax
+    flat1 = jax.tree.leaves(tiny_params)
+    flat2 = jax.tree.leaves(params2)
+    assert len(flat1) == len(flat2)
+    # same forward output is the real invariant:
+    x = np.random.default_rng(0).standard_normal((1, 12, TINY.d_model)).astype(np.float32)
+    p1 = np.asarray(SM.head(TINY, tiny_params, jnp.asarray(x)))
+    p2 = np.asarray(SM.head(cfg2, params2, jnp.asarray(x)))
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+def test_rel_shift_index_property():
+    """After the Transformer-XL shift, bd[q, j] == raw[q, T-1 + j - q]."""
+    T = 5
+    P = 2 * T - 1
+    raw = (np.arange(P)[None, :] + 100 * np.arange(T)[:, None]).astype(np.float32)
+    x = jnp.asarray(raw)[None, None]     # (1, 1, T, P)
+    out = np.asarray(SM._rel_shift(x))[0, 0][:, :T]
+    for q in range(T):
+        for j in range(T):
+            assert out[q, j] == raw[q, T - 1 + j - q], (q, j)
+
+
+def test_pos_emb_layout():
+    pe = np.asarray(SM.sinusoid_pos_emb(4, 8))
+    assert pe.shape == (7, 8)
+    # center row is position 0: sin(0)=0, cos(0)=1 interleaved
+    center = pe[3]
+    np.testing.assert_allclose(center[0::2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(center[1::2], 1.0, atol=1e-6)
+
+
+def test_preenc_shapes(tiny_params):
+    T_mel = 64
+    mel = np.random.default_rng(1).standard_normal((1, T_mel, TINY.n_mels)).astype(np.float32)
+    out = SM.preencode(TINY, tiny_params, jnp.asarray(mel))
+    assert out.shape == (1, SM.preenc_out_len(T_mel), TINY.d_model)
+    assert SM.preenc_out_len(64) == 8  # 8x subsampling
+
+
+def test_head_outputs_probs(tiny_params):
+    x = np.random.default_rng(2).standard_normal((1, 16, TINY.d_model)).astype(np.float32)
+    p = np.asarray(SM.head(TINY, tiny_params, jnp.asarray(x)))
+    assert p.shape == (1, 16, 4)
+    assert (p >= 0).all() and (p <= 1).all()
+
+
+def test_mel_seq_len(tiny_params):
+    cfg = TINY
+    audio = np.random.default_rng(3).standard_normal(16000).astype(np.float32) * 0.1
+    mel, seq_len = SM.compute_mel(cfg, tiny_params, audio)
+    assert seq_len == 16000 // cfg.hop_length
+    assert mel.shape[0] % cfg.pad_to == 0
+    assert mel.shape[1] == cfg.n_mels
+    # frames beyond seq_len are zero
+    assert np.asarray(mel)[seq_len:].sum() == 0
+
+
+class TestAOSC:
+    def _state_with(self, n, d_model=8, seed=0):
+        rng = np.random.default_rng(seed)
+        st = SS.StreamState(d_model)
+        st.spkcache = rng.standard_normal((n, d_model)).astype(np.float32)
+        st.spkcache_preds = rng.random((n, SS.N_SPK)).astype(np.float32)
+        st.spkcache_preds_valid = True
+        return st
+
+    def test_compress_to_target(self):
+        cfg = SS.StreamConfig(spkcache_len=16, spkcache_sil_frames_per_spk=1)
+        st = self._state_with(40)
+        SS.compress_spkcache(st, cfg)
+        assert st.spkcache.shape == (16, 8)
+        assert st.spkcache_preds.shape == (16, SS.N_SPK)
+
+    def test_silence_profile(self):
+        cfg = SS.StreamConfig()
+        st = SS.StreamState(4)
+        embs = np.ones((3, 4), np.float32)
+        embs[1] *= 5.0
+        preds = np.zeros((3, SS.N_SPK), np.float32)
+        preds[1] = 0.9  # frame 1 is speech -> excluded
+        SS.update_silence_profile(st, cfg, embs, preds)
+        assert st.n_sil_frames == 2
+        np.testing.assert_allclose(st.mean_sil_emb, 1.0)
+
+    def test_diarize_end_to_end(self, tiny_params):
+        d = SS.SortformerDiarizer(TINY, tiny_params)
+        scfg = SS.StreamConfig(chunk_len=8, spkcache_len=8,
+                               spkcache_update_period=8,
+                               spkcache_sil_frames_per_spk=1)
+        audio = np.random.default_rng(5).standard_normal(16000 * 3).astype(np.float32) * 0.1
+        probs = d.diarize(audio, scfg)
+        # ~80ms frames: 3s -> about 37 frames
+        assert probs.shape[1] == 4
+        assert 30 <= probs.shape[0] <= 40
+        assert (probs >= 0).all() and (probs <= 1).all()
+
+    def test_streaming_matches_shapes(self, tiny_params):
+        d = SS.SortformerDiarizer(TINY, tiny_params)
+        scfg = SS.StreamConfig(chunk_len=8, fifo_len=16, spkcache_len=8,
+                               spkcache_update_period=8,
+                               spkcache_sil_frames_per_spk=1)
+        stream = SS.SortformerStream(d, scfg)
+        audio = np.random.default_rng(6).standard_normal(16000 * 2).astype(np.float32) * 0.1
+        for i in range(0, len(audio), 4000):
+            stream.feed(audio[i:i + 4000])
+        stream.finish()
+        probs = stream.probs()
+        assert probs.ndim == 2 and probs.shape[1] == 4
+        assert probs.shape[0] > 0
+
+
+class TestRttm:
+    def test_roundtrip(self):
+        probs = np.zeros((50, 4), np.float32)
+        probs[5:20, 0] = 0.9
+        probs[25:40, 2] = 0.8
+        segs = R.probs_to_segments(probs, 0.5, median_win=1, file_id="test")
+        text = R.to_rttm(segs)
+        back = R.parse_rttm(text)
+        assert len(back) == 2
+        assert back[0].speaker == "speaker_0"
+        assert abs(back[0].start - 5 * 0.08) < 1e-6
+        assert abs(back[0].duration - 15 * 0.08) < 1e-6
+
+    def test_median_filter_removes_blips(self):
+        probs = np.zeros((30, 4), np.float32)
+        probs[10:20, 1] = 0.9
+        probs[3, 1] = 0.9          # single-frame blip
+        segs = R.probs_to_segments(probs, 0.5, median_win=5, file_id="x")
+        assert len(segs) == 1
+        assert segs[0].speaker == "speaker_1"
+
+    def test_golden_format_parses_reference_fixture(self):
+        import pathlib
+        p = pathlib.Path("/root/reference/streaming-sortformer/nemo_streaming.rttm")
+        if not p.exists():
+            pytest.skip("fixture unavailable")
+        segs = R.load_rttm(p)
+        assert len(segs) > 10
+        assert all(s.file == "test" for s in segs)
+        assert all(s.speaker.startswith("speaker_") for s in segs)
+        # our writer reproduces the exact line format
+        line = R.to_rttm([segs[0]]).strip()
+        assert line == p.read_text().splitlines()[0].strip()
