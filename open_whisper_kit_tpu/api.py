@@ -1,0 +1,177 @@
+"""Public API facade.
+
+Python mirror of the reference's two API surfaces:
+* the C API include/whisper.h (init / full / segments accessors / language
+  detect / timings / system info),
+* the Swift SDK (Sources/OpenWhisperKit/OpenWhisperKit.swift — Transcriber
+  with VAD-chunked or direct paths; SortFormerContext.swift — Diarizer;
+  DiarizationAligner — align()).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .align import aligner as _aligner
+from .align import rttm as _rttm
+from .align.aligner import AlignmentOptions, DiarizedTranscription, WordTiming
+from .align.rttm import RttmSegment
+from .audio.wav import load_wav
+from .decode import full as _full
+from .decode.full import Segment, TokenData, TranscribeResult, WhisperContext
+from .decode.params import FullParams, SamplingStrategy, VadParams
+from .models.sortformer.streaming import (PRESETS, SortformerDiarizer,
+                                          SortformerStream, StreamConfig)
+
+__all__ = [
+    "Transcriber", "Diarizer", "FullParams", "SamplingStrategy", "VadParams",
+    "Segment", "TokenData", "TranscribeResult", "WordTiming",
+    "AlignmentOptions", "DiarizedTranscription", "RttmSegment",
+    "align", "load_wav",
+]
+
+
+class Transcriber:
+    """Whisper speech-to-text (OpenWhisperKit / whisper.h analog)."""
+
+    def __init__(self, model_path: str | Path | None = None,
+                 preset: str | None = None, dtype=jnp.bfloat16):
+        if model_path is not None:
+            self.ctx = WhisperContext.from_file(str(model_path), dtype=dtype)
+        elif preset is not None:
+            self.ctx = WhisperContext.from_preset(preset, dtype=dtype)
+        else:
+            raise ValueError("model_path or preset required")
+
+    # -- whisper.h-style surface -------------------------------------------
+
+    def full(self, params: FullParams, samples: np.ndarray) -> TranscribeResult:
+        """whisper_full: transcribe raw 16 kHz mono f32 samples."""
+        return _full.whisper_full(self.ctx, params, samples)
+
+    def detect_language(self, samples: np.ndarray, offset_ms: int = 0):
+        """whisper_lang_auto_detect: (lang_id, probs)."""
+        from .audio import mel as mel_mod
+        mel = mel_mod.log_mel_spectrogram(np.asarray(samples, np.float32),
+                                          self.ctx.filters)
+        return _full.detect_language(self.ctx, mel, offset_ms)
+
+    def tokenize(self, text: str) -> list[int]:
+        return self.ctx.vocab.tokenize(text)
+
+    def token_to_str(self, token_id: int) -> str:
+        return self.ctx.vocab.token_to_str(token_id)
+
+    # -- Swift-SDK-style surface -------------------------------------------
+
+    def transcribe(self, audio: str | Path | np.ndarray,
+                   params: FullParams | None = None) -> TranscribeResult:
+        """OpenWhisperKit.transcribe(audioPath/samples)."""
+        if isinstance(audio, (str, Path)):
+            audio = load_wav(audio)
+        return self.full(params or FullParams(print_progress=False), audio)
+
+    def transcribe_paths(self, paths: list[str | Path],
+                         params: FullParams | None = None) -> list[TranscribeResult]:
+        return [self.transcribe(p, params) for p in paths]
+
+    @property
+    def model_type(self) -> str:
+        return self.ctx.model_type
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.ctx.vocab.is_multilingual
+
+
+class Diarizer:
+    """SortFormer speaker diarization (SortFormerContext analog).
+
+    frame duration 0.08 s, max 4 speakers
+    (Sources/OpenWhisperKit/SortFormerContext.swift:20-30).
+    """
+
+    FRAME_DURATION = 0.08
+    MAX_SPEAKERS = 4
+
+    def __init__(self, model_path: str | Path | None = None,
+                 cfg=None, params=None, dtype=jnp.float32):
+        if model_path is not None:
+            self.engine = SortformerDiarizer.from_file(str(model_path), dtype=dtype)
+        elif cfg is not None and params is not None:
+            self.engine = SortformerDiarizer(cfg, params)
+        else:
+            raise ValueError("model_path or (cfg, params) required")
+
+    def diarize(self, audio: str | Path | np.ndarray,
+                stream_config: StreamConfig | str | None = None,
+                threshold: float = 0.5, median_win: int = 11,
+                file_id: str | None = None):
+        """-> (probs (T,4), rttm segments)."""
+        if isinstance(audio, (str, Path)):
+            if file_id is None:
+                file_id = Path(audio).stem
+            audio = load_wav(audio)
+        if isinstance(stream_config, str):
+            stream_config = PRESETS[stream_config]
+        probs = self.engine.diarize(audio, stream_config)
+        segments = _rttm.probs_to_segments(probs, threshold, median_win,
+                                           file_id or "unknown")
+        return probs, segments
+
+    def diarize_to_rttm(self, audio: str | Path | np.ndarray, **kw) -> str:
+        _, segments = self.diarize(audio, **kw)
+        return _rttm.to_rttm(segments)
+
+    def stream(self, preset: str | StreamConfig = "low_latency") -> SortformerStream:
+        """True streaming session (sortformer_stream_* analog)."""
+        return SortformerStream(self.engine, preset)
+
+
+def align(words: list[WordTiming], segments: list[RttmSegment],
+          options: AlignmentOptions | None = None) -> DiarizedTranscription:
+    """Word <-> speaker alignment (DiarizationAligner.align)."""
+    return _aligner.align(words, segments, options)
+
+
+def words_from_result(result: TranscribeResult, vocab=None,
+                      ctx: WhisperContext | None = None) -> list[WordTiming]:
+    """Token-level timestamps -> WordTiming list for align().
+
+    Groups tokens into words at leading-space boundaries
+    (the Swift SDK's word extraction, WhisperContext.swift:110-160);
+    timestamps are centiseconds -> seconds.
+    """
+    if vocab is None and ctx is not None:
+        vocab = ctx.vocab
+    words: list[WordTiming] = []
+    for seg in result.segments:
+        cur_text = ""
+        cur_t0 = seg.t0
+        cur_t1 = seg.t0
+        cur_p = []
+        for tk in seg.tokens:
+            if vocab is not None and tk.id >= vocab.token_eot:
+                continue
+            s = vocab.token_to_str(tk.id) if vocab is not None else ""
+            if s.startswith(" ") and cur_text:
+                words.append(WordTiming(cur_text.strip(), cur_t0 / 100.0,
+                                        cur_t1 / 100.0,
+                                        float(np.mean(cur_p)) if cur_p else 1.0))
+                cur_text = ""
+                cur_p = []
+            if not cur_p and tk.t0 >= 0:
+                cur_t0 = tk.t0
+            cur_text += s
+            if tk.t1 >= 0:
+                cur_t1 = tk.t1
+            cur_p.append(tk.p)
+        if cur_text.strip():
+            words.append(WordTiming(cur_text.strip(), cur_t0 / 100.0,
+                                    cur_t1 / 100.0,
+                                    float(np.mean(cur_p)) if cur_p else 1.0))
+    return words

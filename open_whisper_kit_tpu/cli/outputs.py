@@ -1,0 +1,173 @@
+"""Transcript output formats (txt/vtt/srt/csv/json/lrc/wts/score).
+
+Format-exact ports of the reference CLI writers
+(examples/cli/cli.cpp:449-925, examples/common-whisper.cpp:138 to_timestamp)
+including the stereo channel-energy pseudo-diarization
+(estimate_diarization_speaker, cli.cpp:315-347).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TextIO
+
+import numpy as np
+
+from ..decode.full import TranscribeResult
+
+SAMPLE_RATE = 16000
+
+
+def to_timestamp(t: int, comma: bool = False) -> str:
+    """Centiseconds -> HH:MM:SS[.,]mmm."""
+    msec = t * 10
+    hr, msec = divmod(msec, 3600 * 1000)
+    mn, msec = divmod(msec, 60 * 1000)
+    sec, msec = divmod(msec, 1000)
+    sep = "," if comma else "."
+    return f"{hr:02d}:{mn:02d}:{sec:02d}{sep}{msec:03d}"
+
+
+def estimate_channel_speaker(stereo: np.ndarray, t0: int, t1: int,
+                             id_only: bool = False) -> str:
+    """Stereo channel-energy speaker guess (cli.cpp:315-347)."""
+    n = stereo.shape[0]
+    is0 = max(0, min(n - 1, t0 * SAMPLE_RATE // 100))
+    is1 = max(0, min(n - 1, t1 * SAMPLE_RATE // 100))
+    e0 = float(np.abs(stereo[is0:is1, 0]).sum())
+    e1 = float(np.abs(stereo[is0:is1, 1]).sum())
+    if e0 > 1.1 * e1:
+        spk = "0"
+    elif e1 > 1.1 * e0:
+        spk = "1"
+    else:
+        spk = "?"
+    return spk if id_only else f"(speaker {spk})"
+
+
+def _speaker(result_seg, stereo, id_only=False) -> str:
+    if stereo is None:
+        return ""
+    return estimate_channel_speaker(stereo, result_seg.t0, result_seg.t1, id_only)
+
+
+def write_txt(res: TranscribeResult, f: TextIO, stereo=None):
+    for s in res.segments:
+        f.write(f"{_speaker(s, stereo)}{s.text}\n")
+
+
+def write_vtt(res: TranscribeResult, f: TextIO, stereo=None):
+    f.write("WEBVTT\n\n")
+    for s in res.segments:
+        spk = ""
+        if stereo is not None:
+            spk = f"<v Speaker{_speaker(s, stereo, id_only=True)}>"
+        f.write(f"{to_timestamp(s.t0)} --> {to_timestamp(s.t1)}\n")
+        f.write(f"{spk}{s.text}\n\n")
+
+
+def write_srt(res: TranscribeResult, f: TextIO, stereo=None, offset_n: int = 0):
+    for i, s in enumerate(res.segments):
+        f.write(f"{i + 1 + offset_n}\n")
+        f.write(f"{to_timestamp(s.t0, True)} --> {to_timestamp(s.t1, True)}\n")
+        f.write(f"{_speaker(s, stereo)}{s.text}\n\n")
+
+
+def write_csv(res: TranscribeResult, f: TextIO, stereo=None):
+    f.write("start,end,")
+    if stereo is not None:
+        f.write("speaker,")
+    f.write("text\n")
+    for s in res.segments:
+        text = s.text.replace('"', '""')
+        f.write(f"{10 * s.t0},{10 * s.t1},")
+        if stereo is not None:
+            f.write(f"{_speaker(s, stereo, id_only=True)},")
+        f.write(f'"{text}"\n')
+
+
+def write_lrc(res: TranscribeResult, f: TextIO, stereo=None):
+    f.write("[by:whisper.cpp]\n")
+    for s in res.segments:
+        msec = s.t0 * 10
+        mn, msec = divmod(msec, 60 * 1000)
+        sec, msec = divmod(msec, 1000)
+        stamp = f"{mn:02d}:{sec:02d}.{msec // 10:02d}"
+        f.write(f"[{stamp}]{_speaker(s, stereo)}{s.text}\n")
+
+
+def write_score(res: TranscribeResult, f: TextIO, vocab=None):
+    for s in res.segments:
+        for tk in s.tokens:
+            tok = vocab.token_to_str(tk.id) if vocab else str(tk.id)
+            f.write(f"{tok}\t{tk.p}\n")
+
+
+def write_json(res: TranscribeResult, f: TextIO, *, full: bool = False,
+               model_type: str = "", language: str = "", vocab=None,
+               params=None, stereo=None):
+    """JSON output mirroring output_json (cli.cpp:637-780)."""
+    data = {
+        "systeminfo": "open-whisper-kit-tpu (jax/xla)",
+        "model": {
+            "type": model_type,
+            "multilingual": bool(vocab.is_multilingual) if vocab else False,
+            "vocab": vocab.n_vocab if vocab else 0,
+        },
+        "params": {
+            "model": model_type,
+            "language": language,
+            "translate": bool(params.translate) if params else False,
+        },
+        "result": {"language": language},
+        "transcription": [],
+    }
+    for s in res.segments:
+        seg = {
+            "timestamps": {
+                "from": to_timestamp(s.t0, True),
+                "to": to_timestamp(s.t1, True),
+            },
+            "offsets": {"from": 10 * s.t0, "to": 10 * s.t1},
+            "text": s.text,
+        }
+        if full:
+            seg["tokens"] = [
+                {
+                    "text": vocab.token_to_str(tk.id) if vocab else "",
+                    "timestamps": {
+                        "from": to_timestamp(tk.t0, True),
+                        "to": to_timestamp(tk.t1, True),
+                    },
+                    "offsets": {"from": 10 * tk.t0, "to": 10 * tk.t1},
+                    "id": tk.id,
+                    "p": round(float(tk.p), 6),
+                    "t_dtw": tk.t_dtw,
+                }
+                for tk in s.tokens
+            ]
+        if stereo is not None:
+            seg["speaker"] = _speaker(s, stereo, id_only=True)
+        if s.speaker_turn_next:
+            seg["speaker_turn_next"] = True
+        data["transcription"].append(seg)
+    json.dump(data, f, indent=2, ensure_ascii=False)
+    f.write("\n")
+
+
+def write_wts(res: TranscribeResult, f: TextIO, audio_path: str,
+              duration_cs: int, font: str = "/System/Library/Fonts/Supplemental/Courier New Bold.ttf"):
+    """Karaoke ffmpeg script (output_wts, cli.cpp:787-925 behavior)."""
+    f.write("#!/bin/bash\n\n")
+    f.write(f"ffmpeg -i {audio_path} -f lavfi -i color=size=1200x120:duration="
+            f"{duration_cs / 100.0}:rate=25:color=black -vf \"")
+    first = True
+    for s in res.segments:
+        if not first:
+            f.write(",")
+        first = False
+        text = s.text.strip().replace("'", "").replace('"', '\\"')
+        f.write(f"drawtext=fontfile='{font}':fontsize=24:fontcolor=white:"
+                f"x=(w-text_w)/2:y=h/2:text='{text}':"
+                f"enable='between(t,{s.t0 / 100.0},{s.t1 / 100.0})'")
+    f.write(f"\" -c:v libx264 -pix_fmt yuv420p -y {audio_path}.mp4\n")
