@@ -1,0 +1,119 @@
+"""Streaming transcriber + HTTP server tests."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from open_whisper_kit_tpu.decode import stream as S
+from open_whisper_kit_tpu.decode.full import WhisperContext
+
+
+@pytest.fixture(scope="module")
+def stub_ctx(ref_models):
+    return WhisperContext.from_file(
+        str(ref_models / "for-tests-ggml-tiny.en.bin"), dtype=jnp.float32)
+
+
+class TestVadSimple:
+    def test_silence_after_speech(self):
+        pcm = np.zeros(32000, np.float32)
+        pcm[:16000] = np.sin(np.arange(16000) * 0.2).astype(np.float32)
+        assert S.vad_simple(pcm, 1000, 0.6, 100.0)
+
+    def test_continuous_speech(self):
+        pcm = np.sin(np.arange(32000) * 0.2).astype(np.float32)
+        assert not S.vad_simple(pcm, 1000, 0.6, 100.0)
+
+    def test_too_short(self):
+        assert not S.vad_simple(np.zeros(8000, np.float32), 1000, 0.6, 100.0)
+
+    def test_high_pass_removes_dc(self):
+        x = np.ones(1600, np.float32)
+        y = S.high_pass_filter(x, 100.0)
+        assert abs(y[-1]) < 0.01
+
+
+class TestStreamingTranscriber:
+    def test_step_mode(self, stub_ctx):
+        st = S.StreamingTranscriber(stub_ctx, S.StreamParams(
+            step_ms=1000, length_ms=3000, keep_ms=200))
+        rng = np.random.default_rng(0)
+        events = []
+        for _ in range(4):
+            events += st.feed(rng.standard_normal(16000).astype(np.float32) * 0.05)
+        assert st.n_iter == 4
+        # stub model emits no segments but the loop must advance & commit
+        assert st.n_iter % st.n_new_line in range(st.n_new_line)
+
+    def test_small_feeds_accumulate(self, stub_ctx):
+        st = S.StreamingTranscriber(stub_ctx, S.StreamParams(step_ms=1000))
+        for _ in range(9):
+            st.feed(np.zeros(1600, np.float32))  # 0.1 s each
+        assert st.n_iter == 0
+        st.feed(np.zeros(1600, np.float32))
+        assert st.n_iter == 1
+
+    def test_vad_mode(self, stub_ctx):
+        st = S.StreamingTranscriber(stub_ctx, S.StreamParams(
+            step_ms=0, length_ms=4000))
+        speech = np.sin(np.arange(16000) * 0.2).astype(np.float32)
+        st.feed(speech)
+        assert st.n_iter == 0  # still "talking"
+        st.feed(np.zeros(32000, np.float32))
+        assert st.n_iter == 1  # silence gate fired
+
+
+class TestServer:
+    @pytest.fixture(scope="class")
+    def server(self, ref_models):
+        from open_whisper_kit_tpu.server.http_server import serve
+        srv = serve(str(ref_models / "for-tests-ggml-tiny.en.bin"),
+                    port=0, dtype=jnp.float32)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_health(self, server):
+        with urllib.request.urlopen(f"{server}/health") as r:
+            assert json.loads(r.read()) == {"status": "ok"}
+
+    def test_inference_json(self, server, jfk_wav):
+        body, ctype = _multipart({"file": jfk_wav.read_bytes(),
+                                  "response_format": b"json",
+                                  "temperature": b"0.0"})
+        req = urllib.request.Request(f"{server}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req) as r:
+            data = json.loads(r.read())
+        assert "text" in data
+
+    def test_inference_no_file(self, server):
+        body, ctype = _multipart({"language": b"en"})
+        req = urllib.request.Request(f"{server}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        try:
+            urllib.request.urlopen(req)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+        assert raised
+
+
+def _multipart(fields: dict) -> tuple[bytes, str]:
+    boundary = "testboundary42"
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="{k}"'.encode() +
+            (b'; filename="a.wav"' if k == "file" else b"") +
+            b"\r\n\r\n" + (v if isinstance(v, bytes) else str(v).encode())
+            + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f'multipart/form-data; boundary="{boundary}"'
