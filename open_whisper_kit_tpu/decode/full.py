@@ -95,6 +95,7 @@ class _DecoderState:
         self.avg_logprobs = -math.inf
         self.entropy = 0.0
         self.score = -math.inf
+        self.grammar = None
 
 
 class WhisperContext:
@@ -366,6 +367,12 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             beam_mode = p.strategy == SamplingStrategy.BEAM_SEARCH and t_cur <= 0
 
             decoders = [_DecoderState() for _ in range(n_dec_cur)]
+            if p.grammar_rules is not None:
+                from . import grammar as G
+                base_grammar = (p.grammar_rules if isinstance(p.grammar_rules, G.Grammar)
+                                else G.Grammar.from_gbnf(p.grammar_rules))
+                for d in decoders:
+                    d.grammar = base_grammar.copy()
 
             # build prompt (whisper.cpp:7121-7148)
             prompt = []
@@ -482,9 +489,16 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                 # ---- rules + sampling (on device, batched over beams) ----
                 t0 = time.perf_counter()
                 st = _beam_state(decoders, vocab)
+                gmask = None
+                if p.grammar_rules is not None:
+                    gmask = jnp.asarray(np.stack(
+                        [d.grammar.penalty_mask(vocab, p.grammar_penalty)
+                         if d.grammar is not None and not (d.completed or d.failed)
+                         else np.zeros(cfg.n_vocab, np.float32)
+                         for d in decoders]))
                 f_logits, f_logprobs, f_probs = LR.apply_rules(
                     rc, step_logits, base_mask, init_mask, st,
-                    jnp.float32(t_cur))
+                    jnp.float32(t_cur), gmask)
 
                 if beam_mode:
                     k = p.beam_search.beam_size
@@ -497,6 +511,11 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                     src = np.array([d._src for d in decoders], np.int32)
                     if not np.array_equal(src, np.arange(n_dec_cur)):
                         kv_k, kv_v = M.reorder_kv(kv_k, kv_v, jnp.asarray(src))
+                    for d in decoders:
+                        if (d.grammar is not None and d.tokens
+                                and not (d.completed or d.failed)):
+                            d.grammar.accept_token(
+                                vocab.id_to_token[d.tokens[-1].id])
                 else:
                     if t_cur < 1e-6:
                         out = LR.sample_greedy(rc, f_logits, f_logprobs, f_probs)
@@ -515,6 +534,8 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                             td.pt = td.p
                         d.tokens.append(td)
                         d.sum_logprobs_all += td.plog
+                        if d.grammar is not None:
+                            d.grammar.accept_token(vocab.id_to_token[td.id])
                 timings.t_sample_ms += (time.perf_counter() - t0) * 1e3
                 timings.n_sample += 1
 
@@ -729,20 +750,22 @@ def _beam_expand_and_merge(decoders, top_id, top_p, top_lp, pt, ptsum, tid, i,
                     break
         new_states.append((sum_lp, src_j, td, src_d))
 
-    # apply (copy source sequence + append token)
-    snapshot = {j: (list(d.tokens), d.seek_delta, d.has_ts, d.result_len)
+    # apply (copy source sequence + grammar + append token)
+    snapshot = {j: (list(d.tokens), d.seek_delta, d.has_ts, d.result_len,
+                    d.grammar.copy() if d.grammar is not None else None)
                 for j, d in enumerate(decoders)}
     for j, (d, ns) in enumerate(zip(decoders, new_states)):
         if ns is None:
             continue
         sum_lp, src_j, td, _ = ns
-        toks, sd, hts, rl = snapshot[src_j]
+        toks, sd, hts, rl, gr = snapshot[src_j]
         d.tokens = list(toks)
         d.tokens.append(dataclasses.replace(td))
         d.sum_logprobs_all = sum_lp
         d.seek_delta = sd
         d.has_ts = hts
         d.result_len = rl
+        d.grammar = gr.copy() if gr is not None else None
         d._src = src_j
 
 

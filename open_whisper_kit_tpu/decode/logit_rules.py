@@ -120,10 +120,14 @@ class BeamState:
 @functools.partial(jax.jit, static_argnames=("rc",))
 def apply_rules(rc: RuleConfig, logits: jnp.ndarray, base_mask: jnp.ndarray,
                 init_mask: jnp.ndarray, st: BeamState,
-                temperature: jnp.ndarray):
+                temperature: jnp.ndarray,
+                grammar_mask: jnp.ndarray | None = None):
     """(B,V) raw logits -> (filtered logits, logprobs, probs), f32.
 
     Order of operations matches whisper_process_logits exactly.
+    `grammar_mask` (B,V): additive penalties applied only when the
+    timestamp-force rule did not fire, with logprobs recomputed
+    (whisper.cpp:6365-6388).
     """
     V = rc.n_vocab
     logits = logits.astype(jnp.float32)
@@ -152,6 +156,13 @@ def apply_rules(rc: RuleConfig, logits: jnp.ndarray, base_mask: jnp.ndarray,
     force_ts = (ts_logprob > max_text)[:, None]
     logits = jnp.where(force_ts & ~is_ts, NEG_INF, logits)
     logprobs = jnp.where(force_ts & ~is_ts, NEG_INF, logprobs)
+
+    if grammar_mask is not None:
+        g_logits = logits + jnp.where(force_ts, 0.0, grammar_mask)
+        g_logprobs = jax.nn.log_softmax(g_logits, axis=-1)
+        logits = g_logits
+        # force_ts rows keep their unrenormalized logprobs
+        logprobs = jnp.where(force_ts, logprobs, g_logprobs)
 
     probs = jnp.where(jnp.isneginf(logits), 0.0, jnp.exp(logprobs))
     return logits, logprobs, probs
