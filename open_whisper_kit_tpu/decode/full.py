@@ -400,8 +400,9 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                 t0 = time.perf_counter()
                 kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
                 T_real = len(prompt)
-                T_pad = max(_PROMPT_BUCKET,
-                            -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET)
+                T_pad = min(cfg.n_text_ctx,
+                            max(_PROMPT_BUCKET,
+                                -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET))
                 toks = np.zeros((1, T_pad), np.int32)
                 toks[0, :T_real] = prompt
                 from . import device_loop as DL
@@ -460,8 +461,9 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             t0 = time.perf_counter()
             kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
             T_real = len(prompt)
-            T_pad = max(_PROMPT_BUCKET,
-                        -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET)
+            T_pad = min(cfg.n_text_ctx,
+                        max(_PROMPT_BUCKET,
+                            -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET))
             toks = np.zeros((1, T_pad), np.int32)
             toks[0, :T_real] = prompt
             logits_all, kv_k, kv_v, _ = M.decode(
