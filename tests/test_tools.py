@@ -1,0 +1,71 @@
+"""Tool tests: WER math, CLI smoke (bench args, vad-segments on jfk)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+class TestWer:
+    def test_exact(self):
+        from eval_wer import wer
+        assert wer("a b c", "a b c") == (0.0, 3)
+
+    def test_substitution(self):
+        from eval_wer import wer
+        w, n = wer("a b c", "a x c")
+        assert abs(w - 1 / 3) < 1e-9 and n == 3
+
+    def test_insert_delete(self):
+        from eval_wer import wer
+        assert wer("a b", "a x b")[0] == 0.5
+        assert wer("a b c d", "a b")[0] == 0.5
+
+    def test_empty(self):
+        from eval_wer import wer
+        assert wer("", "")[0] == 0.0
+        assert wer("", "x")[0] == 1.0
+
+    def test_normalize(self):
+        from eval_wer import normalize_text
+        assert normalize_text("Hello, World!") == "hello world"
+        assert normalize_text("I can't do it.") == "i can not do it"
+        assert normalize_text("a  [noise]  b") == "a b"
+
+
+def test_vad_segments_cli(ref_models, jfk_wav, capsys):
+    from open_whisper_kit_tpu.cli.vad_segments import main
+    rc = main(["-vm", str(ref_models / "for-tests-silero-v6.2.0-ggml.bin"),
+               "-f", str(jfk_wav)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Detected 4 speech segments" in out
+
+
+def test_silero_converter_roundtrip(tmp_path, ref_models):
+    """Our converter's output must be loadable by our reader with identical
+    weights (state-dict synthesized from the real fixture)."""
+    import torch
+
+    import convert_silero_to_ggml as CS
+    from open_whisper_kit_tpu.io.ggml_silero import load_silero
+
+    src = load_silero(ref_models / "for-tests-silero-v6.2.0-ggml.bin")
+    state = {}
+    for name, t in src.tensors.items():
+        arr = t.to_float()
+        state[name] = torch.from_numpy(np.ascontiguousarray(arr))
+    out = tmp_path / "silero-out.bin"
+    CS.convert(state, str(out))
+
+    back = load_silero(out)
+    assert back.hparams.window_size == 512
+    for name in src.tensors:
+        a = src.to_float(name)
+        b = back.to_float(name)
+        assert a.squeeze().shape == b.squeeze().shape, name
+        np.testing.assert_allclose(a.squeeze(), b.squeeze(), atol=1e-3,
+                                   err_msg=name)
