@@ -17,12 +17,23 @@ import numpy as np
 SAMPLE_RATE = 16000
 
 
-def load_wav(path: str | Path, stereo: bool = False) -> np.ndarray:
+def load_wav(path: str | Path, stereo: bool = False,
+             use_native: bool = True) -> np.ndarray:
     """Load a WAV file → float32 in [-1, 1] at 16 kHz.
 
     Returns shape (n,) mono, or (n, 2) if `stereo` and the file has 2 channels
     (used by the CLI's channel-energy pseudo-diarization mode).
+
+    Decodes through the native runtime (native/owk_audio) when built,
+    falling back to the stdlib/numpy path.
     """
+    if use_native:
+        from . import native
+        if native.available():
+            data = Path(path).read_bytes()
+            out = native.decode_wav(data, stereo=stereo)
+            if out is not None:
+                return out
     with wave.open(str(path), "rb") as w:
         n_ch = w.getnchannels()
         width = w.getsampwidth()

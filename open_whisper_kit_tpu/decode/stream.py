@@ -27,12 +27,12 @@ def high_pass_filter(data: np.ndarray, cutoff: float,
     rc = 1.0 / (2.0 * np.pi * cutoff)
     dt = 1.0 / sample_rate
     alpha = dt / (rc + dt)
-    out = data.copy()
+    out = data.astype(np.float32).copy()
     y = out[0]
-    d = np.diff(data, prepend=data[0])
-    # y[i] = alpha * (y[i-1] + x[i] - x[i-1]) — scan form
+    # note: the reference filters in place, so data[i-1] reads the already
+    # filtered value — reproduced here for output parity
     for i in range(1, len(out)):
-        y = alpha * (y + d[i])
+        y = alpha * (y + out[i] - out[i - 1])
         out[i] = y
     return out
 
