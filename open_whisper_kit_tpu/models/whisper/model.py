@@ -241,12 +241,14 @@ def _attention(q, k, v, n_head, scale, mask=None):
 
 
 def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    from ...ops.attention import mha_full
+
     scale = 1.0 / np.sqrt(cfg.d_audio_head)
     h = _ln(x, p["attn_ln_w"], p["attn_ln_b"], cfg.eps)
     q = _mm(h, p["q_w"]) + p["q_b"]
     k = _mm(h, p["k_w"])  # no key bias (whisper.cpp:2125)
     v = _mm(h, p["v_w"]) + p["v_b"]
-    a, _ = _attention(q, k, v, cfg.n_audio_head, scale)
+    a = mha_full(q, k, v, cfg.n_audio_head, scale)
     x = x + _mm(a, p["o_w"]) + p["o_b"]
     h = _ln(x, p["mlp_ln_w"], p["mlp_ln_b"], cfg.eps)
     h = jax.nn.gelu(_mm(h, p["mlp0_w"]) + p["mlp0_b"], approximate=True)

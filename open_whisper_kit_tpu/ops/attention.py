@@ -1,0 +1,87 @@
+"""Fused attention for the encoder hot path.
+
+The reference gets flash attention from ggml_flash_attn_ext with a
+256-padded KV (whisper.cpp:2141-2169); here the TPU Pallas flash-attention
+kernel keeps the (T x T) score matrix in VMEM instead of materializing
+~180 MB of f32 scores per layer in HBM. Sequences are padded to the kernel
+block size with segment-id masking so padding never leaks into the softmax.
+
+Falls back to the einsum path off-TPU (CPU tests) or for short sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 128
+_MIN_FLASH_T = 256
+
+
+@functools.cache
+def _flash_available() -> bool:
+    try:
+        import jax.experimental.pallas.ops.tpu.flash_attention  # noqa: F401
+    except Exception:  # noqa: BLE001
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+             n_head: int, scale: float) -> jnp.ndarray:
+    """Unmasked multi-head attention, (B, T, S) layout, fused on TPU."""
+    B, Tq, S = q.shape
+    Tk = k.shape[1]
+    d = S // n_head
+
+    if not _flash_available() or Tq < _MIN_FLASH_T:
+        qh = q.reshape(B, Tq, n_head, d)
+        kh = k.reshape(B, Tk, n_head, d)
+        vh = v.reshape(B, Tk, n_head, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), vh,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        return out.reshape(B, Tq, S)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    qh = q.reshape(B, Tq, n_head, d).transpose(0, 2, 1, 3)   # (B,H,T,D)
+    kh = k.reshape(B, Tk, n_head, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Tk, n_head, d).transpose(0, 2, 1, 3)
+
+    qp = _pad_to(qh, 2, _BLOCK)
+    kp = _pad_to(kh, 2, _BLOCK)
+    vp = _pad_to(vh, 2, _BLOCK)
+    Tqp, Tkp = qp.shape[2], kp.shape[2]
+
+    seg = None
+    if Tqp != Tq or Tkp != Tk:
+        q_ids = (jnp.arange(Tqp) >= Tq).astype(jnp.int32)[None].repeat(B, 0)
+        kv_ids = (jnp.arange(Tkp) >= Tk).astype(jnp.int32)[None].repeat(B, 0)
+        seg = SegmentIds(q=q_ids, kv=kv_ids)
+
+    # large blocks keep the whole row of scores in VMEM; ~2x over the
+    # conservative defaults at whisper's T=1536, d=64 (measured on v5e)
+    blk = min(1536, Tqp)
+    block_sizes = BlockSizes(
+        block_q=blk, block_k_major=min(blk, Tkp), block_k=min(blk, Tkp),
+        block_b=1)
+    out = flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
+                          sm_scale=float(scale), block_sizes=block_sizes)
+    out = out[:, :, :Tq, :].transpose(0, 2, 1, 3).reshape(B, Tq, S)
+    return out.astype(q.dtype)
