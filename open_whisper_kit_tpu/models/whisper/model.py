@@ -139,17 +139,27 @@ def init_params(cfg: WhisperConfig, seed: int = 0,
 
 
 def params_from_checkpoint(ck: WhisperCheckpoint,
-                           dtype: jnp.dtype = jnp.bfloat16) -> Params:
+                           dtype: jnp.dtype = jnp.bfloat16,
+                           keep_quant: bool = True) -> Params:
     """Build the params pytree from a parsed ggml-bin checkpoint.
 
     Tensor names follow the reference table (src/whisper-arch.h:42-141).
     2-D ggml weights are stored (out,in); we keep them transposed (in,out)
-    so forward matmuls are plain x @ W.
+    so forward matmuls are plain x @ W. With `keep_quant`, symmetric
+    block-quantized matmul weights stay quantized as QuantLinear planes fed
+    to the fused dequant-matmul kernel (ops/quant_matmul.py).
     """
+    from ...ops.quant_matmul import repack
+
     cfg = WhisperConfig.from_hparams(ck.hparams)
 
     def get(name, transpose=False, cast=True):
-        t = ck.to_float(name)
+        raw = ck.tensors[name]
+        if keep_quant and transpose and len(raw.shape) == 2:
+            ql = repack(raw.data, raw.ggml_type, raw.shape[0], raw.shape[1])
+            if ql is not None:
+                return ql
+        t = raw.to_float()
         if transpose:
             t = t.T
         a = jnp.asarray(t)
@@ -214,7 +224,10 @@ def params_from_checkpoint(ck: WhisperCheckpoint,
 # Encoder
 # ---------------------------------------------------------------------------
 
-def _mm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    from ...ops.quant_matmul import QuantLinear, qmatmul
+    if isinstance(w, QuantLinear):
+        return qmatmul(x, w).astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
