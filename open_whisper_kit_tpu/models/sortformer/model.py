@@ -260,8 +260,13 @@ def _mel_jit(padded, window, fb, n_frames: int, n_fft: int, hop: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def preencode(cfg: SortformerConfig, params: Params,
-              mel: jnp.ndarray) -> jnp.ndarray:
-    """mel (B, T, n_mels) -> (B, ceil3(T/8), d_model)."""
+              mel: jnp.ndarray, n_valid=None) -> jnp.ndarray:
+    """mel (B, T, n_mels) -> (B, ceil3(T/8), d_model).
+
+    `n_valid` (traced scalar) marks the live prefix when T is padded to a
+    compile bucket: frames beyond it are zeroed between stages so boundary
+    outputs equal the unpadded computation.
+    """
     p = params["preenc"]
     dtype = p["out_w"].dtype
     # NHWC: (B, time, freq, 1)
@@ -275,12 +280,25 @@ def preencode(cfg: SortformerConfig, params: Params,
             preferred_element_type=jnp.float32)
         return (y + b.astype(jnp.float32)).astype(dtype)
 
+    def zero_tail(x, n):
+        if n_valid is None:
+            return x
+        t = jnp.arange(x.shape[1])
+        return jnp.where((t < n)[None, :, None, None], x, 0)
+
     c = cfg.subsampling_channels
+    n1 = None if n_valid is None else (n_valid - 1) // 2 + 1
+    n2 = None if n1 is None else (n1 - 1) // 2 + 1
+    n3 = None if n2 is None else (n2 - 1) // 2 + 1
+    x = zero_tail(x, n_valid)
     x = jax.nn.relu(conv(x, p["conv0_w"], p["conv0_b"], 2))
+    x = zero_tail(x, n1)
     x = conv(x, p["conv2_w"], p["conv2_b"], 2, groups=c)
     x = jax.nn.relu(conv(x, p["conv3_w"], p["conv3_b"], 1, pad=0))
+    x = zero_tail(x, n2)
     x = conv(x, p["conv5_w"], p["conv5_b"], 2, groups=c)
     x = jax.nn.relu(conv(x, p["conv6_w"], p["conv6_b"], 1, pad=0))
+    x = zero_tail(x, n3)
 
     # flatten channel-major: (B, T', F', C) -> (B, T', C, F') -> (B, T', C*F')
     B, T, F, C = x.shape
@@ -336,8 +354,11 @@ def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray,
-                     pos: jnp.ndarray) -> jnp.ndarray:
-    """x (B, T, D); pos (n_pos, D) pre-computed sinusoid table."""
+                     pos: jnp.ndarray, kbias=None, valid=None) -> jnp.ndarray:
+    """x (B, T, D); pos (n_pos, D) pre-computed sinusoid table.
+
+    kbias (1,1,1,T): additive key mask (0 / -1e9) for padded frames;
+    valid (1,T,1): multiplicative frame mask for the conv module."""
     B, T, D = x.shape
     H, dh = cfg.n_heads, cfg.d_head
 
@@ -360,6 +381,8 @@ def _conformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray,
     bd = jnp.einsum("bqhd,phd->bhqp", q_v, pos_p, preferred_element_type=jnp.float32)
     bd = _rel_shift(bd)[:, :, :, :T]
     scores = (ac + bd) / np.sqrt(dh)
+    if kbias is not None:
+        scores = scores + kbias
     attn = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                      preferred_element_type=jnp.float32).astype(h.dtype)
@@ -371,6 +394,8 @@ def _conformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray,
     h = _mm(h, p["pw1_w"]) + p["pw1_b"]                    # (B,T,2D)
     a, g = h[..., :D], h[..., D:]
     h = a * jax.nn.sigmoid(g)                              # GLU
+    if valid is not None:
+        h = h * valid
     # depthwise conv k over time, symmetric pad
     pad = (cfg.conv_kernel - 1) // 2
     hp = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
@@ -391,7 +416,8 @@ def _conformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray,
     return _ln(x, p["norm_out_w"], p["norm_out_b"])
 
 
-def _transformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray):
+def _transformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray,
+                       kbias=None):
     """Post-LN transformer layer (sortformer.cpp:1470-1528)."""
     B, T, D = x.shape
     H, dh = cfg.tf_heads, cfg.tf_d_head
@@ -400,6 +426,8 @@ def _transformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray):
     v = (_mm(x, p["v_w"]) + p["v_b"]).reshape(B, T, H, dh)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / np.sqrt(dh)
+    if kbias is not None:
+        scores = scores + kbias
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -411,26 +439,36 @@ def _transformer_block(cfg: SortformerConfig, p: Params, x: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def head(cfg: SortformerConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+def head(cfg: SortformerConfig, params: Params, x: jnp.ndarray,
+         n_valid=None) -> jnp.ndarray:
     """Conformer + projection + transformer + prediction head.
 
     x (B, T, d_model) pre-encoded frames -> speaker probs (B, T, n_spk).
     Equivalent to sortformer_compute_streaming_prediction
-    (sortformer.cpp:1924-2266).
+    (sortformer.cpp:1924-2266). `n_valid` masks padded frames so a padded
+    call equals the exact-length one on the live prefix (compile-bucket
+    support; -1e9 key bias keeps padded-query softmax finite).
     """
     T = x.shape[1]
     pos = sinusoid_pos_emb(T, cfg.d_model)
+    kbias = None
+    valid = None
+    if n_valid is not None:
+        live = jnp.arange(T) < n_valid
+        kbias = jnp.where(live, 0.0, -1e9)[None, None, None, :]
+        valid = live[None, :, None].astype(x.dtype)
+        x = x * valid
     x = x * np.sqrt(cfg.d_model)   # xscale
 
     def conf_body(h, bp):
-        return _conformer_block(cfg, bp, h, pos), None
+        return _conformer_block(cfg, bp, h, pos, kbias, valid), None
 
     x, _ = jax.lax.scan(conf_body, x, params["conformer"])
 
     x = _mm(x, params["proj_w"]) + params["proj_b"]
 
     def tf_body(h, bp):
-        return _transformer_block(cfg, bp, h), None
+        return _transformer_block(cfg, bp, h, kbias), None
 
     x, _ = jax.lax.scan(tf_body, x, params["transformer"])
 

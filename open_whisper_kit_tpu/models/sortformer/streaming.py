@@ -226,9 +226,30 @@ class SortformerDiarizer:
         cfg, params = SM.params_from_gguf(load_gguf(path), dtype=dtype)
         return cls(cfg, params)
 
+    _BUCKET = 64  # frame bucket: bounds distinct head/preenc compile shapes
+
     def _chunk_predict(self, combined: np.ndarray) -> np.ndarray:
-        preds = SM.head(self.cfg, self.params, jnp.asarray(combined)[None])
-        return np.asarray(preds[0])
+        t = combined.shape[0]
+        t_pad = -(-t // self._BUCKET) * self._BUCKET
+        if t_pad != t:
+            combined = np.concatenate(
+                [combined, np.zeros((t_pad - t, combined.shape[1]),
+                                    combined.dtype)])
+        preds = SM.head(self.cfg, self.params, jnp.asarray(combined)[None],
+                        jnp.int32(t))
+        return np.asarray(preds[0])[:t]
+
+    def _preencode(self, chunk_mel: np.ndarray) -> np.ndarray:
+        t = chunk_mel.shape[0]
+        bucket = self._BUCKET * self.cfg.subsampling
+        t_pad = -(-t // bucket) * bucket
+        if t_pad != t:
+            chunk_mel = np.concatenate(
+                [chunk_mel, np.zeros((t_pad - t, chunk_mel.shape[1]),
+                                     chunk_mel.dtype)])
+        out = SM.preencode(self.cfg, self.params,
+                           jnp.asarray(chunk_mel)[None], jnp.int32(t))
+        return np.asarray(out[0])[:SM.preenc_out_len(t)]
 
     def diarize(self, samples: np.ndarray,
                 stream_cfg: StreamConfig | None = None,
@@ -258,8 +279,7 @@ class SortformerDiarizer:
             lc = round(left_off / sub)
             rc = math.ceil(right_off / sub)
 
-            preenc = np.asarray(SM.preencode(
-                cfg, self.params, jnp.asarray(chunk_mel)[None])[0])
+            preenc = self._preencode(chunk_mel)
             chunk_used = preenc.shape[0] - lc - rc
 
             combined = np.concatenate([st.spkcache, st.fifo, preenc])
@@ -340,8 +360,7 @@ class SortformerStream:
                 return
             rc = math.ceil(right_off / sub)
 
-            preenc = np.asarray(SM.preencode(
-                cfg, self.d.params, jnp.asarray(chunk_mel)[None])[0])
+            preenc = self.d._preencode(chunk_mel)
             chunk_used = preenc.shape[0] - rc
             if chunk_used <= 0:
                 return

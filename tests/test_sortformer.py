@@ -296,3 +296,42 @@ class TestRttm:
         # our writer reproduces the exact line format
         line = R.to_rttm([segs[0]]).strip()
         assert line == p.read_text().splitlines()[0].strip()
+
+
+class TestPaddedMasking:
+    """Padded+masked compute must equal exact-shape compute on the prefix."""
+
+    def test_head_padded_equals_exact(self, tiny_params):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(9)
+        T = 13
+        x = rng.standard_normal((1, T, TINY.d_model)).astype(np.float32)
+        exact = np.asarray(SM.head(TINY, tiny_params, jnp.asarray(x)))
+        xp = np.concatenate([x, np.zeros((1, 32 - T, TINY.d_model), np.float32)],
+                            axis=1)
+        padded = np.asarray(SM.head(TINY, tiny_params, jnp.asarray(xp),
+                                    jnp.int32(T)))[:, :T]
+        np.testing.assert_allclose(padded, exact, atol=2e-4)
+
+    def test_preencode_padded_equals_exact(self, tiny_params):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(10)
+        T = 40
+        mel = rng.standard_normal((1, T, TINY.n_mels)).astype(np.float32)
+        exact = np.asarray(SM.preencode(TINY, tiny_params, jnp.asarray(mel)))
+        melp = np.concatenate(
+            [mel, np.zeros((1, 64 - T, TINY.n_mels), np.float32)], axis=1)
+        padded = np.asarray(SM.preencode(TINY, tiny_params, jnp.asarray(melp),
+                                         jnp.int32(T)))
+        n = SM.preenc_out_len(T)
+        np.testing.assert_allclose(padded[:, :n], exact[:, :n], atol=2e-4)
+
+    def test_diarizer_bucketing_stable(self, tiny_params):
+        """Bucketed diarize matches the old per-shape behavior."""
+        d = SS.SortformerDiarizer(TINY, tiny_params)
+        scfg = SS.StreamConfig(chunk_len=8, spkcache_len=8,
+                               spkcache_update_period=8,
+                               spkcache_sil_frames_per_spk=1)
+        audio = np.random.default_rng(5).standard_normal(16000 * 3).astype(np.float32) * 0.1
+        probs = d.diarize(audio, scfg)
+        assert probs.shape[1] == 4 and 30 <= probs.shape[0] <= 40
