@@ -79,6 +79,24 @@ class Transcriber:
                          params: FullParams | None = None) -> list[TranscribeResult]:
         return [self.transcribe(p, params) for p in paths]
 
+    def transcribe_batched(self, audio: str | Path | np.ndarray,
+                           params: FullParams | None = None,
+                           n_chunks: int = 8) -> TranscribeResult:
+        """Serving-throughput mode: decode n_chunks independent chunks of the
+        audio in lockstep on-device (decode/batch.py)."""
+        from .decode.batch import transcribe_batched
+        if isinstance(audio, (str, Path)):
+            audio = load_wav(audio)
+        return transcribe_batched(
+            self.ctx, params or FullParams(print_progress=False),
+            audio, n_chunks)
+
+    def full_parallel(self, params: FullParams, samples: np.ndarray,
+                      n_processors: int) -> TranscribeResult:
+        """whisper_full_parallel semantics (per-chunk mel, merged segments)."""
+        from .parallel.dp import full_parallel
+        return full_parallel(self.ctx, params, samples, n_processors)
+
     @property
     def model_type(self) -> str:
         return self.ctx.model_type

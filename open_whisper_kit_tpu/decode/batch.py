@@ -1,0 +1,330 @@
+"""Batched-window serving pipeline.
+
+The reference's only multi-stream path runs one OS thread per audio chunk
+(whisper_full_parallel, src/whisper.cpp:7801-7929), each thread still paying
+one graph launch per token. Here B independent chunks decode *in the same
+device program*: windows are gathered at per-chunk seek offsets, encoded as
+one batch, and a single lax.while_loop advances all B greedy decoders with
+the full rule-set — so the MXU sees batch-B matmuls throughout and the host
+boundary is crossed once per round, not per token. This is the
+throughput-serving mode (audio-seconds/sec/chip at batch).
+
+Semantics match running whisper_full per chunk with no_context=True (chunk
+boundaries are full_parallel's; QA-gate fallbacks re-run the affected chunk
+through the reference-exact single-stream path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import mel as mel_mod
+from ..models.whisper import model as M
+from . import full as F
+from . import logit_rules as LR
+from .params import FullParams
+
+CHUNK_FRAMES = 3000
+DELTA_MIN = 10
+
+
+class _BatchCarry(NamedTuple):
+    kv_k: jnp.ndarray
+    kv_v: jnp.ndarray
+    kv_head: jnp.ndarray        # (B,) == prompt_len + i (same for all, scalar ok)
+    i: jnp.ndarray
+    logits: jnp.ndarray         # (B, V)
+    tokens: jnp.ndarray         # (B, n_max)
+    p: jnp.ndarray
+    plog: jnp.ndarray
+    pt: jnp.ndarray
+    ptsum: jnp.ndarray
+    tid: jnp.ndarray
+    sum_lp: jnp.ndarray         # (B,)
+    last_was_ts: jnp.ndarray    # (B,)
+    penult_was_ts: jnp.ndarray
+    has_ts: jnp.ndarray
+    seek_delta: jnp.ndarray     # (B,)
+    result_len: jnp.ndarray
+    completed: jnp.ndarray
+    failed: jnp.ndarray
+
+
+class BatchResult(NamedTuple):
+    tokens: jnp.ndarray
+    p: jnp.ndarray
+    plog: jnp.ndarray
+    pt: jnp.ndarray
+    ptsum: jnp.ndarray
+    tid: jnp.ndarray
+    n_tokens: jnp.ndarray       # (B,) per-window sampled counts == global i
+    result_len: jnp.ndarray     # (B,)
+    seek_delta: jnp.ndarray
+    has_ts: jnp.ndarray
+    completed: jnp.ndarray
+    failed: jnp.ndarray
+    sum_lp: jnp.ndarray
+    no_speech_prob: jnp.ndarray
+
+
+def _gather_windows(mel_data: jnp.ndarray, seeks: jnp.ndarray,
+                    n_ctx: int) -> jnp.ndarray:
+    """(n_len, n_mel), (B,) -> (B, 2*n_ctx, n_mel) via batched dynamic slice."""
+    def one(seek):
+        return jax.lax.dynamic_slice_in_dim(mel_data, seek, 2 * n_ctx, axis=0)
+    return jax.vmap(one)(seeks)
+
+
+@dataclasses.dataclass(frozen=True)
+class _StaticArgs:
+    cfg: M.WhisperConfig
+    rc: LR.RuleConfig
+    n_max: int
+    max_tokens: int
+    no_timestamps: bool
+    stub: bool
+
+
+def _make_batch_step(sa: _StaticArgs):
+    cfg, rc = sa.cfg, sa.rc
+    token_beg, token_eot = rc.token_beg, rc.token_eot
+
+    @jax.jit
+    def run(dec, mel_data, seeks, active, prompt, kv_k, kv_v,
+            base_mask, init_mask, token_nosp, seek_end):
+        B = seeks.shape[0]
+        windows = _gather_windows(mel_data, seeks, cfg.n_audio_ctx)
+        enc_out = M.encode(cfg, dec["encoder"], windows)
+        xk, xv = M.cross_kv(cfg, dec["decoder"], enc_out)
+
+        t_prompt = prompt.shape[1]
+        logits_all, kv_k, kv_v, _ = M.decode_impl(
+            cfg, dec["decoder"], jnp.broadcast_to(prompt, (B, t_prompt)),
+            kv_k, kv_v, jnp.int32(0), xk, xv)
+        last_logits = logits_all[:, -1]                       # (B, V)
+        nsp = jax.vmap(lambda row: LR.compute_no_speech_prob(row, token_nosp))(
+            last_logits)
+
+        carry = _BatchCarry(
+            kv_k=kv_k, kv_v=kv_v, kv_head=jnp.int32(t_prompt),
+            i=jnp.int32(0), logits=last_logits,
+            tokens=jnp.zeros((B, sa.n_max), jnp.int32),
+            p=jnp.zeros((B, sa.n_max), jnp.float32),
+            plog=jnp.zeros((B, sa.n_max), jnp.float32),
+            pt=jnp.zeros((B, sa.n_max), jnp.float32),
+            ptsum=jnp.zeros((B, sa.n_max), jnp.float32),
+            tid=jnp.zeros((B, sa.n_max), jnp.int32),
+            sum_lp=jnp.zeros((B,), jnp.float32),
+            last_was_ts=jnp.zeros((B,), bool),
+            penult_was_ts=jnp.ones((B,), bool),
+            has_ts=jnp.zeros((B,), bool),
+            seek_delta=jnp.full((B,), CHUNK_FRAMES, jnp.int32),
+            result_len=jnp.zeros((B,), jnp.int32),
+            completed=~active, failed=jnp.zeros((B,), bool))
+
+        def cond(c: _BatchCarry):
+            return jnp.any(~c.completed & ~c.failed) & (c.i < sa.n_max)
+
+        def body(c: _BatchCarry) -> _BatchCarry:
+            i = c.i
+            run_mask = ~c.completed & ~c.failed                # (B,)
+            st = LR.BeamState(
+                is_initial=jnp.full((B,), i == 0),
+                last_was_ts=c.last_was_ts,
+                penult_was_ts=c.penult_was_ts,
+                has_ts=c.has_ts,
+                ts_min=jnp.where(c.has_ts, token_beg + c.seek_delta // 2, 0))
+            f_logits, f_logprobs, f_probs = LR.apply_rules(
+                rc, c.logits, base_mask, init_mask, st, jnp.float32(0.0))
+            tok, p, plog, pt, ptsum, tid = LR.sample_greedy(
+                rc, f_logits, f_logprobs, f_probs)
+            is_ts_tok = tok >= token_beg
+            tid = jnp.where(is_ts_tok, tok, tid)
+            pt = jnp.where(is_ts_tok, p, pt)
+
+            write = run_mask
+            col = i
+            tokens = c.tokens.at[:, col].set(jnp.where(write, tok, c.tokens[:, col]))
+            p_b = c.p.at[:, col].set(jnp.where(write, p, c.p[:, col]))
+            plog_b = c.plog.at[:, col].set(jnp.where(write, plog, c.plog[:, col]))
+            pt_b = c.pt.at[:, col].set(jnp.where(write, pt, c.pt[:, col]))
+            pts_b = c.ptsum.at[:, col].set(jnp.where(write, ptsum, c.ptsum[:, col]))
+            tid_b = c.tid.at[:, col].set(jnp.where(write, tid, c.tid[:, col]))
+            sum_lp = jnp.where(write, c.sum_lp + plog, c.sum_lp)
+
+            # state machine (whisper.cpp:7355-7459), vectorized over B
+            gt_beg = (tok > token_beg) & run_mask
+            sd_new = 2 * (tok - token_beg)
+            ts_fail = gt_beg & c.has_ts & (c.seek_delta > sd_new) & (c.result_len < i)
+            take_ts = gt_beg & ~ts_fail
+            seek_delta = jnp.where(take_ts, sd_new, c.seek_delta)
+            result_len = jnp.where(take_ts, i + 1, c.result_len)
+            has_ts = c.has_ts | take_ts
+
+            at_end = seeks + seek_delta + DELTA_MIN >= seek_end
+            end_hit = run_mask & ~ts_fail & (
+                (tok == token_eot)
+                | ((sa.max_tokens > 0) & (i >= sa.max_tokens))
+                | (has_ts & at_end))
+            rl_zero = (result_len == 0) & (not sa.no_timestamps)
+            end_fail = end_hit & rl_zero & ~at_end
+            result_len = jnp.where(end_hit & rl_zero & at_end, i + 1, result_len)
+            end_ok = end_hit & ~end_fail
+            if sa.no_timestamps:
+                result_len = jnp.where(end_ok, i + 1, result_len)
+                seek_delta = jnp.where(end_ok, CHUNK_FRAMES, seek_delta)
+            completed = c.completed | end_ok
+            failed = c.failed | ts_fail | end_fail
+
+            if sa.stub:
+                newly = run_mask & ~completed & ~failed
+                seek_delta = jnp.where(newly, CHUNK_FRAMES, seek_delta)
+                completed = completed | newly
+
+            rep_fail = ((i == sa.n_max - 1) & run_mask & ~completed & ~failed
+                        & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
+            failed = failed | rep_fail
+
+            step_logits, kv_k, kv_v, _ = M.decode_impl(
+                cfg, dec["decoder"], tok[:, None], c.kv_k, c.kv_v,
+                c.kv_head, xk, xv)
+
+            return _BatchCarry(
+                kv_k=kv_k, kv_v=kv_v, kv_head=c.kv_head + 1, i=i + 1,
+                logits=step_logits[:, 0],
+                tokens=tokens, p=p_b, plog=plog_b, pt=pt_b, ptsum=pts_b,
+                tid=tid_b, sum_lp=sum_lp,
+                last_was_ts=jnp.where(run_mask, is_ts_tok, c.last_was_ts),
+                penult_was_ts=jnp.where(run_mask, c.last_was_ts | (i == 0),
+                                        c.penult_was_ts),
+                has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
+                completed=completed, failed=failed)
+
+        c = jax.lax.while_loop(cond, body, carry)
+        return BatchResult(
+            tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,
+            tid=c.tid, n_tokens=jnp.broadcast_to(c.i, (B,)),
+            result_len=c.result_len, seek_delta=c.seek_delta,
+            has_ts=c.has_ts, completed=c.completed, failed=c.failed,
+            sum_lp=c.sum_lp, no_speech_prob=nsp)
+
+    return run
+
+
+def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
+                       samples: np.ndarray, n_chunks: int = 8,
+                       ) -> F.TranscribeResult:
+    """Transcribe by splitting into `n_chunks` independent chunks and
+    decoding all their windows in lockstep on-device. Greedy t=0 path;
+    chunks whose QA gates trip fall back to the single-stream driver."""
+    samples = np.asarray(samples, np.float32)
+    if n_chunks <= 1:
+        return F.whisper_full(ctx, p, samples)
+
+    cfg = ctx.cfg
+    vocab = ctx.vocab
+    rc = ctx.rule_config
+
+    mel = mel_mod.log_mel_spectrogram(samples, ctx.filters)
+    # guarantee a full window fits at any seek < n_len_org (zero-padded
+    # like whisper_encode_internal's window buffer, whisper.cpp:2392-2399)
+    need = mel.n_len_org + 2 * cfg.n_audio_ctx
+    if mel.data.shape[0] < need:
+        mel = dataclasses.replace(
+            mel, data=jnp.concatenate(
+                [mel.data, jnp.zeros((need - mel.data.shape[0],
+                                      mel.data.shape[1]), mel.data.dtype)]))
+    n_per = mel.n_len_org // n_chunks
+    chunk_bounds = [(i * n_per,
+                     mel.n_len_org if i == n_chunks - 1 else (i + 1) * n_per)
+                    for i in range(n_chunks)]
+
+    no_timestamps = p.no_timestamps
+    prompt_init = [vocab.token_sot]
+    if vocab.is_multilingual:
+        from . import tokenizer as tok_mod
+        lid = tok_mod.lang_id(p.language or "en")
+        prompt_init += [vocab.token_lang(lid),
+                        vocab.token_translate if p.translate
+                        else vocab.token_transcribe]
+    if no_timestamps:
+        prompt_init.append(vocab.token_not)
+
+    base_mask, init_mask = ctx.rule_masks(p)
+    n_max = cfg.n_text_ctx // 2 - 4
+    sa = _StaticArgs(cfg=cfg, rc=rc, n_max=n_max, max_tokens=p.max_tokens,
+                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+    step = _make_batch_step(sa)
+
+    B = n_chunks
+    seeks = np.array([b[0] for b in chunk_bounds], np.int32)
+    ends = np.array([b[1] for b in chunk_bounds], np.int32)
+    chunk_segments: list[list[F.Segment]] = [[] for _ in range(B)]
+    failed_chunks: set[int] = set()
+    prompt = jnp.asarray(np.asarray(prompt_init, np.int32)[None])
+
+    while True:
+        active_np = (seeks + DELTA_MIN < ends) & ~np.isin(
+            np.arange(B), list(failed_chunks))
+        if not active_np.any():
+            break
+        kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=ctx.dtype)
+        res = step(ctx.params, mel.data, jnp.asarray(seeks),
+                   jnp.asarray(active_np), prompt, kv_k, kv_v,
+                   base_mask, init_mask, jnp.int32(vocab.token_nosp),
+                   jnp.asarray(ends))
+        res = jax.tree.map(np.asarray, res)
+
+        for b in range(B):
+            if not active_np[b]:
+                continue
+            if res.failed[b]:
+                failed_chunks.add(b)
+                continue
+            d = F._DecoderState()
+            n_tok = int(res.n_tokens[b])
+            d.tokens = [F.TokenData(int(res.tokens[b, k]), int(res.tid[b, k]),
+                                    float(res.p[b, k]), float(res.plog[b, k]),
+                                    float(res.pt[b, k]), float(res.ptsum[b, k]))
+                        for k in range(n_tok)]
+            d.result_len = int(res.result_len[b])
+            d.seek_delta = int(res.seek_delta[b])
+            d.tokens = d.tokens[:d.result_len]
+            tokens_cur = d.tokens
+            nsp = float(res.no_speech_prob[b])
+
+            sub = F.TranscribeResult(segments=chunk_segments[b])
+            if tokens_cur and ctx.n_loaded > 0:
+                F._emit_segments(ctx, p, sub, tokens_cur, int(seeks[b]),
+                                 d.seek_delta, nsp)
+            single_ts_end = (len(tokens_cur) > 1
+                             and tokens_cur[-2].id < vocab.token_beg
+                             and tokens_cur[-1].id > vocab.token_beg)
+            sd = d.seek_delta
+            if single_ts_end:
+                sd = min(int(ends[b]) - int(seeks[b]), CHUNK_FRAMES)
+            seeks[b] += sd
+
+    result = F.TranscribeResult(segments=[])
+    # QA-gate fallback: failed chunks re-run through the exact driver
+    for b in sorted(failed_chunks):
+        lo, hi = chunk_bounds[b]
+        chunk_audio = samples[lo * 160: hi * 160]
+        sub = F.whisper_full(ctx, dataclasses.replace(
+            p, offset_ms=0, print_progress=False), chunk_audio)
+        for s in sub.segments:
+            s.t0 += lo
+            s.t1 += lo
+        chunk_segments[b] = sub.segments
+
+    for b in range(B):
+        for s in chunk_segments[b]:
+            if result.segments:
+                s.t0 = max(s.t0, result.segments[-1].t1)
+            result.segments.append(s)
+    return result

@@ -1,0 +1,52 @@
+"""Batched-window serving pipeline vs the single-stream driver."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from open_whisper_kit_tpu.decode import batch as BT
+from open_whisper_kit_tpu.decode import full as F
+from open_whisper_kit_tpu.decode.params import FullParams
+
+
+@pytest.fixture(scope="module")
+def rand_ctx():
+    return F.WhisperContext.from_preset("tiny.en", dtype=jnp.float32)
+
+
+def test_batched_stub_runs(ref_models, jfk_wav):
+    from open_whisper_kit_tpu.audio.wav import load_wav
+    ctx = F.WhisperContext.from_file(
+        str(ref_models / "for-tests-ggml-tiny.en.bin"), dtype=jnp.float32)
+    audio = load_wav(jfk_wav)
+    p = FullParams(print_progress=False)
+    res = BT.transcribe_batched(ctx, p, audio, n_chunks=3)
+    assert res.segments == []  # stub model emits nothing, but must terminate
+
+
+def test_batched_matches_per_chunk(rand_ctx):
+    """Chunks decoded in batch must match decoding each chunk alone."""
+    rng = np.random.default_rng(20)
+    audio = (rng.standard_normal(16000 * 4).astype(np.float32) * 0.1)
+    p = FullParams(print_progress=False, no_context=True)
+    p.greedy.best_of = 1
+    p.temperature_inc = 0
+
+    res_b = BT.transcribe_batched(rand_ctx, p, audio, n_chunks=2)
+
+    # single-stream per chunk over the SAME global mel via offset/duration
+    # (batched mode shares one mel normalization context across chunks,
+    # unlike full_parallel's per-chunk mel — offset/duration reproduces it)
+    from open_whisper_kit_tpu.audio import mel as mel_mod
+    mel = mel_mod.log_mel_spectrogram(audio, rand_ctx.filters)
+    n_per = mel.n_len_org // 2
+    texts_single = []
+    for lo, hi in [(0, n_per), (n_per, mel.n_len_org)]:
+        import dataclasses
+        p_c = dataclasses.replace(p, offset_ms=lo * 10,
+                                  duration_ms=(hi - lo) * 10)
+        sub = F.whisper_full(rand_ctx, p_c, audio)
+        texts_single.extend(
+            [t.id for s in sub.segments for t in s.tokens])
+    texts_batched = [t.id for s in res_b.segments for t in s.tokens]
+    assert texts_batched == texts_single
