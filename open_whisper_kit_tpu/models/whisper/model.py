@@ -253,6 +253,21 @@ def _attention(q, k, v, n_head, scale, mask=None):
     return out.reshape(B, Tq, S), probs
 
 
+def _attention_hm(q, kh, vh, n_head, scale, mask=None):
+    """Head-major attention: q (B,Tq,S), kh/vh (B,H,Tk,dh) -> (B,Tq,S)."""
+    B, Tq, S = q.shape
+    d = S // n_head
+    qh = q.reshape(B, Tq, n_head, d).transpose(0, 2, 1, 3)   # (B,H,Tq,dh)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, Tq, S), probs
+
+
 def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
     from ...ops.attention import mha_full
 
@@ -300,7 +315,8 @@ def encode(cfg: WhisperConfig, enc: Params, mel: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def cross_kv(cfg: WhisperConfig, dec: Params, enc_out: jnp.ndarray):
-    """enc_out (B,Ta,S) -> (xk, xv) each (L,B,Ta,S); xk pre-scaled d**-0.25.
+    """enc_out (B,Ta,S) -> (xk, xv) each (L,B,H,Ta,dh), head-major layout;
+    xk pre-scaled d**-0.25.
 
     Mirrors whisper_build_graph_cross (src/whisper.cpp:2272-2346).
     """
@@ -308,8 +324,13 @@ def cross_kv(cfg: WhisperConfig, dec: Params, enc_out: jnp.ndarray):
     blocks = dec["blocks"]
 
     def body(_, bp):
-        k = _mm(enc_out, bp["ck_w"]) * kscale
+        B, Ta, _S = enc_out.shape
+        H, dh = cfg.n_text_head, cfg.d_text_head
+        k = (_mm(enc_out, bp["ck_w"]) * kscale)
         v = _mm(enc_out, bp["cv_w"]) + bp["cv_b"]
+        # head-major (B, H, Ta, dh): 3x faster per-token reads at batch
+        k = k.reshape(B, Ta, H, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Ta, H, dh).transpose(0, 2, 1, 3)
         return None, (k, v)
 
     _, (xk, xv) = jax.lax.scan(body, None, blocks)
@@ -321,7 +342,9 @@ def cross_kv(cfg: WhisperConfig, dec: Params, enc_out: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(cfg: WhisperConfig, n_beams: int, dtype=jnp.bfloat16):
-    shape = (cfg.n_text_layer, n_beams, cfg.n_text_ctx, cfg.n_text_state)
+    """Static self-attention cache, head-major (L, B, H, n_ctx, dh)."""
+    shape = (cfg.n_text_layer, n_beams, cfg.n_text_head, cfg.n_text_ctx,
+             cfg.d_text_head)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -346,7 +369,8 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
     """
     dtype = kv_k.dtype
     B, T = tokens.shape
-    C = kv_k.shape[2]
+    C = kv_k.shape[3]
+    H, dh = cfg.n_text_head, cfg.d_text_head
     kqscale = float(cfg.d_text_head) ** -0.25
     positions = kv_head + jnp.arange(T)
 
@@ -366,17 +390,20 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
         k = _mm(h, p["k_w"]) * kqscale
         v = _mm(h, p["v_w"]) + p["v_b"]
 
+        # write head-major (B,H,T,dh) slabs at slot kv_head
+        k_hm = k.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        v_hm = v.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
         kv_k = jax.lax.dynamic_update_slice(
-            kv_k, k[None].astype(dtype), (il, 0, kv_head, 0))
+            kv_k, k_hm[None].astype(dtype), (il, 0, 0, kv_head, 0))
         kv_v = jax.lax.dynamic_update_slice(
-            kv_v, v[None].astype(dtype), (il, 0, kv_head, 0))
+            kv_v, v_hm[None].astype(dtype), (il, 0, 0, kv_head, 0))
 
-        a, _ = _attention(q, kv_k[il], kv_v[il], cfg.n_text_head, 1.0, mask)
+        a, _ = _attention_hm(q, kv_k[il], kv_v[il], cfg.n_text_head, 1.0, mask)
         x = x + _mm(a, p["o_w"]) + p["o_b"]
 
         h = _ln(x, p["cross_ln_w"], p["cross_ln_b"], cfg.eps)
         cq = _mm(h, p["cq_w"]) + p["cq_b"]
-        ca, probs = _attention(cq, xk[il], xv[il], cfg.n_text_head, kqscale)
+        ca, probs = _attention_hm(cq, xk[il], xv[il], cfg.n_text_head, kqscale)
         if collect_cross_qk:
             cross_probs.append(probs)
         x = x + _mm(ca, p["co_w"]) + p["co_b"]

@@ -96,11 +96,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def kv_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache (L, B, C, S): batch on dp, state on tp (matches the
+    """KV cache (L, B, H, C, dh): batch on dp, heads on tp (matches the
     head-sharded K/V projections)."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp"))
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
 
 
 def cross_kv_sharding(mesh: Mesh) -> NamedSharding:
-    """Cross K/V (L, B, Ta, S)."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp"))
+    """Cross K/V (L, B, H, Ta, dh)."""
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))

@@ -124,7 +124,9 @@ def test_decoder_matches_torch_oracle(params):
     tokens = rng.integers(0, CFG.n_vocab, size=(1, 7)).astype(np.int32)
 
     xk, xv = M.cross_kv(CFG, params["decoder"], enc_out)
-    assert xk.shape == (CFG.n_text_layer, 1, CFG.n_audio_ctx, CFG.n_text_state)
+    # head-major cross-KV layout (L, B, H, Ta, dh)
+    assert xk.shape == (CFG.n_text_layer, 1, CFG.n_text_head,
+                        CFG.n_audio_ctx, CFG.d_text_head)
     kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.float32)
     logits, kv_k, kv_v, _ = M.decode(
         CFG, params["decoder"], jnp.asarray(tokens), kv_k, kv_v,
