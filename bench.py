@@ -112,6 +112,33 @@ def main():
     float(pp(params["decoder"], xk, xv))
     pp_s = (time.perf_counter() - t0) / 256
 
+    # ---- batched serving throughput: B windows, enc + 200 tokens each ----
+    B = 16
+
+    @jax.jit
+    def batched_round(p, melB):
+        enc = M.encode(cfg, p["encoder"], melB)
+        xkB, xvB = M.cross_kv(cfg, p["decoder"], enc)
+        kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16)
+        tok = jnp.zeros((B, 1), jnp.int32)
+
+        def body(carry, _):
+            tok, kv_k, kv_v, head = carry
+            logits, kv_k, kv_v, _ = M.decode_impl(
+                cfg, p["decoder"], tok, kv_k, kv_v, head, xkB, xvB)
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return (tok, kv_k, kv_v, head + 1), ()
+
+        (tok, _, _, _), _ = jax.lax.scan(
+            body, (tok, kv_k, kv_v, jnp.int32(0)), None, length=N_DEC_TOKENS)
+        return jnp.sum(tok)
+
+    melB = jnp.zeros((B, 2 * cfg.n_audio_ctx, cfg.n_mels), jnp.float32)
+    float(batched_round(params, melB))
+    t0 = time.perf_counter()
+    float(batched_round(params, melB))
+    batched_sps = B * 30.0 / (time.perf_counter() - t0)
+
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
     baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
 
@@ -128,6 +155,7 @@ def main():
             "baseline_enc_ms": BASELINE_ENC_MS,
             "baseline_dec_ms": BASELINE_DEC_MS,
             "baseline_rtf": round(baseline_rtf, 1),
+            "batched16_audio_sec_per_sec": round(batched_sps, 1),
             "device": str(jax.devices()[0]),
         },
     }
