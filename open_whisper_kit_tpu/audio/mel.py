@@ -43,7 +43,8 @@ def hann_window(length: int, periodic: bool = True) -> np.ndarray:
 
 @dataclasses.dataclass
 class Mel:
-    data: jnp.ndarray    # (n_len, n_mel) float32 — frame-major (TPU friendly)
+    data: jnp.ndarray    # (>= n_len, n_mel) f32, frame-major; rows beyond
+                         # n_len are zero compile-bucket padding
     n_len: int           # total frames incl. the 30 s zero tail
     n_len_org: int       # frames covering the real audio (seek bound)
 
@@ -53,7 +54,7 @@ class Mel:
 
     def ref_layout(self) -> np.ndarray:
         """(n_mel, n_len) float32 layout used by reference debug dumps."""
-        return np.asarray(self.data).T
+        return np.asarray(self.data[:self.n_len]).T
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
@@ -70,15 +71,22 @@ def _mel_frames_jit(padded: jnp.ndarray, window: jnp.ndarray,
 
 
 @jax.jit
-def _normalize_jit(logmel: jnp.ndarray) -> jnp.ndarray:
-    mmax = jnp.max(logmel) - 8.0
-    return (jnp.maximum(logmel, mmax) + 4.0) / 4.0
+def _normalize_jit(logmel: jnp.ndarray, n_len: jnp.ndarray) -> jnp.ndarray:
+    """Clamp to max-8 and scale; frames >= n_len zeroed (they exist only as
+    compile-bucket padding; the reference's window buffer is zero there,
+    whisper.cpp:2392-2399)."""
+    live = jnp.arange(logmel.shape[0]) < n_len
+    mmax = jnp.max(jnp.where(live[:, None], logmel, -jnp.inf)) - 8.0
+    out = (jnp.maximum(logmel, mmax) + 4.0) / 4.0
+    return jnp.where(live[:, None], out, 0.0)
 
 
 def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
     """Whisper log-mel of 16 kHz mono float32 `samples`.
 
     `filters` is the (n_mel, n_fft_bins=201) filterbank from the checkpoint.
+    Frames are computed in fixed 1024-frame device calls so ONE compiled
+    program covers every audio length (no per-length recompiles).
     """
     samples = np.ascontiguousarray(samples, dtype=np.float32)
     n = samples.shape[0]
@@ -87,9 +95,8 @@ def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
     n_len = (n + N_SAMPLES_CHUNK + 2 * pad_half - N_FFT) // HOP_LENGTH
     n_len_org = 1 + (n + pad_half - N_FFT) // HOP_LENGTH if n + pad_half >= N_FFT else 0
 
-    n_frames_pad = max(_FRAME_BUCKET,
-                       -(-n_len // _FRAME_BUCKET) * _FRAME_BUCKET)
-    padded_len = n_frames_pad * HOP_LENGTH + (N_FFT - HOP_LENGTH)
+    n_chunks = max(1, -(-n_len // _FRAME_BUCKET))
+    padded_len = n_chunks * _FRAME_BUCKET * HOP_LENGTH + (N_FFT - HOP_LENGTH)
     padded = np.zeros(padded_len, dtype=np.float32)
     if n > 0:
         padded[pad_half:pad_half + n] = samples
@@ -100,9 +107,14 @@ def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
 
     window = jnp.asarray(hann_window(N_FFT))
     filters_t = jnp.asarray(np.ascontiguousarray(filters.T, dtype=np.float32))
-    logmel = _mel_frames_jit(jnp.asarray(padded), window, filters_t, n_frames_pad)
-    logmel = logmel[:n_len]
-    data = _normalize_jit(logmel)
+    chunk_samples = _FRAME_BUCKET * HOP_LENGTH + (N_FFT - HOP_LENGTH)
+    parts = []
+    for i in range(n_chunks):
+        lo = i * _FRAME_BUCKET * HOP_LENGTH
+        parts.append(_mel_frames_jit(jnp.asarray(padded[lo:lo + chunk_samples]),
+                                     window, filters_t, _FRAME_BUCKET))
+    logmel = parts[0] if n_chunks == 1 else jnp.concatenate(parts)
+    data = _normalize_jit(logmel, jnp.int32(n_len))
     return Mel(data=data, n_len=n_len, n_len_org=n_len_org)
 
 

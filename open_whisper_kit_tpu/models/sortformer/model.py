@@ -231,16 +231,29 @@ def compute_mel(cfg: SortformerConfig, params: Params,
     off = (cfg.n_fft - cfg.win_length) // 2
     win[off:off + cfg.win_length] = np.asarray(params["mel_window"])[:cfg.win_length]
 
-    need = (n_compute - 1) * cfg.hop_length + cfg.n_fft if n_compute > 0 else 0
-    mel = _mel_jit(jnp.asarray(padded[:need] if need <= padded.shape[0]
-                               else np.pad(padded, (0, need - padded.shape[0]))),
-                   jnp.asarray(win), params["mel_fb"], n_compute,
-                   cfg.n_fft, cfg.hop_length, float(cfg.log_guard)) \
-        if n_compute > 0 else jnp.zeros((0, cfg.n_mels), jnp.float32)
+    # fixed-size frame chunks: one compiled program for every audio length
+    CHUNK = 2048
+    n_chunks = max(1, -(-n_compute // CHUNK)) if n_compute > 0 else 0
+    need = (n_chunks * CHUNK - 1) * cfg.hop_length + cfg.n_fft
+    if padded.shape[0] < need:
+        padded = np.pad(padded, (0, need - padded.shape[0]))
+    win_j = jnp.asarray(win)
+    parts = []
+    for i in range(n_chunks):
+        lo = i * CHUNK * cfg.hop_length
+        hi = lo + (CHUNK - 1) * cfg.hop_length + cfg.n_fft
+        parts.append(_mel_jit(jnp.asarray(padded[lo:hi]), win_j,
+                              params["mel_fb"], CHUNK, cfg.n_fft,
+                              cfg.hop_length, float(cfg.log_guard)))
+    if parts:
+        mel = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        mel = mel[:n_compute]
+    else:
+        mel = jnp.zeros((0, cfg.n_mels), jnp.float32)
 
-    out = jnp.zeros((n_out, cfg.n_mels), jnp.float32)
-    out = out.at[:n_compute].set(mel)
-    return out, seq_len
+    out = np.zeros((n_out, cfg.n_mels), np.float32)
+    out[:n_compute] = np.asarray(mel)
+    return jnp.asarray(out), seq_len
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "n_fft", "hop"))
