@@ -7,4 +7,13 @@ transcripts — rebuilt for TPU on JAX/XLA/Pallas. See README.md.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("OWK_JAX_CACHE_DIR"):
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["OWK_JAX_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from . import api  # noqa: F401
