@@ -434,25 +434,9 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                 timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
                 timings.n_decode += n_tok + 1
                 timings.n_sample += n_tok
-                best_decoder_id = 0
-                best_score = -math.inf
-                for j, dd in enumerate(decoders):
-                    if dd.failed:
-                        continue
-                    dd.tokens = dd.tokens[:dd.result_len]
-                    _score_sequence(dd, p.length_penalty)
-                    if dd.result_len > 32 and dd.entropy < p.entropy_thold:
-                        dd.failed = True
-                        continue
-                    if dd.score > best_score:
-                        best_score = dd.score
-                        best_decoder_id = j
-                success = True
-                if it != len(temperatures) - 1:
-                    dd = decoders[best_decoder_id]
-                    if dd.failed or (dd.avg_logprobs < p.logprob_thold
-                                     and no_speech_prob < p.no_speech_thold):
-                        success = False
+                best_decoder_id, success = _rank_decoders(
+                    decoders, p, no_speech_prob,
+                    it == len(temperatures) - 1)
                 if success:
                     break
                 continue
@@ -603,26 +587,8 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                     return result
 
             # ---- rank sequences (whisper.cpp:7545-7580) ----
-            best_score = -math.inf
-            best_decoder_id = 0
-            for j, d in enumerate(decoders):
-                if d.failed:
-                    continue
-                d.tokens = d.tokens[:d.result_len]
-                _score_sequence(d, p.length_penalty)
-                if d.result_len > 32 and d.entropy < p.entropy_thold:
-                    d.failed = True
-                    continue
-                if d.score > best_score:
-                    best_score = d.score
-                    best_decoder_id = j
-
-            success = True
-            if it != len(temperatures) - 1:
-                d = decoders[best_decoder_id]
-                if d.failed or (d.avg_logprobs < p.logprob_thold
-                                and no_speech_prob < p.no_speech_thold):
-                    success = False
+            best_decoder_id, success = _rank_decoders(
+                decoders, p, no_speech_prob, it == len(temperatures) - 1)
             if success:
                 break
 
@@ -685,6 +651,33 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                     tk.t1 = _map(tk.t1, vad_mapping)
 
     return result
+
+
+
+def _rank_decoders(decoders, p, no_speech_prob, is_last_temperature):
+    """Sequence ranking + QA gates (whisper.cpp:7545-7605).
+
+    Returns (best_decoder_id, success)."""
+    best_score = -math.inf
+    best_id = 0
+    for j, d in enumerate(decoders):
+        if d.failed:
+            continue
+        d.tokens = d.tokens[:d.result_len]
+        _score_sequence(d, p.length_penalty)
+        if d.result_len > 32 and d.entropy < p.entropy_thold:
+            d.failed = True
+            continue
+        if d.score > best_score:
+            best_score = d.score
+            best_id = j
+    success = True
+    if not is_last_temperature:
+        d = decoders[best_id]
+        if d.failed or (d.avg_logprobs < p.logprob_thold
+                        and no_speech_prob < p.no_speech_thold):
+            success = False
+    return best_id, success
 
 
 def _beam_state(decoders: list[_DecoderState],
