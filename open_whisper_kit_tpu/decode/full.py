@@ -393,9 +393,61 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             n_max = cfg.n_text_ctx // 2 - 4
 
             # fused on-device path for the common t=0 single-decoder case
-            use_device_loop = (n_dec_cur == 1 and t_cur < 1e-6
+            use_device_loop = (p.use_device_loops
+                               and n_dec_cur == 1 and t_cur < 1e-6
                                and p.grammar_rules is None
                                and p.logits_filter_callback is None)
+            use_device_beam = (p.use_device_loops
+                               and beam_mode and n_dec_cur > 1
+                               and t_cur < 1e-6
+                               and p.grammar_rules is None
+                               and p.logits_filter_callback is None)
+            if use_device_beam:
+                t0 = time.perf_counter()
+                kv_k, kv_v = M.init_kv_cache(cfg, n_dec_cur, dtype=ctx.dtype)
+                xk_b = jnp.repeat(xk, n_dec_cur, axis=1)
+                xv_b = jnp.repeat(xv, n_dec_cur, axis=1)
+                T_real = len(prompt)
+                T_pad = min(cfg.n_text_ctx,
+                            max(_PROMPT_BUCKET,
+                                -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET))
+                toks = np.zeros((1, T_pad), np.int32)
+                toks[0, :T_real] = prompt
+                from . import device_beam as DB
+                res_dev = DB.decode_segment_beam(
+                    cfg, rc, dec_params, jnp.asarray(toks), jnp.int32(T_real),
+                    kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
+                    jnp.int32(vocab.token_nosp), jnp.int32(seek),
+                    jnp.int32(seek_end), beam_size=n_dec_cur,
+                    n_max=cfg.n_text_ctx // 2 - 4,
+                    max_tokens=p.max_tokens, single_segment=p.single_segment,
+                    no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+                res_dev = jax.tree.map(np.asarray, res_dev)
+                n_tok = int(res_dev.n_tokens)
+                for j, d in enumerate(decoders):
+                    d.tokens = [TokenData(int(res_dev.tokens[j, k]),
+                                          int(res_dev.tid[j, k]),
+                                          float(res_dev.p[j, k]),
+                                          float(res_dev.plog[j, k]),
+                                          float(res_dev.pt[j, k]),
+                                          float(res_dev.ptsum[j, k]))
+                                for k in range(n_tok)]
+                    d.sum_logprobs_all = float(res_dev.sum_lp[j])
+                    d.result_len = int(res_dev.result_len[j])
+                    d.seek_delta = int(res_dev.seek_delta[j])
+                    d.has_ts = bool(res_dev.has_ts[j])
+                    d.completed = bool(res_dev.completed[j])
+                    d.failed = bool(res_dev.failed[j])
+                no_speech_prob = float(res_dev.no_speech_prob)
+                timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+                timings.n_decode += n_tok + 1
+                timings.n_sample += n_tok
+                best_decoder_id, success = _rank_decoders(
+                    decoders, p, no_speech_prob,
+                    it == len(temperatures) - 1)
+                if success:
+                    break
+                continue
             if use_device_loop:
                 t0 = time.perf_counter()
                 kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)

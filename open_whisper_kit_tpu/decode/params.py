@@ -110,6 +110,10 @@ class FullParams:
     # reference selects this with whisper_context_params.dtw_token_timestamps)
     dtw_token_timestamps: bool = False
 
+    # TPU-specific: allow the fused on-device decode loops (greedy + beam).
+    # False forces the host-stepped reference-exact path.
+    use_device_loops: bool = True
+
     @classmethod
     def greedy_default(cls) -> "FullParams":
         return cls(strategy=SamplingStrategy.GREEDY)

@@ -41,3 +41,27 @@ def test_device_loop_matches_host_loop(ctx):
             np.testing.assert_allclose(td.p, th.p, atol=1e-4)
             np.testing.assert_allclose(td.plog, th.plog, atol=1e-3)
             np.testing.assert_allclose(td.ptsum, th.ptsum, atol=1e-4)
+
+
+def test_device_beam_matches_host_beam(ctx):
+    """Device beam search must match the host beam loop token-for-token."""
+    from open_whisper_kit_tpu.decode.params import SamplingStrategy
+    audio = (np.random.default_rng(13).standard_normal(16000 * 2)
+             .astype(np.float32) * 0.1)
+
+    def run(use_device):
+        p = FullParams(strategy=SamplingStrategy.BEAM_SEARCH,
+                       print_progress=False, use_device_loops=use_device)
+        p.beam_search.beam_size = 3
+        p.temperature_inc = 0
+        return F.whisper_full(ctx, p, audio)
+
+    res_dev = run(True)
+    res_host = run(False)
+    toks_dev = [[t.id for t in s.tokens] for s in res_dev.segments]
+    toks_host = [[t.id for t in s.tokens] for s in res_host.segments]
+    assert toks_dev == toks_host
+    for sd, sh in zip(res_dev.segments, res_host.segments):
+        assert (sd.t0, sd.t1) == (sh.t0, sh.t1)
+        for td, th in zip(sd.tokens, sh.tokens):
+            np.testing.assert_allclose(td.plog, th.plog, atol=1e-3)
