@@ -166,7 +166,8 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                      jnp.full((B,), jnp.uint32(0xFFFFFFFF)),
                      jnp.full((B,), jnp.uint32(0xFFFFFFFE)))
         (_, _, _), (slot, a_src, a_tok, a_lp, a_p) = jax.lax.scan(
-            assign, init_sigs, (sig1, sig2, srcs, ids, lps, ps, neg_s))
+            assign, init_sigs, (sig1, sig2, srcs, ids, lps, ps, neg_s),
+            unroll=True)
 
         # scatter assignments: beam_of_slot[s] = order[s]
         new_src = jnp.arange(B, dtype=jnp.int32)     # inactive: keep self
@@ -272,3 +273,35 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         tid=c.tid, n_tokens=c.i, sum_lp=c.sum_lp, result_len=c.result_len,
         seek_delta=c.seek_delta, has_ts=c.has_ts, completed=c.completed,
         failed=c.failed, no_speech_prob=nsp)
+
+
+@jax.jit
+def pack_beam_result(res: BeamSegmentResult) -> jnp.ndarray:
+    """One-transfer flattening of the beam result bundle (see
+    device_loop.pack_segment_result for why)."""
+    B = res.tokens.shape[0]
+    per_beam = jnp.stack([
+        res.sum_lp, res.result_len.astype(jnp.float32),
+        res.seek_delta.astype(jnp.float32), res.has_ts.astype(jnp.float32),
+        res.completed.astype(jnp.float32), res.failed.astype(jnp.float32),
+    ])  # (6, B)
+    return jnp.concatenate([
+        res.tokens.astype(jnp.float32).reshape(-1), res.p.reshape(-1),
+        res.plog.reshape(-1), res.pt.reshape(-1), res.ptsum.reshape(-1),
+        res.tid.astype(jnp.float32).reshape(-1), per_beam.reshape(-1),
+        jnp.stack([res.n_tokens.astype(jnp.float32), res.no_speech_prob])])
+
+
+def unpack_beam_result(flat, beam_size: int, n_max: int):
+    import numpy as np
+    flat = np.asarray(flat)
+    n = beam_size * n_max
+    f = lambda i: flat[i * n:(i + 1) * n].reshape(beam_size, n_max)
+    pb = flat[6 * n:6 * n + 6 * beam_size].reshape(6, beam_size)
+    tail = flat[6 * n + 6 * beam_size:]
+    return dict(
+        tokens=f(0).astype(np.int64), p=f(1), plog=f(2), pt=f(3), ptsum=f(4),
+        tid=f(5).astype(np.int64), sum_lp=pb[0],
+        result_len=pb[1].astype(np.int64), seek_delta=pb[2].astype(np.int64),
+        has_ts=pb[3] > 0.5, completed=pb[4] > 0.5, failed=pb[5] > 0.5,
+        n_tokens=int(tail[0]), no_speech_prob=float(tail[1]))

@@ -190,3 +190,36 @@ def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         seek_delta=c.seek_delta, has_ts=c.has_ts, completed=c.completed,
         failed=c.failed, sum_logprobs_all=c.sum_logprobs_all,
         no_speech_prob=no_speech_prob)
+
+
+@jax.jit
+def pack_segment_result(res: SegmentResult) -> jnp.ndarray:
+    """Flatten the result bundle into ONE f32 array so the host pays a
+    single device->host transfer (all values are exactly representable)."""
+    scalars = jnp.stack([
+        res.n_tokens.astype(jnp.float32),
+        res.result_len.astype(jnp.float32),
+        res.seek_delta.astype(jnp.float32),
+        res.has_ts.astype(jnp.float32),
+        res.completed.astype(jnp.float32),
+        res.failed.astype(jnp.float32),
+        res.sum_logprobs_all,
+        res.no_speech_prob,
+    ])
+    return jnp.concatenate([
+        res.tokens.astype(jnp.float32), res.p, res.plog, res.pt, res.ptsum,
+        res.tid.astype(jnp.float32), scalars])
+
+
+def unpack_segment_result(flat, n_max: int):
+    """Inverse of pack_segment_result -> dict of numpy arrays/scalars."""
+    import numpy as np
+    flat = np.asarray(flat)
+    f = lambda i: flat[i * n_max:(i + 1) * n_max]
+    s = flat[6 * n_max:]
+    return dict(
+        tokens=f(0).astype(np.int64), p=f(1), plog=f(2), pt=f(3), ptsum=f(4),
+        tid=f(5).astype(np.int64), n_tokens=int(s[0]), result_len=int(s[1]),
+        seek_delta=int(s[2]), has_ts=bool(s[3]), completed=bool(s[4]),
+        failed=bool(s[5]), sum_logprobs_all=float(s[6]),
+        no_speech_prob=float(s[7]))

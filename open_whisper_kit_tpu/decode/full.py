@@ -422,23 +422,25 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                     n_max=cfg.n_text_ctx // 2 - 4,
                     max_tokens=p.max_tokens, single_segment=p.single_segment,
                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
-                res_dev = jax.tree.map(np.asarray, res_dev)
-                n_tok = int(res_dev.n_tokens)
+                r = DB.unpack_beam_result(
+                    DB.pack_beam_result(res_dev), n_dec_cur,
+                    cfg.n_text_ctx // 2 - 4)
+                n_tok = r["n_tokens"]
                 for j, d in enumerate(decoders):
-                    d.tokens = [TokenData(int(res_dev.tokens[j, k]),
-                                          int(res_dev.tid[j, k]),
-                                          float(res_dev.p[j, k]),
-                                          float(res_dev.plog[j, k]),
-                                          float(res_dev.pt[j, k]),
-                                          float(res_dev.ptsum[j, k]))
+                    d.tokens = [TokenData(int(r["tokens"][j, k]),
+                                          int(r["tid"][j, k]),
+                                          float(r["p"][j, k]),
+                                          float(r["plog"][j, k]),
+                                          float(r["pt"][j, k]),
+                                          float(r["ptsum"][j, k]))
                                 for k in range(n_tok)]
-                    d.sum_logprobs_all = float(res_dev.sum_lp[j])
-                    d.result_len = int(res_dev.result_len[j])
-                    d.seek_delta = int(res_dev.seek_delta[j])
-                    d.has_ts = bool(res_dev.has_ts[j])
-                    d.completed = bool(res_dev.completed[j])
-                    d.failed = bool(res_dev.failed[j])
-                no_speech_prob = float(res_dev.no_speech_prob)
+                    d.sum_logprobs_all = float(r["sum_lp"][j])
+                    d.result_len = int(r["result_len"][j])
+                    d.seek_delta = int(r["seek_delta"][j])
+                    d.has_ts = bool(r["has_ts"][j])
+                    d.completed = bool(r["completed"][j])
+                    d.failed = bool(r["failed"][j])
+                no_speech_prob = r["no_speech_prob"]
                 timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
                 timings.n_decode += n_tok + 1
                 timings.n_sample += n_tok
@@ -465,24 +467,21 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                     jnp.int32(seek_end), n_max=n_max,
                     max_tokens=p.max_tokens, single_segment=p.single_segment,
                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
-                n_tok = int(res_dev.n_tokens)
-                ids = np.asarray(res_dev.tokens)
-                ps = np.asarray(res_dev.p)
-                plogs = np.asarray(res_dev.plog)
-                pts = np.asarray(res_dev.pt)
-                ptsums = np.asarray(res_dev.ptsum)
-                tids = np.asarray(res_dev.tid)
+                r = DL.unpack_segment_result(
+                    DL.pack_segment_result(res_dev), n_max)
+                n_tok = r["n_tokens"]
                 d = decoders[0]
-                d.tokens = [TokenData(int(ids[k]), int(tids[k]), float(ps[k]),
-                                      float(plogs[k]), float(pts[k]),
-                                      float(ptsums[k])) for k in range(n_tok)]
-                d.sum_logprobs_all = float(res_dev.sum_logprobs_all)
-                d.result_len = int(res_dev.result_len)
-                d.seek_delta = int(res_dev.seek_delta)
-                d.has_ts = bool(res_dev.has_ts)
-                d.completed = bool(res_dev.completed)
-                d.failed = bool(res_dev.failed)
-                no_speech_prob = float(res_dev.no_speech_prob)
+                d.tokens = [TokenData(int(r["tokens"][k]), int(r["tid"][k]),
+                                      float(r["p"][k]), float(r["plog"][k]),
+                                      float(r["pt"][k]), float(r["ptsum"][k]))
+                            for k in range(n_tok)]
+                d.sum_logprobs_all = r["sum_logprobs_all"]
+                d.result_len = r["result_len"]
+                d.seek_delta = r["seek_delta"]
+                d.has_ts = r["has_ts"]
+                d.completed = r["completed"]
+                d.failed = r["failed"]
+                no_speech_prob = r["no_speech_prob"]
                 timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
                 timings.n_decode += n_tok + 1
                 timings.n_sample += n_tok
