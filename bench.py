@@ -139,6 +139,21 @@ def main():
     float(batched_round(params, melB))
     batched_sps = B * 30.0 / (time.perf_counter() - t0)
 
+    # ---- true end-to-end: whisper_full on 30 s of audio (mel + windows +
+    # fused device decode + segment assembly) ----
+    from open_whisper_kit_tpu.decode import full as F
+    from open_whisper_kit_tpu.decode.params import FullParams
+
+    ctx = F.WhisperContext.from_preset(MODEL, dtype=jnp.bfloat16)
+    audio = np.random.default_rng(0).standard_normal(16000 * 30).astype(np.float32) * 0.1
+    fp = FullParams(print_progress=False)
+    fp.greedy.best_of = 1
+    fp.temperature_inc = 0
+    F.whisper_full(ctx, fp, audio)          # warm
+    t0 = time.perf_counter()
+    F.whisper_full(ctx, fp, audio)
+    e2e_rtf = 30.0 / (time.perf_counter() - t0)
+
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
     baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
 
@@ -156,6 +171,7 @@ def main():
             "baseline_dec_ms": BASELINE_DEC_MS,
             "baseline_rtf": round(baseline_rtf, 1),
             "batched16_audio_sec_per_sec": round(batched_sps, 1),
+            "e2e_whisper_full_rtf": round(e2e_rtf, 1),
             "device": str(jax.devices()[0]),
         },
     }

@@ -10,7 +10,6 @@ Python mirror of the reference's two API surfaces:
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ file replayed in real time, or a network stream.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 import numpy as np
 

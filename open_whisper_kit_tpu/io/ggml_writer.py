@@ -14,8 +14,7 @@ from pathlib import Path
 import numpy as np
 
 from . import quant
-from .ggml_whisper import (GGML_MAGIC, QNT_VERSION_FACTOR, WhisperCheckpoint,
-                           WhisperHParams)
+from .ggml_whisper import GGML_MAGIC, QNT_VERSION_FACTOR, WhisperHParams
 
 GGML_QNT_VERSION = 2
 

@@ -15,7 +15,6 @@ phases instead of one graph launch per 512-sample chunk:
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
