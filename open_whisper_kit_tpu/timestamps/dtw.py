@@ -150,12 +150,13 @@ def compute_dtw_timestamps(ctx, result, i_segment: int, n_segments: int,
     _, _, _, cross_qk = M.decode(
         cfg, ctx.params["decoder"], toks, kv_k, kv_v, jnp.int32(0), xk, xv,
         collect_cross_qk=True)
-    # cross_qk: (L, 1, H, T, Ta) f32
-    qk = np.asarray(cross_qk)[:, 0]              # (L, H, T, Ta)
-
+    # cross_qk: (L, 1, H, T, Ta) f32; gather just the alignment heads on
+    # device so only (n_heads, T, Ta) crosses the host boundary
     heads = heads_for_model(ctx.model_type, n_text_layer=cfg.n_text_layer,
                             n_head=cfg.n_text_head)
-    w = np.stack([qk[l, h] for (l, h) in heads])  # (n_heads, T, Ta)
+    l_idx = jnp.asarray([l for l, _ in heads])
+    h_idx = jnp.asarray([h for _, h in heads])
+    w = np.asarray(cross_qk[l_idx, 0, h_idx])     # (n_heads, T, Ta)
 
     n_audio_tokens = n_frames // 2
     w = w[:, :, :n_audio_tokens]
