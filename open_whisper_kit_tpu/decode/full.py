@@ -105,6 +105,9 @@ class WhisperContext:
                  vocab: tok_mod.WhisperVocab, filters: np.ndarray,
                  n_loaded: int, dtype=jnp.bfloat16, model_type: str = "custom"):
         self.cfg = cfg
+        # fuse the decoder qkv projections for the per-token hot path
+        params = dict(params)
+        params["decoder"] = M.prepare_decoder(params["decoder"])
         self.params = params
         self.vocab = vocab
         self.filters = filters

@@ -386,9 +386,16 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
         p = _layer_params(dec["blocks"], il)
 
         h = _ln(x, p["attn_ln_w"], p["attn_ln_b"], cfg.eps)
-        q = (_mm(h, p["q_w"]) + p["q_b"]) * kqscale
-        k = _mm(h, p["k_w"]) * kqscale
-        v = _mm(h, p["v_w"]) + p["v_b"]
+        if "qkv_w" in p:   # fused projection (prepare_decoder)
+            qkv = _mm(h, p["qkv_w"]) + p["qkv_b"]
+            S = cfg.n_text_state
+            q = qkv[..., :S] * kqscale
+            k = qkv[..., S:2 * S] * kqscale
+            v = qkv[..., 2 * S:]
+        else:
+            q = (_mm(h, p["q_w"]) + p["q_b"]) * kqscale
+            k = _mm(h, p["k_w"]) * kqscale
+            v = _mm(h, p["v_w"]) + p["v_b"]
 
         # write head-major (B,H,T,dh) slabs at slot kv_head
         k_hm = k.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
@@ -421,6 +428,31 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
 
 decode = functools.partial(jax.jit, static_argnames=("cfg", "collect_cross_qk"),
                            donate_argnames=("kv_k", "kv_v"))(decode_impl)
+
+
+def prepare_decoder(dec: Params) -> Params:
+    """Fuse the self-attention q/k/v projections into one matmul per layer
+    (fewer small ops on the per-token path). Quantized weights fuse by
+    concatenating their int8/scale planes. Returns a new decoder pytree;
+    the original param names are dropped for the fused ones."""
+    from ...ops.quant_matmul import QuantLinear
+
+    blocks = dict(dec["blocks"])
+    q_w, k_w, v_w = blocks.pop("q_w"), blocks.pop("k_w"), blocks.pop("v_w")
+    q_b, v_b = blocks.pop("q_b"), blocks.pop("v_b")
+    if isinstance(q_w, QuantLinear):
+        qkv_w = QuantLinear(
+            qs=jnp.concatenate([q_w.qs, k_w.qs, v_w.qs], axis=-1),
+            scales=jnp.concatenate([q_w.scales, k_w.scales, v_w.scales],
+                                   axis=-1))
+    else:
+        qkv_w = jnp.concatenate([q_w, k_w, v_w], axis=-1)
+    zeros_k = jnp.zeros_like(q_b)
+    blocks["qkv_w"] = qkv_w
+    blocks["qkv_b"] = jnp.concatenate([q_b, zeros_k, v_b], axis=-1)
+    out = dict(dec)
+    out["blocks"] = blocks
+    return out
 
 
 @functools.partial(jax.jit, donate_argnames=("kv_k", "kv_v"))
