@@ -88,6 +88,7 @@ class _StaticArgs:
     max_tokens: int
     no_timestamps: bool
     stub: bool
+    cross_kv_int8: bool = False
 
 
 def _make_batch_step(sa: _StaticArgs):
@@ -101,6 +102,10 @@ def _make_batch_step(sa: _StaticArgs):
         windows = _gather_windows(mel_data, seeks, cfg.n_audio_ctx)
         enc_out = M.encode(cfg, dec["encoder"], windows)
         xk, xv = M.cross_kv(cfg, dec["decoder"], enc_out)
+        if sa.cross_kv_int8:
+            # halves the dominant per-step HBM traffic at batch
+            xk = M.quantize_cross_kv(xk)
+            xv = M.quantize_cross_kv(xv)
 
         t_prompt = prompt.shape[1]
         logits_all, kv_k, kv_v, _ = M.decode_impl(
@@ -218,7 +223,7 @@ def _make_batch_step(sa: _StaticArgs):
 
 def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
                        samples: np.ndarray, n_chunks: int = 8,
-                       ) -> F.TranscribeResult:
+                       cross_kv_int8: bool = False) -> F.TranscribeResult:
     """Transcribe by splitting into `n_chunks` independent chunks and
     decoding all their windows in lockstep on-device. Greedy t=0 path;
     chunks whose QA gates trip fall back to the single-stream driver."""
@@ -258,7 +263,8 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
     base_mask, init_mask = ctx.rule_masks(p)
     n_max = cfg.n_text_ctx // 2 - 4
     sa = _StaticArgs(cfg=cfg, rc=rc, n_max=n_max, max_tokens=p.max_tokens,
-                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0,
+                     cross_kv_int8=cross_kv_int8)
     step = _make_batch_step(sa)
 
     B = n_chunks

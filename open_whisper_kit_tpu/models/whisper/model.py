@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -341,6 +341,41 @@ def cross_kv(cfg: WhisperConfig, dec: Params, enc_out: jnp.ndarray):
 # Decoder
 # ---------------------------------------------------------------------------
 
+class QuantKV(NamedTuple):
+    """Int8 cross-KV with per-position scales: qs (L,B,H,Ta,dh) int8,
+    scale (L,B,H,Ta) f32. Halves the dominant HBM traffic of batched
+    decoding; XLA fuses the int8->bf16 convert into the attention dots."""
+    qs: jnp.ndarray
+    scale: jnp.ndarray
+
+
+@jax.jit
+def quantize_cross_kv(x: jnp.ndarray) -> QuantKV:
+    """(L,B,H,Ta,dh) float -> QuantKV (symmetric per-position int8)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    qs = jnp.clip(jnp.round(x32 * inv[..., None]), -127, 127).astype(jnp.int8)
+    return QuantKV(qs=qs, scale=scale)
+
+
+def _attention_hm_q(q, kq, ks, vq, vs, n_head, scale):
+    """Head-major attention over int8 K/V planes; scales fold into the
+    scores / probabilities so dequantized K/V never materialize in HBM."""
+    B, Tq, S = q.shape
+    d = S // n_head
+    qh = q.reshape(B, Tq, n_head, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kq.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * ks[:, :, None, :] * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    pv = (probs * vs[:, :, None, :]).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", pv, vq.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, Tq, S), probs
+
+
 def init_kv_cache(cfg: WhisperConfig, n_beams: int, dtype=jnp.bfloat16):
     """Static self-attention cache, head-major (L, B, H, n_ctx, dh)."""
     shape = (cfg.n_text_layer, n_beams, cfg.n_text_head, cfg.n_text_ctx,
@@ -410,7 +445,12 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
 
         h = _ln(x, p["cross_ln_w"], p["cross_ln_b"], cfg.eps)
         cq = _mm(h, p["cq_w"]) + p["cq_b"]
-        ca, probs = _attention_hm(cq, xk[il], xv[il], cfg.n_text_head, kqscale)
+        if isinstance(xk, QuantKV):
+            ca, probs = _attention_hm_q(cq, xk.qs[il], xk.scale[il],
+                                        xv.qs[il], xv.scale[il],
+                                        cfg.n_text_head, kqscale)
+        else:
+            ca, probs = _attention_hm(cq, xk[il], xv[il], cfg.n_text_head, kqscale)
         if collect_cross_qk:
             cross_probs.append(probs)
         x = x + _mm(ca, p["co_w"]) + p["co_b"]

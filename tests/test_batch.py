@@ -50,3 +50,36 @@ def test_batched_matches_per_chunk(rand_ctx):
             [t.id for s in sub.segments for t in s.tokens])
     texts_batched = [t.id for s in res_b.segments for t in s.tokens]
     assert texts_batched == texts_single
+
+
+def test_quantized_cross_kv_attention_close():
+    """int8 cross-KV attention tracks the bf16 path closely."""
+    import jax
+    from open_whisper_kit_tpu.models.whisper import model as M
+    rng = np.random.default_rng(3)
+    L, B, H, Ta, dh = 2, 1, 4, 64, 16
+    xk = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)) * 0.3, jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)) * 0.3, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, H * dh)), jnp.float32)
+
+    ref, _ = M._attention_hm(q, xk[0], xv[0], H, 0.5)
+    qk = M.quantize_cross_kv(xk)
+    qv = M.quantize_cross_kv(xv)
+    got, _ = M._attention_hm_q(q, qk.qs[0], qk.scale[0], qv.qs[0],
+                               qv.scale[0], H, 0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.02)
+
+
+def test_batched_with_int8_cross_kv(rand_ctx):
+    rng = np.random.default_rng(21)
+    audio = (rng.standard_normal(16000 * 3).astype(np.float32) * 0.1)
+    p = FullParams(print_progress=False)
+    p.greedy.best_of = 1
+    p.temperature_inc = 0
+    res_a = BT.transcribe_batched(rand_ctx, p, audio, n_chunks=2)
+    res_b = BT.transcribe_batched(rand_ctx, p, audio, n_chunks=2,
+                                  cross_kv_int8=True)
+    # pipelines both terminate; with a random model the quantization noise
+    # may flip low-margin tokens, so only sanity-compare structure
+    assert isinstance(res_b.segments, list)
+    assert abs(len(res_a.segments) - len(res_b.segments)) <= 3
