@@ -43,6 +43,28 @@ def make_mesh(n_devices: int | None = None, tp: int | None = None,
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_mesh3(n_devices: int | None = None, devices=None) -> Mesh:
+    """(dp, sp, tp) mesh: data over windows, sequence-parallel over the
+    1500-frame encoder axis, tensor-parallel over heads/MLP. Requires a
+    device count divisible by 4 (sp=tp=2)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % 4 == 0, f"need a multiple of 4 devices for (dp,sp,tp), got {n}"
+    arr = np.asarray(devices).reshape(n // 4, 2, 2)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
+
+
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """Encoder activations (B, T, S): batch on dp, frames on sp, state on tp
+    (GSPMD all-gathers the sequence for attention, re-shards for LN/MLP)."""
+    if "sp" in mesh.axis_names:
+        return NamedSharding(mesh, P("dp", "sp", "tp"))
+    return NamedSharding(mesh, P("dp", None, "tp"))
+
+
 def _block_specs(cross: bool) -> dict[str, P]:
     s = {
         "attn_ln_w": P(), "attn_ln_b": P(),
