@@ -140,6 +140,25 @@ class Diarizer:
                                            file_id or "unknown")
         return probs, segments
 
+    def diarize_batch(self, audios: list, stream_config=None,
+                      threshold: float = 0.5, median_win: int = 11,
+                      file_ids: list[str] | None = None):
+        """Lockstep multi-file diarization -> list of (probs, segments)."""
+        loaded = []
+        ids = []
+        for i, a in enumerate(audios):
+            if isinstance(a, (str, Path)):
+                ids.append(Path(a).stem)
+                loaded.append(load_wav(a))
+            else:
+                ids.append(file_ids[i] if file_ids else f"file_{i}")
+                loaded.append(np.asarray(a, np.float32))
+        if isinstance(stream_config, str):
+            stream_config = PRESETS[stream_config]
+        all_probs = self.engine.diarize_batch(loaded, stream_config)
+        return [(p, _rttm.probs_to_segments(p, threshold, median_win, fid))
+                for p, fid in zip(all_probs, ids)]
+
     def diarize_to_rttm(self, audio: str | Path | np.ndarray, **kw) -> str:
         _, segments = self.diarize(audio, **kw)
         return _rttm.to_rttm(segments)

@@ -301,6 +301,99 @@ class SortformerDiarizer:
         return np.concatenate(total_preds)
 
 
+    def diarize_batch(self, audios: list[np.ndarray],
+                      stream_cfg: StreamConfig | None = None
+                      ) -> list[np.ndarray]:
+        """Diarize several files in lockstep: each chunk round runs ONE
+        batched pre-encoder + head call over all files (the AOSC schedule is
+        shape-deterministic, so per-file states stay aligned).
+
+        Equal-length files match per-file diarization exactly. Shorter files
+        ride along on zero-padded mel (their chunk schedule follows the batch
+        maximum), so their predictions are those of the zero-padded audio —
+        near-identical in practice; batch same-length files when exactness
+        matters."""
+        if not audios:
+            return []
+        cfg = self.cfg
+        scfg = stream_cfg or StreamConfig()
+        sub = cfg.subsampling
+        Bf = len(audios)
+
+        mels = []
+        seq_lens = []
+        for a in audios:
+            m, s = SM.compute_mel(cfg, self.params, np.asarray(a, np.float32))
+            mels.append(np.asarray(m))
+            seq_lens.append(s)
+        feat_len = max(seq_lens)
+        n_mel_rows = max(m.shape[0] for m in mels)
+        mel_b = np.zeros((Bf, n_mel_rows, cfg.n_mels), np.float32)
+        for i, m in enumerate(mels):
+            mel_b[i, :m.shape[0]] = m
+
+        states = [StreamState(cfg.d_model) for _ in range(Bf)]
+        outs: list[list[np.ndarray]] = [[] for _ in range(Bf)]
+
+        stt_feat = 0
+        while stt_feat < feat_len:
+            end_feat = min(stt_feat + scfg.chunk_len * sub, feat_len)
+            left_off = min(scfg.chunk_left_context * sub, stt_feat)
+            right_off = min(scfg.chunk_right_context * sub, feat_len - end_feat)
+
+            chunk_mel = mel_b[:, stt_feat - left_off:end_feat + right_off]
+            lc = round(left_off / sub)
+            rc = math.ceil(right_off / sub)
+
+            t = chunk_mel.shape[1]
+            bucket = self._BUCKET * sub
+            t_pad = -(-t // bucket) * bucket
+            if t_pad != t:
+                chunk_mel = np.concatenate(
+                    [chunk_mel, np.zeros((Bf, t_pad - t, cfg.n_mels),
+                                         np.float32)], axis=1)
+            preenc = np.asarray(SM.preencode(
+                cfg, self.params, jnp.asarray(chunk_mel),
+                jnp.int32(t)))[:, :SM.preenc_out_len(t)]
+            chunk_used = preenc.shape[1] - lc - rc
+
+            sc_len = states[0].spkcache_len
+            fifo_len = states[0].fifo_len
+            combined = np.concatenate([
+                np.stack([st.spkcache for st in states]) if sc_len else
+                np.zeros((Bf, 0, cfg.d_model), np.float32),
+                np.stack([st.fifo for st in states]) if fifo_len else
+                np.zeros((Bf, 0, cfg.d_model), np.float32),
+                preenc], axis=1)
+
+            tt = combined.shape[1]
+            tt_pad = -(-tt // self._BUCKET) * self._BUCKET
+            if tt_pad != tt:
+                combined = np.concatenate(
+                    [combined, np.zeros((Bf, tt_pad - tt, cfg.d_model),
+                                        np.float32)], axis=1)
+            full_preds = np.asarray(SM.head(
+                cfg, self.params, jnp.asarray(combined), jnp.int32(tt)))[:, :tt]
+
+            pred_start = sc_len + fifo_len + lc
+            for i, st in enumerate(states):
+                chunk_preds = full_preds[i, pred_start:pred_start + chunk_used]
+                outs[i].append(chunk_preds)
+                chunk_embs = preenc[i, lc:lc + chunk_used]
+                _state_update(st, scfg, chunk_embs, chunk_preds.copy(),
+                              full_preds[i])
+
+            stt_feat = end_feat
+
+        results = []
+        for i in range(Bf):
+            probs = (np.concatenate(outs[i]) if outs[i]
+                     else np.zeros((0, N_SPK), np.float32))
+            n_true = -(-seq_lens[i] // sub)
+            results.append(probs[:n_true])
+        return results
+
+
 class SortformerStream:
     """True streaming API: feed arbitrary sample counts, poll frame probs.
 

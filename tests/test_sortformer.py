@@ -335,3 +335,37 @@ class TestPaddedMasking:
         audio = np.random.default_rng(5).standard_normal(16000 * 3).astype(np.float32) * 0.1
         probs = d.diarize(audio, scfg)
         assert probs.shape[1] == 4 and 30 <= probs.shape[0] <= 40
+
+
+class TestBatchDiarize:
+    def test_batch_matches_single(self, tiny_params):
+        """Lockstep multi-file diarization equals per-file diarization."""
+        d = SS.SortformerDiarizer(TINY, tiny_params)
+        scfg = SS.StreamConfig(chunk_len=8, spkcache_len=8,
+                               spkcache_update_period=8,
+                               spkcache_sil_frames_per_spk=1)
+        rng = np.random.default_rng(30)
+        a1 = rng.standard_normal(16000 * 3).astype(np.float32) * 0.1
+        a2 = rng.standard_normal(16000 * 3).astype(np.float32) * 0.1
+
+        batch = d.diarize_batch([a1, a2], scfg)
+        single = [d.diarize(a1, scfg), d.diarize(a2, scfg)]
+        for b, s in zip(batch, single):
+            assert b.shape == s.shape
+            np.testing.assert_allclose(b, s, atol=2e-4)
+
+    def test_batch_uneven_lengths(self, tiny_params):
+        d = SS.SortformerDiarizer(TINY, tiny_params)
+        scfg = SS.StreamConfig(chunk_len=8, spkcache_len=8,
+                               spkcache_update_period=8,
+                               spkcache_sil_frames_per_spk=1)
+        rng = np.random.default_rng(31)
+        a1 = rng.standard_normal(16000 * 3).astype(np.float32) * 0.1
+        a2 = rng.standard_normal(16000 * 1).astype(np.float32) * 0.1
+        batch = d.diarize_batch([a1, a2], scfg)
+        single2 = d.diarize(a2, scfg)
+        assert batch[1].shape == single2.shape
+        # shorter files follow the batch chunk schedule over padded mel, so
+        # only near-equality is guaranteed (see diarize_batch docstring)
+        np.testing.assert_allclose(batch[1], single2, atol=0.1)
+        assert np.mean(np.abs(batch[1] - single2)) < 0.02
