@@ -76,14 +76,17 @@ class _Carry(NamedTuple):
     donate_argnames=("kv_k", "kv_v"))
 def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                         dec: M.Params, prompt: jnp.ndarray,
-                        t_real: jnp.ndarray, kv_k, kv_v, xk, xv,
-                        base_mask, init_mask, token_nosp, seek, seek_end,
+                        kv_k, kv_v, xk, xv,
+                        base_mask, init_mask, scalars,
                         *, beam_size: int, n_max: int, max_tokens: int = 0,
                         single_segment: bool = False,
                         no_timestamps: bool = False,
                         stub: bool = False) -> BeamSegmentResult:
     """Beam-search one window. prompt (1, Tp); kv caches sized for B beams;
-    xk/xv (L, B, H, Ta, dh) with identical rows (broadcast cross-KV)."""
+    xk/xv (L, B, H, Ta, dh) with identical rows (broadcast cross-KV).
+    `scalars` packs (t_real, token_nosp, seek, seek_end) i32."""
+    t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
+                                          scalars[2], scalars[3])
     B = beam_size
     token_beg, token_eot = rc.token_beg, rc.token_eot
 

@@ -70,16 +70,19 @@ class _Carry(NamedTuple):
                      "no_timestamps", "stub"),
     donate_argnames=("kv_k", "kv_v"))
 def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
-                   dec: M.Params, prompt: jnp.ndarray, t_real: jnp.ndarray,
+                   dec: M.Params, prompt: jnp.ndarray,
                    kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                    xk: jnp.ndarray, xv: jnp.ndarray,
                    base_mask: jnp.ndarray, init_mask: jnp.ndarray,
-                   token_nosp: jnp.ndarray, seek: jnp.ndarray,
-                   seek_end: jnp.ndarray, *, n_max: int,
+                   scalars: jnp.ndarray, *, n_max: int,
                    max_tokens: int = 0, single_segment: bool = False,
                    no_timestamps: bool = False,
                    stub: bool = False) -> SegmentResult:
-    """Greedy-decode one window. prompt (1, T_pad) i32, t_real = live length."""
+    """Greedy-decode one window. prompt (1, T_pad) i32; `scalars` packs
+    (t_real, token_nosp, seek, seek_end) into one i32 upload (each separate
+    scalar transfer costs a full round-trip on relayed links)."""
+    t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
+                                          scalars[2], scalars[3])
     token_beg = rc.token_beg
     token_eot = rc.token_eot
     delta_min = 10

@@ -417,11 +417,12 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                 toks = np.zeros((1, T_pad), np.int32)
                 toks[0, :T_real] = prompt
                 from . import device_beam as DB
+                scalars = jnp.asarray(np.array(
+                    [T_real, vocab.token_nosp, seek, seek_end], np.int32))
                 res_dev = DB.decode_segment_beam(
-                    cfg, rc, dec_params, jnp.asarray(toks), jnp.int32(T_real),
+                    cfg, rc, dec_params, jnp.asarray(toks),
                     kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
-                    jnp.int32(vocab.token_nosp), jnp.int32(seek),
-                    jnp.int32(seek_end), beam_size=n_dec_cur,
+                    scalars, beam_size=n_dec_cur,
                     n_max=cfg.n_text_ctx // 2 - 4,
                     max_tokens=p.max_tokens, single_segment=p.single_segment,
                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
@@ -463,11 +464,12 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                 toks = np.zeros((1, T_pad), np.int32)
                 toks[0, :T_real] = prompt
                 from . import device_loop as DL
+                scalars = jnp.asarray(np.array(
+                    [T_real, vocab.token_nosp, seek, seek_end], np.int32))
                 res_dev = DL.decode_segment(
-                    cfg, rc, dec_params, jnp.asarray(toks), jnp.int32(T_real),
+                    cfg, rc, dec_params, jnp.asarray(toks),
                     kv_k, kv_v, xk, xv, base_mask, init_mask,
-                    jnp.int32(vocab.token_nosp), jnp.int32(seek),
-                    jnp.int32(seek_end), n_max=n_max,
+                    scalars, n_max=n_max,
                     max_tokens=p.max_tokens, single_segment=p.single_segment,
                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
                 r = DL.unpack_segment_result(
