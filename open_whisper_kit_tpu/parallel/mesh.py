@@ -87,18 +87,33 @@ def _block_specs(cross: bool) -> dict[str, P]:
     return s
 
 
-def whisper_param_specs(cfg: WhisperConfig) -> dict[str, Any]:
-    """PartitionSpec pytree matching models/whisper/model.py params."""
+def whisper_param_specs(cfg: WhisperConfig,
+                        fsdp_axis: str | None = None) -> dict[str, Any]:
+    """PartitionSpec pytree matching models/whisper/model.py params.
+
+    `fsdp_axis`: additionally shard the stacked layer axis of each block
+    pytree over the given mesh axis (FSDP-style weight distribution: each
+    layer's params are all-gathered when its scan step runs — the memory
+    scaling role of the reference's multi-device weight placement,
+    ggml-backend.h:251-306)."""
+    enc_blocks = _block_specs(cross=False)
+    dec_blocks = _block_specs(cross=True)
+    if fsdp_axis is not None:
+        def layer_sharded(spec: P) -> P:
+            rest = tuple(spec)[1:] if len(spec) > 0 else ()
+            return P(fsdp_axis, *rest)
+        enc_blocks = {k: layer_sharded(v) for k, v in enc_blocks.items()}
+        dec_blocks = {k: layer_sharded(v) for k, v in dec_blocks.items()}
     return {
         "encoder": {
             "conv1_w": P(), "conv1_b": P(), "conv2_w": P(), "conv2_b": P(),
             "pos": P(),
-            "blocks": _block_specs(cross=False),
+            "blocks": enc_blocks,
             "ln_post_w": P(), "ln_post_b": P(),
         },
         "decoder": {
             "te": P(), "pe": P(),
-            "blocks": _block_specs(cross=True),
+            "blocks": dec_blocks,
             "ln_w": P(), "ln_b": P(),
         },
     }

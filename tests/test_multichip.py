@@ -24,3 +24,27 @@ def test_entry_compiles():
     fn, args = G.entry()
     lowered = jax.jit(fn).lower(*args)
     assert lowered is not None
+
+
+def test_fsdp_layer_sharding():
+    """FSDP-style layer-axis sharding computes identically to replicated."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from open_whisper_kit_tpu.models.whisper import model as M
+    from open_whisper_kit_tpu.parallel import mesh as X
+
+    mesh = X.make_mesh(4, tp=2)  # dp=2, tp=2
+    cfg = M.WhisperConfig(128, 32, 64, 2, 4, 16, 64, 2, 4, 80)
+    params = M.init_params(cfg, seed=0, dtype=jnp.float32)
+
+    mel = np.random.default_rng(0).standard_normal((2, 64, 80)).astype(np.float32)
+    ref = np.asarray(M.encode(cfg, params["encoder"], jnp.asarray(mel)))
+
+    specs = X.whisper_param_specs(cfg, fsdp_axis="dp")
+    sharded = X.shard_params(params, mesh, specs)
+    with mesh:
+        got = np.asarray(M.encode(cfg, sharded["encoder"],
+                                  jax.device_put(mel, X.batch_sharding(mesh))))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
