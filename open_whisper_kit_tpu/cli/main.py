@@ -170,13 +170,30 @@ def main(argv=None) -> int:
             res = tr.full(params, audio)
 
         if not args.no_prints:
+            # segment print loop, reference cli.cpp:361-447 (whisper_print_segment_callback body)
             for s in res.segments:
-                if args.no_timestamps:
-                    print(s.text, end="", flush=True)
+                line = ""
+                if not args.no_timestamps:
+                    line += f"[{O.to_timestamp(s.t0)} --> {O.to_timestamp(s.t1)}]  "
+                speaker = O._speaker(s, stereo) if args.diarize else ""
+                if args.print_colors:
+                    line += O.render_segment_tokens(
+                        s, tr.ctx.vocab, mode="colors",
+                        print_special=args.print_special, speaker=speaker)
+                elif args.print_confidence:
+                    line += O.render_segment_tokens(
+                        s, tr.ctx.vocab, mode="confidence",
+                        print_special=args.print_special, speaker=speaker)
                 else:
-                    print(f"[{O.to_timestamp(s.t0)} --> {O.to_timestamp(s.t1)}]"
-                          f"  {s.text.strip()}")
-            if args.no_timestamps:
+                    line += speaker + (s.text.strip()
+                                       if not args.no_timestamps else s.text)
+                if args.tinydiarize and s.speaker_turn_next:
+                    line += " [SPEAKER_TURN]"
+                if args.no_timestamps and not args.diarize:
+                    print(line, end="", flush=True)
+                else:
+                    print(line)
+            if args.no_timestamps and not args.diarize:
                 print()
 
         base = args.output_file or fname

@@ -51,6 +51,62 @@ def _speaker(result_seg, stereo, id_only=False) -> str:
     return estimate_channel_speaker(stereo, result_seg.t0, result_seg.t1, id_only)
 
 
+# -- terminal token rendering (print-colors / print-confidence) ---------------
+
+def _rgb_to_xterm256(r: int, g: int, b: int) -> int:
+    """24-bit RGB -> xterm256 palette index (common.h:260-276 rgb2xterm256)."""
+    def uncube(x):
+        return 0 if x < 48 else (1 if x < 115 else (x - 35) // 40)
+    cube = (0, 0o137, 0o207, 0o257, 0o327, 0o377)
+    av = int(r * 0.299 + g * 0.587 + b * 0.114 + 0.5)
+    il = 23 if av > 238 else (av - 3) // 10
+    ql = il * 10 + 8
+    ir, ig, ib = uncube(r), uncube(g), uncube(b)
+    qr, qg, qb = cube[ir], cube[ig], cube[ib]
+    if ((qr - r) ** 2 + (qg - g) ** 2 + (qb - b) ** 2
+            <= (ql - r) ** 2 + (ql - g) ** 2 + (ql - b) ** 2):
+        return ir * 36 + ig * 6 + ib + 0o20
+    return il + 0o350
+
+
+# Paul Tol colour-blind-friendly red→green ramp (common.h:287-295 k_colors).
+K_COLORS = tuple(f"\033[38;5;{_rgb_to_xterm256(r, g, b)}m" for r, g, b in (
+    (220, 5, 12), (232, 96, 28), (241, 147, 45), (246, 193, 65),
+    (247, 240, 86), (144, 201, 135), (78, 178, 101)))
+
+# inverse / underline / dim for low / medium / high confidence
+# (common.h:298-315 k_styles).
+K_STYLES = ("\033[7m", "\033[4m", "\033[2m")
+_RESET = "\033[0m"
+
+
+def color_for_prob(p: float) -> str:
+    """ANSI colour for token probability (cli.cpp:400-405)."""
+    col = int(p ** 3 * len(K_COLORS))
+    return K_COLORS[max(0, min(len(K_COLORS) - 1, col))]
+
+
+def style_for_prob(p: float) -> str:
+    """ANSI style for token probability (cli.cpp:420-426)."""
+    return K_STYLES[0 if p < 0.33 else (1 if p < 0.66 else 2)]
+
+
+def render_segment_tokens(seg, vocab, *, mode: str, print_special: bool = False,
+                          speaker: str = "") -> str:
+    """Per-token coloured rendering of one segment (cli.cpp:389-427).
+
+    mode: "colors" (probability ramp) or "confidence" (3-level styles).
+    Special tokens (id >= eot) are skipped unless print_special.
+    """
+    pick = color_for_prob if mode == "colors" else style_for_prob
+    parts = []
+    for tok in seg.tokens:
+        if not print_special and tok.id >= vocab.token_eot:
+            continue
+        parts.append(f"{speaker}{pick(tok.p)}{vocab.token_to_str(tok.id)}{_RESET}")
+    return "".join(parts)
+
+
 def write_txt(res: TranscribeResult, f: TextIO, stereo=None):
     for s in res.segments:
         f.write(f"{_speaker(s, stereo)}{s.text}\n")

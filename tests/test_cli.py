@@ -129,3 +129,50 @@ def test_full_parallel_merges(ref_models, jfk_wav):
     p.greedy.best_of = 1
     res = full_parallel(ctx, p, audio, 2)
     assert res.timings.n_encode >= 2  # both chunks ran
+
+
+def test_xterm256_quantization():
+    # independent check against xterm 256-color palette definition
+    assert O._rgb_to_xterm256(0, 0, 0) == 16          # cube (0,0,0)
+    assert O._rgb_to_xterm256(255, 255, 255) == 231   # cube (5,5,5)
+    assert O._rgb_to_xterm256(0, 0, 255) == 21        # pure blue -> cube
+    # mid gray prefers the grayscale ramp
+    g = O._rgb_to_xterm256(128, 128, 128)
+    assert 232 <= g <= 255
+
+
+def test_color_and_style_for_prob():
+    assert O.color_for_prob(0.0) == O.K_COLORS[0]
+    assert O.color_for_prob(1.0) == O.K_COLORS[-1]
+    # p^3 ramp: p=0.9 -> 0.729*7 = 5.1 -> index 5
+    assert O.color_for_prob(0.9) == O.K_COLORS[5]
+    assert O.style_for_prob(0.1) == O.K_STYLES[0]
+    assert O.style_for_prob(0.5) == O.K_STYLES[1]
+    assert O.style_for_prob(0.99) == O.K_STYLES[2]
+
+
+def test_render_segment_tokens():
+    class FakeVocab:
+        token_eot = 1000
+        def token_to_str(self, i):
+            return f"<{i}>"
+    toks = [TokenData(1, 0, 0.95, -0.1, 0.9, 0.9),
+            TokenData(1001, 0, 1.0, 0.0, 1.0, 1.0),   # special: skipped
+            TokenData(2, 0, 0.1, -2.0, 0.1, 0.1)]
+    seg = Segment(0, 100, " x", 0.0, toks)
+    s = O.render_segment_tokens(seg, FakeVocab(), mode="colors")
+    assert "<1>" in s and "<2>" in s and "<1001>" not in s
+    assert s.count("\033[0m") == 2
+    s2 = O.render_segment_tokens(seg, FakeVocab(), mode="confidence",
+                                 print_special=True)
+    assert "<1001>" in s2 and O.K_STYLES[0] in s2 and O.K_STYLES[2] in s2
+
+
+def test_cli_print_colors_stub(ref_models, jfk_wav):
+    # stub checkpoints short-circuit to zero segments; this smokes the -pc /
+    # --print-confidence code paths end-to-end (rendering itself is covered
+    # by test_render_segment_tokens).
+    base = ["-m", str(ref_models / "for-tests-ggml-tiny.en.bin"),
+            "-f", str(jfk_wav)]
+    assert main(base + ["-pc"]) == 0
+    assert main(base + ["--print-confidence", "-nt"]) == 0
