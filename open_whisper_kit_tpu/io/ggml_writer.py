@@ -45,6 +45,12 @@ def _encode_tensor(data: np.ndarray, ttype: int) -> bytes:
         return _quantize_q4_1(flat)
     if ttype == quant.GGML_TYPE_Q5_1:
         return _quantize_q5_1(flat)
+    if ttype == quant.GGML_TYPE_Q4_K:
+        return quant.quantize_q4_K(flat)
+    if ttype == quant.GGML_TYPE_Q5_K:
+        return quant.quantize_q5_K(flat)
+    if ttype == quant.GGML_TYPE_Q6_K:
+        return quant.quantize_q6_K(flat)
     raise NotImplementedError(f"quantize to {quant.type_name(ttype)}")
 
 
@@ -98,14 +104,16 @@ def _quantize_q5_1(x: np.ndarray) -> bytes:
 FTYPE_FOR_TYPE = {
     quant.GGML_TYPE_F32: 0, quant.GGML_TYPE_F16: 1, quant.GGML_TYPE_Q4_0: 2,
     quant.GGML_TYPE_Q4_1: 3, quant.GGML_TYPE_Q8_0: 7, quant.GGML_TYPE_Q5_0: 8,
-    quant.GGML_TYPE_Q5_1: 9,
+    quant.GGML_TYPE_Q5_1: 9, quant.GGML_TYPE_Q4_K: 12, quant.GGML_TYPE_Q5_K: 13,
+    quant.GGML_TYPE_Q6_K: 14,   # ggml.h:450-454 GGML_FTYPE_MOSTLY_Q*_K
 }
 
 TYPE_FOR_NAME = {
     "f32": quant.GGML_TYPE_F32, "f16": quant.GGML_TYPE_F16,
     "q4_0": quant.GGML_TYPE_Q4_0, "q4_1": quant.GGML_TYPE_Q4_1,
     "q5_0": quant.GGML_TYPE_Q5_0, "q5_1": quant.GGML_TYPE_Q5_1,
-    "q8_0": quant.GGML_TYPE_Q8_0,
+    "q8_0": quant.GGML_TYPE_Q8_0, "q4_k": quant.GGML_TYPE_Q4_K,
+    "q5_k": quant.GGML_TYPE_Q5_K, "q6_k": quant.GGML_TYPE_Q6_K,
 }
 
 
@@ -142,7 +150,12 @@ def write_checkpoint(path: str | Path, hparams: WhisperHParams,
                     or name in _NO_QUANT_NAMES):
                 use = quant.GGML_TYPE_F32
             elif use not in (quant.GGML_TYPE_F32, quant.GGML_TYPE_F16):
-                if data.size % 32 != 0:
+                blk, _ = quant.block_info(use)
+                if data.size % blk != 0:
+                    # K-quants need 256-element super-blocks; the reference
+                    # tool would abort here (ggml_quantize_chunk asserts) —
+                    # we keep the tensor f16 instead so e.g. tiny (d=384)
+                    # still converts.
                     use = quant.GGML_TYPE_F16
             blob = _encode_tensor(data, use)
             dims = list(reversed(data.shape))

@@ -281,3 +281,212 @@ def quantize_q5_0(x: np.ndarray) -> bytes:
             qh |= np.uint32(q[i, j + 16] >> 4) << np.uint32(j + 16)
         out += d16 + qh.tobytes() + lo.tobytes()
     return bytes(out)
+
+
+# -- K-quant encoders (reference algorithms: ggml-quants.c quantize_row_q*_K_ref
+#    / make_qx_quants:451 / make_qkx2_quants:622, re-implemented vectorized) ---
+
+_GROUP_EPS = np.float32(1e-15)
+
+
+def _nearest_int(x: np.ndarray) -> np.ndarray:
+    """ggml nearest_int: round-half-to-even (the 12582912.0f float trick)."""
+    return np.rint(x).astype(np.int32)
+
+
+def _make_qx_quants(x: np.ndarray, nmax: int):
+    """Signed symmetric quant with weighted-RMSE scale search (rmse_type=1).
+
+    x: (G, n) float32 groups. Returns (scale (G,), L (G, n) in [0, 2*nmax-1]).
+    """
+    x = x.astype(np.float32)
+    G, _ = x.shape
+    aidx = np.abs(x).argmax(axis=1)
+    maxv = x[np.arange(G), aidx]
+    dead = np.abs(maxv) < _GROUP_EPS
+    maxv_safe = np.where(dead, np.float32(1), maxv)
+    w = x * x
+
+    def trial(iscale):
+        l = np.clip(_nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
+        lf = l.astype(np.float32)
+        sumlx = (w * x * lf).sum(axis=1, dtype=np.float32)
+        suml2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
+        return l, sumlx, suml2
+
+    L, sumlx, suml2 = trial((np.float32(-nmax) / maxv_safe).astype(np.float32))
+    L = L + nmax
+    safe2 = np.where(suml2 == 0, np.float32(1), suml2)
+    scale = np.where(suml2 != 0, sumlx / safe2, np.float32(0)).astype(np.float32)
+    best = scale * sumlx
+    for step in range(-9, 10):
+        if step == 0:
+            continue
+        isc = (-(nmax + np.float32(0.1) * step) / maxv_safe).astype(np.float32)
+        l, sumlx, suml2 = trial(isc)
+        upd = (suml2 > 0) & (sumlx * sumlx > best * suml2)
+        safe2 = np.where(suml2 == 0, np.float32(1), suml2)
+        news = (sumlx / safe2).astype(np.float32)
+        L = np.where(upd[:, None], l + nmax, L)
+        scale = np.where(upd, news, scale)
+        best = np.where(upd, news * sumlx, best)
+    return (np.where(dead, np.float32(0), scale),
+            np.where(dead[:, None], 0, L))
+
+
+def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
+                      rmin: float, rdelta: float, nstep: int):
+    """Asymmetric (scale, min) quant with grid search over iscale candidates.
+
+    x, weights: (G, n) float32. Returns (scale (G,), the_min (G,), L (G, n)).
+    """
+    x = x.astype(np.float32)
+    weights = weights.astype(np.float32)
+    minv = np.minimum(x.min(axis=1), np.float32(0))
+    maxv = x.max(axis=1)
+    sum_w = weights.sum(axis=1, dtype=np.float32)
+    sum_x = (weights * x).sum(axis=1, dtype=np.float32)
+    flat = maxv == minv
+    rng = np.where(flat, np.float32(1), maxv - minv)
+
+    iscale = (np.float32(nmax) / rng).astype(np.float32)
+    scale = np.float32(1) / iscale
+    L = np.clip(_nearest_int(iscale[:, None] * (x - minv[:, None])), 0, nmax)
+    diff = scale[:, None] * L.astype(np.float32) + minv[:, None] - x
+    best_err = (weights * diff * diff).sum(axis=1, dtype=np.float32)
+
+    for step in range(nstep + 1):
+        isc = ((np.float32(rmin + rdelta * step) + nmax) / rng).astype(np.float32)
+        Laux = np.clip(_nearest_int(isc[:, None] * (x - minv[:, None])), 0, nmax)
+        lf = Laux.astype(np.float32)
+        sum_l = (weights * lf).sum(axis=1, dtype=np.float32)
+        sum_l2 = (weights * lf * lf).sum(axis=1, dtype=np.float32)
+        sum_xl = (weights * lf * x).sum(axis=1, dtype=np.float32)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        Dok = D > 0
+        Dsafe = np.where(Dok, D, np.float32(1))
+        ts = (sum_w * sum_xl - sum_x * sum_l) / Dsafe
+        tm = (sum_l2 * sum_x - sum_l * sum_xl) / Dsafe
+        pos = tm > 0
+        l2safe = np.where(sum_l2 == 0, np.float32(1), sum_l2)
+        ts = np.where(pos, sum_xl / l2safe, ts).astype(np.float32)
+        tm = np.where(pos, np.float32(0), tm).astype(np.float32)
+        diff = ts[:, None] * lf + tm[:, None] - x
+        cur_err = (weights * diff * diff).sum(axis=1, dtype=np.float32)
+        upd = Dok & (cur_err < best_err) & ~flat
+        L = np.where(upd[:, None], Laux, L)
+        best_err = np.where(upd, cur_err, best_err)
+        scale = np.where(upd, ts, scale)
+        minv = np.where(upd, tm, minv)
+
+    return (np.where(flat, np.float32(0), scale).astype(np.float32),
+            (-minv).astype(np.float32),
+            np.where(flat[:, None], 0, L))
+
+
+def _pack_kquant_scales(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
+    """Pack 8x 6-bit (scale, min) pairs into the 12-byte q4_K/q5_K layout."""
+    nb = ls.shape[0]
+    sb = np.zeros((nb, 12), np.uint8)
+    sb[:, 0:4] = ls[:, 0:4]
+    sb[:, 4:8] = lm[:, 0:4]
+    for j in range(4, 8):
+        sb[:, j + 4] = (ls[:, j] & 0x0F) | ((lm[:, j] & 0x0F) << 4)
+        sb[:, j - 4] |= (ls[:, j] >> 4) << 6
+        sb[:, j] |= (lm[:, j] >> 4) << 6
+    return sb
+
+
+def _kquant_scales_requant(x3, scales, mins, L, inv_max, nmax):
+    """Shared q4_K/q5_K tail: 6-bit code the scales/mins, requantize L."""
+    nb = x3.shape[0]
+    max_scale, max_min = scales.max(axis=1), mins.max(axis=1)
+    inv_scale = np.where(max_scale > 0, np.float32(inv_max)
+                         / np.where(max_scale <= 0, 1, max_scale), 0)
+    inv_min = np.where(max_min > 0, np.float32(inv_max)
+                       / np.where(max_min <= 0, 1, max_min), 0)
+    ls = np.minimum(inv_max, _nearest_int(inv_scale[:, None] * scales)).astype(np.uint8)
+    lm = np.minimum(inv_max, _nearest_int(inv_min[:, None] * mins)).astype(np.uint8)
+    d16 = (max_scale / np.float32(inv_max)).astype(np.float16)
+    dmin16 = (max_min / np.float32(inv_max)).astype(np.float16)
+    deff = d16.astype(np.float32)[:, None] * ls.astype(np.float32)
+    dm = dmin16.astype(np.float32)[:, None] * lm.astype(np.float32)
+    lq = np.clip(_nearest_int((x3 + dm[:, :, None])
+                              / np.where(deff == 0, 1, deff)[:, :, None]), 0, nmax)
+    L = np.where((deff != 0)[:, :, None], lq, L).reshape(nb, QK_K).astype(np.uint8)
+    return d16, dmin16, _pack_kquant_scales(ls, lm), L
+
+
+def _qkx2_groups(x3: np.ndarray, nmax, rmin, rdelta, nstep):
+    g = x3.reshape(-1, 32)
+    av = np.sqrt((g * g).sum(axis=1, dtype=np.float32) / np.float32(32))
+    w = av[:, None] + np.abs(g)
+    scale, the_min, L = _make_qkx2_quants(g, w, nmax, rmin, rdelta, nstep)
+    nb = x3.shape[0]
+    return scale.reshape(nb, 8), the_min.reshape(nb, 8), L.reshape(nb, 8, 32)
+
+
+def quantize_q4_K(x: np.ndarray) -> bytes:
+    """Encode as q4_K super-blocks (ggml-quants.c:1280 quantize_row_q4_K_ref)."""
+    x3 = np.ascontiguousarray(x, np.float32).reshape(-1, 8, 32)
+    nb = x3.shape[0]
+    scales, mins, L = _qkx2_groups(x3, 15, -1.0, 0.1, 20)
+    d16, dmin16, sb, Lf = _kquant_scales_requant(x3, scales, mins, L, 63, 15)
+    qs = np.zeros((nb, 128), np.uint8)
+    for c in range(4):  # 64-element chunks -> 32 nibble-pair bytes
+        lo, hi = Lf[:, c * 64:c * 64 + 32], Lf[:, c * 64 + 32:c * 64 + 64]
+        qs[:, c * 32:(c + 1) * 32] = lo | (hi << 4)
+    blk = np.concatenate([d16.reshape(nb, 1).view(np.uint8),
+                          dmin16.reshape(nb, 1).view(np.uint8), sb, qs], axis=1)
+    return blk.tobytes()
+
+
+def quantize_q5_K(x: np.ndarray) -> bytes:
+    """Encode as q5_K super-blocks (ggml-quants.c:1467 quantize_row_q5_K_ref)."""
+    x3 = np.ascontiguousarray(x, np.float32).reshape(-1, 8, 32)
+    nb = x3.shape[0]
+    scales, mins, L = _qkx2_groups(x3, 31, -0.5, 0.1, 15)
+    d16, dmin16, sb, Lf = _kquant_scales_requant(x3, scales, mins, L, 63, 31)
+    ql = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 32), np.uint8)
+    for c in range(4):
+        l1, l2 = Lf[:, c * 64:c * 64 + 32], Lf[:, c * 64 + 32:c * 64 + 64]
+        h1, h2 = (l1 > 15).astype(np.uint8), (l2 > 15).astype(np.uint8)
+        qh |= (h1 << (2 * c)) | (h2 << (2 * c + 1))
+        ql[:, c * 32:(c + 1) * 32] = (l1 - 16 * h1) | ((l2 - 16 * h2) << 4)
+    blk = np.concatenate([d16.reshape(nb, 1).view(np.uint8),
+                          dmin16.reshape(nb, 1).view(np.uint8), sb, qh, ql], axis=1)
+    return blk.tobytes()
+
+
+def quantize_q6_K(x: np.ndarray) -> bytes:
+    """Encode as q6_K super-blocks (ggml-quants.c:1692 quantize_row_q6_K_ref)."""
+    x3 = np.ascontiguousarray(x, np.float32).reshape(-1, 16, 16)
+    nb = x3.shape[0]
+    scales, L = _make_qx_quants(x3.reshape(-1, 16), 32)
+    scales, L = scales.reshape(nb, 16), L.reshape(nb, 16, 16)
+    aidx = np.abs(scales).argmax(axis=1)
+    max_scale = scales[np.arange(nb), aidx]
+    dead = np.abs(max_scale) < _GROUP_EPS
+    iscale = np.float32(-128) / np.where(dead, np.float32(1), max_scale)
+    d16 = (np.float32(1) / iscale).astype(np.float16)
+    sc8 = np.minimum(127, _nearest_int(iscale[:, None] * scales)).astype(np.int8)
+    deff = d16.astype(np.float32)[:, None] * sc8.astype(np.float32)
+    lq = np.clip(_nearest_int(x3 / np.where(deff == 0, 1, deff)[:, :, None]),
+                 -32, 31) + 32
+    L = np.where((deff != 0)[:, :, None], lq, L)
+    L = np.where(dead[:, None, None], 0, L).reshape(nb, QK_K).astype(np.uint8)
+    sc8 = np.where(dead[:, None], 0, sc8)
+    d16 = np.where(dead, np.float16(0), d16)
+    ql = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 64), np.uint8)
+    for half in range(2):  # two 128-element halves
+        b = L[:, half * 128:(half + 1) * 128]
+        q1, q2, q3, q4 = b[:, :32], b[:, 32:64], b[:, 64:96], b[:, 96:128]
+        ql[:, half * 64:half * 64 + 32] = (q1 & 0x0F) | ((q3 & 0x0F) << 4)
+        ql[:, half * 64 + 32:half * 64 + 64] = (q2 & 0x0F) | ((q4 & 0x0F) << 4)
+        qh[:, half * 32:(half + 1) * 32] = ((q1 >> 4) | ((q2 >> 4) << 2)
+                                            | ((q3 >> 4) << 4) | ((q4 >> 4) << 6))
+    blk = np.concatenate([ql, qh, sc8.view(np.uint8),
+                          d16.reshape(nb, 1).view(np.uint8)], axis=1)
+    return blk.tobytes()

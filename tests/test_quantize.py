@@ -98,3 +98,41 @@ def test_quantize_cli(ckpt_f16, tmp_path, capsys):
     assert main([str(ckpt_f16), str(out), "q5_0"]) == 0
     assert out.exists()
     assert main([str(ckpt_f16), str(out), "zzz"]) == 1
+
+
+@pytest.mark.parametrize("qtype", ["q4_k", "q5_k", "q6_k"])
+def test_kquant_checkpoint_loads(ckpt_f16, tmp_path, qtype):
+    qpath = tmp_path / f"tiny-rand-{qtype}.bin"
+    requantize(ckpt_f16, qpath, qtype)
+    assert qpath.stat().st_size < ckpt_f16.stat().st_size
+    ck = ggml_whisper.load_checkpoint(qpath)
+    assert ck.hparams.ftype == {"q4_k": 12, "q5_k": 13, "q6_k": 14}[qtype]
+    ref = ggml_whisper.load_checkpoint(ckpt_f16)
+    name = "decoder.blocks.0.mlp.0.weight"
+    w_ref, w_q = ref.to_float(name), ck.to_float(name)
+    err = np.abs(w_ref - w_q).max() / (np.abs(w_ref).max() + 1e-9)
+    assert err < {"q4_k": 0.15, "q5_k": 0.08, "q6_k": 0.04}[qtype]
+    # loads into a working model
+    params = M.params_from_checkpoint(ck, dtype=jnp.float32)
+    assert np.isfinite(np.asarray(params["decoder"]["te"], np.float32)).all()
+
+
+@pytest.mark.parametrize("enc,t,thr", [
+    (quant.quantize_q4_K, quant.GGML_TYPE_Q4_K, 0.11),
+    (quant.quantize_q5_K, quant.GGML_TYPE_Q5_K, 0.06),
+    (quant.quantize_q6_K, quant.GGML_TYPE_Q6_K, 0.03),
+])
+def test_kquant_encoder_roundtrip(enc, t, thr):
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(256 * 16) * (0.2 + rng.random(256 * 16))
+         ).astype(np.float32)
+    blob = enc(x)
+    assert len(blob) == quant.nbytes_for(t, x.size)
+    y = quant.dequantize(blob, t, x.size)
+    rel = np.sqrt(np.mean((x - y) ** 2)) / np.sqrt(np.mean(x ** 2))
+    assert rel < thr
+    # degenerate inputs stay finite and zero blocks stay zero
+    z = quant.dequantize(enc(np.zeros(256, np.float32)), t, 256)
+    assert np.all(z == 0)
+    c = quant.dequantize(enc(np.full(256, -2.5, np.float32)), t, 256)
+    assert np.isfinite(c).all() and abs(float(c.mean()) + 2.5) < 0.1
