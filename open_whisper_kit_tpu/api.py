@@ -38,11 +38,14 @@ class Transcriber:
     """Whisper speech-to-text (OpenWhisperKit / whisper.h analog)."""
 
     def __init__(self, model_path: str | Path | None = None,
-                 preset: str | None = None, dtype=jnp.bfloat16):
+                 preset: str | None = None, dtype=jnp.bfloat16,
+                 decoder_int8: bool = False):
         if model_path is not None:
-            self.ctx = WhisperContext.from_file(str(model_path), dtype=dtype)
+            self.ctx = WhisperContext.from_file(str(model_path), dtype=dtype,
+                                                decoder_int8=decoder_int8)
         elif preset is not None:
-            self.ctx = WhisperContext.from_preset(preset, dtype=dtype)
+            self.ctx = WhisperContext.from_preset(preset, dtype=dtype,
+                                                  decoder_int8=decoder_int8)
         else:
             raise ValueError("model_path or preset required")
 

@@ -103,11 +103,15 @@ class WhisperContext:
 
     def __init__(self, cfg: M.WhisperConfig, params: M.Params,
                  vocab: tok_mod.WhisperVocab, filters: np.ndarray,
-                 n_loaded: int, dtype=jnp.bfloat16, model_type: str = "custom"):
+                 n_loaded: int, dtype=jnp.bfloat16, model_type: str = "custom",
+                 decoder_int8: bool = False):
         self.cfg = cfg
         # fuse the decoder qkv projections for the per-token hot path
         params = dict(params)
         params["decoder"] = M.prepare_decoder(params["decoder"])
+        if decoder_int8 and n_loaded > 0:
+            # runtime W8: int8-stream the decode matvecs (q8_0-level error)
+            params["decoder"] = M.quantize_decoder_int8(params["decoder"])
         self.params = params
         self.vocab = vocab
         self.filters = filters
@@ -127,7 +131,8 @@ class WhisperContext:
         return self._vad
 
     @classmethod
-    def from_file(cls, path: str, dtype=jnp.bfloat16) -> "WhisperContext":
+    def from_file(cls, path: str, dtype=jnp.bfloat16,
+                  decoder_int8: bool = False) -> "WhisperContext":
         ck = ggml_whisper.load_checkpoint(path)
         cfg = M.WhisperConfig.from_hparams(ck.hparams)
         vocab = tok_mod.build_vocab(ck.tokens, ck.hparams.n_vocab)
@@ -138,10 +143,11 @@ class WhisperContext:
         else:
             params = M.params_from_checkpoint(ck, dtype=dtype)
         return cls(cfg, params, vocab, ck.mel_filters, ck.n_loaded, dtype,
-                   ck.hparams.model_type)
+                   ck.hparams.model_type, decoder_int8=decoder_int8)
 
     @classmethod
-    def from_preset(cls, name: str, seed: int = 0, dtype=jnp.bfloat16) -> "WhisperContext":
+    def from_preset(cls, name: str, seed: int = 0, dtype=jnp.bfloat16,
+                    decoder_int8: bool = False) -> "WhisperContext":
         """Random-weight real-shape model (benches, shape tests)."""
         cfg = M.PRESETS[name]
         params = M.init_params(cfg, seed=seed, dtype=dtype)
@@ -150,7 +156,7 @@ class WhisperContext:
         vocab = tok_mod.build_vocab(tokens, cfg.n_vocab)
         filters = _synthetic_mel_filters(cfg.n_mels)
         return cls(cfg, params, vocab, filters, n_loaded=1, dtype=dtype,
-                   model_type=name)
+                   model_type=name, decoder_int8=decoder_int8)
 
     # -- compute wrappers ---------------------------------------------------
 

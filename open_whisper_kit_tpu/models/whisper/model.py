@@ -460,8 +460,12 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
         x = x + _mm(h, p["mlp1_w"]) + p["mlp1_b"]
 
     x = _ln(x, dec["ln_w"], dec["ln_b"], cfg.eps)
-    logits = jnp.dot(x, dec["te"].T.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
+    if "te_logits" in dec:   # int8 planes of te.T (quantize_decoder_int8)
+        from ...ops.quant_matmul import qmatmul
+        logits = qmatmul(x, dec["te_logits"])
+    else:
+        logits = jnp.dot(x, dec["te"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
     cross_qk = jnp.stack(cross_probs) if collect_cross_qk else None
     return logits, kv_k, kv_v, cross_qk
 
@@ -475,16 +479,13 @@ def prepare_decoder(dec: Params) -> Params:
     (fewer small ops on the per-token path). Quantized weights fuse by
     concatenating their int8/scale planes. Returns a new decoder pytree;
     the original param names are dropped for the fused ones."""
-    from ...ops.quant_matmul import QuantLinear
+    from ...ops.quant_matmul import QuantLinear, concat_quant
 
     blocks = dict(dec["blocks"])
     q_w, k_w, v_w = blocks.pop("q_w"), blocks.pop("k_w"), blocks.pop("v_w")
     q_b, v_b = blocks.pop("q_b"), blocks.pop("v_b")
     if isinstance(q_w, QuantLinear):
-        qkv_w = QuantLinear(
-            qs=jnp.concatenate([q_w.qs, k_w.qs, v_w.qs], axis=-1),
-            scales=jnp.concatenate([q_w.scales, k_w.scales, v_w.scales],
-                                   axis=-1))
+        qkv_w = concat_quant([q_w, k_w, v_w])
     else:
         qkv_w = jnp.concatenate([q_w, k_w, v_w], axis=-1)
     zeros_k = jnp.zeros_like(q_b)
@@ -492,6 +493,44 @@ def prepare_decoder(dec: Params) -> Params:
     blocks["qkv_b"] = jnp.concatenate([q_b, zeros_k, v_b], axis=-1)
     out = dict(dec)
     out["blocks"] = blocks
+    return out
+
+
+# weights on the per-token decode path; ck/cv (per-window cross-KV build)
+# and the encoder stay dense — they are compute-bound, not stream-bound.
+_INT8_DECODE_WEIGHTS = ("qkv_w", "q_w", "k_w", "v_w", "o_w", "cq_w", "co_w",
+                        "mlp0_w", "mlp1_w")
+
+
+def quantize_decoder_int8(dec: Params, scope: str = "logits") -> Params:
+    """Runtime W8: repack decoder matmul weights into int8 QuantLinear
+    planes for the fused Pallas dequant-matvec (q8_0-level error, ~0.4%
+    relative). The token-embedding gather keeps the dense `te`. Apply AFTER
+    prepare_decoder.
+
+    scope="logits" (default) quantizes only the vocab projection — the one
+    plane big enough (e.g. 133 MB for large-v3-turbo) that halved HBM
+    traffic beats the extra kernel-call overhead; measured -8% decode step
+    on v5e. scope="all" also covers the per-layer matmuls: today that LOSES
+    ~10% on v5e (per-call overhead > bandwidth saved on <=13 MB planes) but
+    halves decoder weight memory — useful when packing many models or big
+    batches on one chip. Numbers: docs/PERFORMANCE.md."""
+    from ...ops.quant_matmul import QuantLinear, quantize_linear
+
+    out = dict(dec)
+    if scope == "all":
+        blocks = dict(dec["blocks"])
+        for name in _INT8_DECODE_WEIGHTS:
+            w = blocks.get(name)
+            if w is None or isinstance(w, QuantLinear):
+                continue
+            if w.shape[-2] % 32:
+                continue   # K not block-divisible (tiny test configs)
+            blocks[name] = quantize_linear(w)
+        out["blocks"] = blocks
+    te = dec["te"]
+    if te.shape[-1] % 32 == 0 and "te_logits" not in dec:
+        out["te_logits"] = quantize_linear(te.T)
     return out
 
 

@@ -23,21 +23,32 @@ import numpy as np
 from ..io import quant as Q
 
 QK = 32          # ggml simple-quant block size
-_BN = 256        # output-tile width
+_BN = 512        # output-tile width (measured best on v5e: 634 GB/s int8
+                 # stream at (1280,5120) M=1 vs 474 GB/s at 256)
 _M_PAD = 8       # sublane padding for the activation tile
 
 
-@jax.tree_util.register_dataclass
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("qs", "scales"), meta_fields=("n",))
 @dataclasses.dataclass
 class QuantLinear:
-    """Weight for y = x @ w, stored quantized: qs (K, N) int8 values,
-    scales (K//32, N) f32."""
+    """Weight for y = x @ w, stored quantized: qs (K, Np) int8 values,
+    scales (K//32, Np) f32. Np may be padded to a tile multiple; `n` is the
+    logical output width (None = unpadded). Pre-padding keeps the per-step
+    path free of weight-copy pads, which would otherwise dominate (a jnp.pad
+    of the planes inside the decode loop re-writes the whole weight every
+    token)."""
     qs: jnp.ndarray
     scales: jnp.ndarray
+    n: int | None = None
+
+    @property
+    def n_out(self) -> int:
+        return self.n if self.n is not None else self.qs.shape[-1]
 
     @property
     def shape(self):
-        return (self.qs.shape[0], self.qs.shape[1])
+        return (self.qs.shape[-2], self.n_out)
 
     @property
     def dtype(self):
@@ -79,8 +90,14 @@ def repack(raw: bytes | np.ndarray, ggml_type: int,
     # blocks are row-major over the (out, in) weight: out*in//32 blocks
     vals = vals.reshape(out_features, in_features)         # (N, K)
     d = d.reshape(out_features, in_features // QK)         # (N, K/32)
-    return QuantLinear(qs=jnp.asarray(np.ascontiguousarray(vals.T)),
-                       scales=jnp.asarray(np.ascontiguousarray(d.T)))
+    N = out_features
+    Np = -(-N // _BN) * _BN
+    qs = np.ascontiguousarray(vals.T)                      # (K, N)
+    sc = np.ascontiguousarray(d.T.astype(np.float32))      # (K/32, N)
+    if Np != N:   # pre-pad to the output tile (see QuantLinear docstring)
+        qs = np.pad(qs, ((0, 0), (0, Np - N)))
+        sc = np.pad(sc, ((0, 0), (0, Np - N)))
+    return QuantLinear(qs=jnp.asarray(qs), scales=jnp.asarray(sc), n=N)
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref):
@@ -139,11 +156,55 @@ def qmatmul(x: jnp.ndarray, w: QuantLinear) -> jnp.ndarray:
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     out = _qmm(x2, w.qs, w.scales, interpret=not _on_tpu())
-    return out.reshape(*lead, w.qs.shape[1])
+    n = w.n_out
+    if n != out.shape[-1]:
+        out = out[:, :n]
+    return out.reshape(*lead, n)
+
+
+def concat_quant(ws: list[QuantLinear]) -> QuantLinear:
+    """Concatenate QuantLinears along the output axis (logical widths;
+    pad columns of each part are dropped, the result is re-padded)."""
+    qs = jnp.concatenate([w.qs[..., :w.n_out] for w in ws], axis=-1)
+    sc = jnp.concatenate([w.scales[..., :w.n_out] for w in ws], axis=-1)
+    N = qs.shape[-1]
+    Np = -(-N // _BN) * _BN
+    if Np != N:
+        pad = [(0, 0)] * (qs.ndim - 1) + [(0, Np - N)]
+        qs, sc = jnp.pad(qs, pad), jnp.pad(sc, pad)
+    return QuantLinear(qs=qs, scales=sc, n=N)
+
+
+def quantize_linear(w: jnp.ndarray) -> QuantLinear:
+    """Dense (..., K, N) weight -> symmetric per-32-K-block int8 planes,
+    pre-padded to the _BN output tile.
+
+    q8_0-equivalent quality (amax/127 scales over 32 contiguous K rows per
+    output column) but built at load time from any float checkpoint. This is
+    the runtime W8 mode: the Pallas `_qmm` kernel then streams 1 byte/weight
+    from HBM, ~1.9x the effective bandwidth of the bf16 matvec at M=1
+    (measured on v5e; see docs/PERFORMANCE.md)."""
+    qs, scale = _quantize_planes(w)
+    N = w.shape[-1]
+    Np = -(-N // _BN) * _BN
+    if Np != N:
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, Np - N)]
+        qs, scale = jnp.pad(qs, pad), jnp.pad(scale, pad)
+    return QuantLinear(qs=qs, scales=scale, n=N)
+
+
+@jax.jit
+def _quantize_planes(w: jnp.ndarray):
+    *lead, K, N = w.shape
+    x32 = w.astype(jnp.float32).reshape(*lead, K // QK, QK, N)
+    amax = jnp.max(jnp.abs(x32), axis=-2)                       # (..., K/32, N)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    qs = jnp.clip(jnp.round(x32 * inv[..., None, :]), -127, 127)
+    return qs.reshape(*lead, K, N).astype(jnp.int8), scale
 
 
 def dequantize_dense(w: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Expand to a dense (K, N) array (fallback path / testing)."""
-    K, N = w.qs.shape
-    s = jnp.repeat(w.scales, QK, axis=0)
-    return (w.qs.astype(jnp.float32) * s).astype(dtype)
+    s = jnp.repeat(w.scales, QK, axis=-2)
+    return (w.qs.astype(jnp.float32) * s).astype(dtype)[..., :w.n_out]

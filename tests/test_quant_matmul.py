@@ -23,8 +23,9 @@ def test_repack_matches_dequantize(qtype):
     w, blob = _make_weight(out_f, in_f, qtype)
     ql = QM.repack(blob, qtype, out_f, in_f)
     assert ql is not None
-    assert ql.qs.shape == (in_f, out_f)
-    assert ql.scales.shape == (in_f // 32, out_f)
+    assert ql.shape == (in_f, out_f)          # logical width
+    assert ql.qs.shape[1] % 512 == 0           # planes pre-padded to _BN
+    assert ql.scales.shape == (in_f // 32, ql.qs.shape[1])
     dense = np.asarray(QM.dequantize_dense(ql, jnp.float32))
     ref = Q.dequantize(blob, qtype, out_f * in_f).reshape(out_f, in_f).T
     np.testing.assert_allclose(dense, ref, atol=1e-6)
@@ -62,3 +63,55 @@ def test_qmatmul_batched_leading_dims():
     flat = QM.qmatmul(jnp.asarray(x.reshape(6, in_f)), ql)
     np.testing.assert_allclose(np.asarray(y).reshape(6, out_f),
                                np.asarray(flat), atol=1e-5)
+
+
+def test_quantize_linear_roundtrip():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((64, 100)).astype(np.float32) * 0.1
+    ql = QM.quantize_linear(jnp.asarray(w))
+    assert ql.shape == (64, 100) and ql.qs.shape[1] == 512
+    dense = np.asarray(QM.dequantize_dense(ql, jnp.float32))
+    assert dense.shape == (64, 100)
+    np.testing.assert_allclose(dense, w, atol=np.abs(w).max() / 100)
+    # matmul path agrees with dense within quant error
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    y = np.asarray(QM.qmatmul(jnp.asarray(x), ql))
+    np.testing.assert_allclose(y, x @ w, rtol=0.05, atol=0.05)
+
+
+def test_concat_quant_drops_padding():
+    rng = np.random.default_rng(4)
+    parts = [jnp.asarray(rng.standard_normal((64, n)).astype(np.float32))
+             for n in (100, 30, 60)]
+    qc = QM.concat_quant([QM.quantize_linear(p) for p in parts])
+    assert qc.shape == (64, 190)
+    dense = np.asarray(QM.dequantize_dense(qc, jnp.float32))
+    ref = np.concatenate([np.asarray(QM.dequantize_dense(QM.quantize_linear(p),
+                                                         jnp.float32))
+                          for p in parts], axis=1)
+    np.testing.assert_allclose(dense, ref, atol=1e-6)
+
+
+def test_quantize_decoder_int8_logits_parity():
+    from open_whisper_kit_tpu.models.whisper import model as M
+    cfg = M.WhisperConfig(512, 16, 64, 2, 2, 16, 64, 2, 2, 80)
+    params = M.init_params(cfg, seed=0, dtype=jnp.float32)
+    dec = M.prepare_decoder(params["decoder"])
+    dec8 = M.quantize_decoder_int8(dec)             # default: logits only
+    assert "te_logits" in dec8
+    assert not any(isinstance(v, QM.QuantLinear)
+                   for v in dec8["blocks"].values())
+    dec8all = M.quantize_decoder_int8(dec, scope="all")
+    assert isinstance(dec8all["blocks"]["qkv_w"], QM.QuantLinear)
+
+    kv_k, kv_v = M.init_kv_cache(cfg, 1, jnp.float32)
+    xk = jnp.zeros((2, 1, 2, 16, 32), jnp.float32)
+    tok = jnp.array([[5, 9]], jnp.int32)
+    ref, _, _, _ = M.decode_impl(cfg, dec, tok, kv_k, kv_v, 0, xk, xk)
+    for d in (dec8, dec8all):
+        got, _, _, _ = M.decode_impl(cfg, d, tok,
+                                     jnp.zeros_like(kv_k), jnp.zeros_like(kv_v),
+                                     0, xk, xk)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=scale * 0.05)
