@@ -119,6 +119,25 @@ def whisper_param_specs(cfg: WhisperConfig,
     }
 
 
+def prepared_param_specs(cfg: WhisperConfig,
+                         fsdp_axis: str | None = None) -> dict[str, Any]:
+    """Specs matching a live WhisperContext's params, i.e. after
+    models/whisper/model.py::prepare_decoder fused the self-attention
+    q/k/v projections into qkv_w/qkv_b."""
+    specs = whisper_param_specs(cfg, fsdp_axis)
+    blocks = dict(specs["decoder"]["blocks"])
+    lead = (fsdp_axis,) if fsdp_axis else (None,)
+    for k in ("q_w", "k_w", "v_w", "q_b", "v_b"):
+        blocks.pop(k)
+    blocks["qkv_w"] = P(*lead, None, "tp")
+    blocks["qkv_b"] = P(*lead, "tp")
+    dec = dict(specs["decoder"])
+    dec["blocks"] = blocks
+    out = dict(specs)
+    out["decoder"] = dec
+    return out
+
+
 def shard_params(params, mesh: Mesh, specs=None):
     if specs is None:
         raise ValueError("specs required")

@@ -48,3 +48,26 @@ def test_fsdp_layer_sharding():
         got = np.asarray(M.encode(cfg, sharded["encoder"],
                                   jax.device_put(mel, X.batch_sharding(mesh))))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_prepared_param_specs_shard_context():
+    """prepared_param_specs matches a live (qkv-fused) context; whisper_full
+    runs on the sharded params (the launch_multihost.py placement)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+    from open_whisper_kit_tpu.decode import full as F
+    from open_whisper_kit_tpu.decode.params import FullParams
+    from open_whisper_kit_tpu.parallel import mesh as X
+
+    ctx = F.WhisperContext.from_preset("tiny", dtype=jnp.float32)
+    mesh = X.make_mesh(8, tp=2)
+    specs = X.prepared_param_specs(ctx.cfg)
+    ctx.params = X.shard_params(ctx.params, mesh, specs)
+    audio = np.sin(np.arange(16000 * 2) / 40).astype(np.float32) * 0.1
+    p = FullParams(print_progress=False)
+    p.greedy.best_of = 1
+    p.temperature_inc = 0.0
+    with mesh:
+        res = F.whisper_full(ctx, p, audio)
+    assert res is not None
