@@ -416,17 +416,12 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                 kv_k, kv_v = M.init_kv_cache(cfg, n_dec_cur, dtype=ctx.dtype)
                 xk_b = jnp.repeat(xk, n_dec_cur, axis=1)
                 xv_b = jnp.repeat(xv, n_dec_cur, axis=1)
-                T_real = len(prompt)
-                T_pad = min(cfg.n_text_ctx,
-                            max(_PROMPT_BUCKET,
-                                -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET))
-                toks = np.zeros((1, T_pad), np.int32)
-                toks[0, :T_real] = prompt
+                toks, T_real = _pad_prompt(cfg, prompt)
                 from . import device_beam as DB
                 scalars = jnp.asarray(np.array(
                     [T_real, vocab.token_nosp, seek, seek_end], np.int32))
                 res_dev = DB.decode_segment_beam(
-                    cfg, rc, dec_params, jnp.asarray(toks),
+                    cfg, rc, dec_params, toks,
                     kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
                     scalars, beam_size=n_dec_cur,
                     n_max=cfg.n_text_ctx // 2 - 4,
@@ -437,19 +432,7 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                     cfg.n_text_ctx // 2 - 4)
                 n_tok = r["n_tokens"]
                 for j, d in enumerate(decoders):
-                    d.tokens = [TokenData(int(r["tokens"][j, k]),
-                                          int(r["tid"][j, k]),
-                                          float(r["p"][j, k]),
-                                          float(r["plog"][j, k]),
-                                          float(r["pt"][j, k]),
-                                          float(r["ptsum"][j, k]))
-                                for k in range(n_tok)]
-                    d.sum_logprobs_all = float(r["sum_lp"][j])
-                    d.result_len = int(r["result_len"][j])
-                    d.seek_delta = int(r["seek_delta"][j])
-                    d.has_ts = bool(r["has_ts"][j])
-                    d.completed = bool(r["completed"][j])
-                    d.failed = bool(r["failed"][j])
+                    _fill_decoder(d, r, n_tok, j)
                 no_speech_prob = r["no_speech_prob"]
                 timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
                 timings.n_decode += n_tok + 1
@@ -463,17 +446,12 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             if use_device_loop:
                 t0 = time.perf_counter()
                 kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
-                T_real = len(prompt)
-                T_pad = min(cfg.n_text_ctx,
-                            max(_PROMPT_BUCKET,
-                                -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET))
-                toks = np.zeros((1, T_pad), np.int32)
-                toks[0, :T_real] = prompt
+                toks, T_real = _pad_prompt(cfg, prompt)
                 from . import device_loop as DL
                 scalars = jnp.asarray(np.array(
                     [T_real, vocab.token_nosp, seek, seek_end], np.int32))
                 res_dev = DL.decode_segment(
-                    cfg, rc, dec_params, jnp.asarray(toks),
+                    cfg, rc, dec_params, toks,
                     kv_k, kv_v, xk, xv, base_mask, init_mask,
                     scalars, n_max=n_max,
                     max_tokens=p.max_tokens, single_segment=p.single_segment,
@@ -481,17 +459,7 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                 r = DL.unpack_segment_result(
                     DL.pack_segment_result(res_dev), n_max)
                 n_tok = r["n_tokens"]
-                d = decoders[0]
-                d.tokens = [TokenData(int(r["tokens"][k]), int(r["tid"][k]),
-                                      float(r["p"][k]), float(r["plog"][k]),
-                                      float(r["pt"][k]), float(r["ptsum"][k]))
-                            for k in range(n_tok)]
-                d.sum_logprobs_all = r["sum_logprobs_all"]
-                d.result_len = r["result_len"]
-                d.seek_delta = r["seek_delta"]
-                d.has_ts = r["has_ts"]
-                d.completed = r["completed"]
-                d.failed = r["failed"]
+                _fill_decoder(decoders[0], r, n_tok)
                 no_speech_prob = r["no_speech_prob"]
                 timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
                 timings.n_decode += n_tok + 1
@@ -506,14 +474,9 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             # prompt decode, B=1
             t0 = time.perf_counter()
             kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
-            T_real = len(prompt)
-            T_pad = min(cfg.n_text_ctx,
-                        max(_PROMPT_BUCKET,
-                            -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET))
-            toks = np.zeros((1, T_pad), np.int32)
-            toks[0, :T_real] = prompt
+            toks, T_real = _pad_prompt(cfg, prompt)
             logits_all, kv_k, kv_v, _ = M.decode(
-                cfg, dec_params, jnp.asarray(toks), kv_k, kv_v,
+                cfg, dec_params, toks, kv_k, kv_v,
                 jnp.int32(0), xk, xv)
             last_logits = logits_all[:, T_real - 1]  # (1, V)
             nsp = LR.compute_no_speech_prob(last_logits[0], jnp.int32(vocab.token_nosp))
@@ -714,6 +677,38 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
 
     return result
 
+
+
+def _pad_prompt(cfg: M.WhisperConfig, prompt: list[int]):
+    """Bucket-pad the prompt to bound XLA compile count.
+
+    Returns (toks (1, T_pad) int32 device array, T_real)."""
+    T_real = len(prompt)
+    T_pad = min(cfg.n_text_ctx,
+                max(_PROMPT_BUCKET, -(-T_real // _PROMPT_BUCKET) * _PROMPT_BUCKET))
+    toks = np.zeros((1, T_pad), np.int32)
+    toks[0, :T_real] = prompt
+    return jnp.asarray(toks), T_real
+
+
+def _fill_decoder(d: "_DecoderState", r: dict, n_tok: int, j: int | None = None):
+    """Copy one decoder's fields out of a packed device-loop result.
+
+    j=None for the greedy result layout (flat arrays), j=row for the beam
+    layout (leading beam axis)."""
+    def get(name):
+        return r[name] if j is None else r[name][j]
+    d.tokens = [TokenData(int(get("tokens")[k]), int(get("tid")[k]),
+                          float(get("p")[k]), float(get("plog")[k]),
+                          float(get("pt")[k]), float(get("ptsum")[k]))
+                for k in range(n_tok)]
+    d.sum_logprobs_all = float(get("sum_lp") if "sum_lp" in r
+                               else r["sum_logprobs_all"])
+    d.result_len = int(get("result_len"))
+    d.seek_delta = int(get("seek_delta"))
+    d.has_ts = bool(get("has_ts"))
+    d.completed = bool(get("completed"))
+    d.failed = bool(get("failed"))
 
 
 def _rank_decoders(decoders, p, no_speech_prob, is_last_temperature):

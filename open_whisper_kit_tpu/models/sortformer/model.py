@@ -331,11 +331,7 @@ def preenc_out_len(T_in: int) -> int:
 # Conformer + projection + transformer + head
 # ---------------------------------------------------------------------------
 
-def _ln(x, w, b, eps=1e-5):
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+from ...ops.layers import layer_norm as _ln  # noqa: E402
 
 
 def _mm(x, w):

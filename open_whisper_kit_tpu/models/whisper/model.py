@@ -78,12 +78,7 @@ PRESETS: dict[str, WhisperConfig] = {
 # Param construction
 # ---------------------------------------------------------------------------
 
-def _ln(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float) -> jnp.ndarray:
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+from ...ops.layers import layer_norm as _ln  # noqa: E402
 
 
 def init_params(cfg: WhisperConfig, seed: int = 0,
