@@ -69,3 +69,56 @@ def test_silero_converter_roundtrip(tmp_path, ref_models):
         assert a.squeeze().shape == b.squeeze().shape, name
         np.testing.assert_allclose(a.squeeze(), b.squeeze(), atol=1e-3,
                                    err_msg=name)
+
+
+def test_compare_rttm_der(tmp_path):
+    import sys
+    sys.path.insert(0, "tools")
+    import compare_rttm as CR
+
+    ref = tmp_path / "ref.rttm"
+    hyp = tmp_path / "hyp.rttm"
+    ref.write_text(
+        "SPEAKER f 1 0.00 5.00 <NA> <NA> speaker_0 <NA> <NA>\n"
+        "SPEAKER f 1 5.00 5.00 <NA> <NA> speaker_1 <NA> <NA>\n")
+    # same segmentation, different label names: optimal mapping -> DER 0
+    hyp.write_text(
+        "SPEAKER f 1 0.00 5.00 <NA> <NA> spkA <NA> <NA>\n"
+        "SPEAKER f 1 5.00 5.00 <NA> <NA> spkB <NA> <NA>\n")
+    r = CR.der(str(ref), str(hyp))
+    assert r["der"] == 0.0 and r["confusion"] == 0
+
+    # hyp misses the last 2 s entirely -> missed = 200 frames, DER 0.2
+    hyp.write_text(
+        "SPEAKER f 1 0.00 5.00 <NA> <NA> spkA <NA> <NA>\n"
+        "SPEAKER f 1 5.00 3.00 <NA> <NA> spkB <NA> <NA>\n")
+    r = CR.der(str(ref), str(hyp))
+    assert r["missed"] == 200 and r["false_alarm"] == 0
+    assert abs(r["der"] - 0.2) < 1e-6
+
+    # swapped labels with a third bogus speaker -> confusion counted
+    hyp.write_text(
+        "SPEAKER f 1 0.00 5.00 <NA> <NA> x <NA> <NA>\n"
+        "SPEAKER f 1 5.00 5.00 <NA> <NA> x <NA> <NA>\n")
+    r = CR.der(str(ref), str(hyp))
+    assert r["confusion"] == 500 and abs(r["der"] - 0.5) < 1e-6
+    assert CR.main([str(ref), str(hyp), "--collar", "0.25"]) == 0
+
+
+def test_validate_gguf(tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "tools")
+    import validate_gguf as VG
+    from open_whisper_kit_tpu.io.gguf import GGUFWriter
+
+    w = GGUFWriter(tmp_path / "m.gguf")
+    w.add_string("general.architecture", "test")
+    w.add_uint32("test.dim", 8)
+    w.add_tensor("a", np.arange(32, dtype=np.float32))
+    w.add_tensor("b", np.ones((4, 8), np.float16))
+    w.write()
+    rc = VG.main([str(tmp_path / "m.gguf"), "--stats"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "OK" in out and "tensors      : 2" in out
+    rc = VG.main([str(tmp_path / "does-not-exist.gguf")])
+    assert rc == 1
