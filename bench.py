@@ -61,8 +61,10 @@ def main():
     enc_s = (time.perf_counter() - t0) / N_ENC
 
     # ---- decoder: K chained greedy steps in one dispatch ----
+    # production decode path: fused qkv projection (prepare_decoder)
+    dec_prepared = M.prepare_decoder(params["decoder"])
     enc_out = M.encode(cfg, params["encoder"], mel)
-    xk, xv = M.cross_kv(cfg, params["decoder"], enc_out)
+    xk, xv = M.cross_kv(cfg, dec_prepared, enc_out)
 
     def make_dec_loop(batch, length):
         @jax.jit
@@ -84,18 +86,18 @@ def main():
 
     K = 256
     dec_loop = make_dec_loop(1, K)
-    float(dec_loop(params["decoder"], xk, xv))
+    float(dec_loop(dec_prepared, xk, xv))
     t0 = time.perf_counter()
-    float(dec_loop(params["decoder"], xk, xv))
+    float(dec_loop(dec_prepared, xk, xv))
     dec_s = (time.perf_counter() - t0) / K
 
     # ---- batch-of-5 decode (reference's Bch5 column) ----
     xk5 = jnp.repeat(xk, 5, axis=1)
     xv5 = jnp.repeat(xv, 5, axis=1)
     dec5_loop = make_dec_loop(5, K)
-    float(dec5_loop(params["decoder"], xk5, xv5))
+    float(dec5_loop(dec_prepared, xk5, xv5))
     t0 = time.perf_counter()
-    float(dec5_loop(params["decoder"], xk5, xv5))
+    float(dec5_loop(dec_prepared, xk5, xv5))
     bch5_s = (time.perf_counter() - t0) / K
 
     # ---- prompt processing (PP column): 256 tokens in one pass ----
@@ -107,9 +109,9 @@ def main():
                                         jnp.int32(0), xk, xv)
         return jnp.sum(logits[:, -1])
 
-    float(pp(params["decoder"], xk, xv))
+    float(pp(dec_prepared, xk, xv))
     t0 = time.perf_counter()
-    float(pp(params["decoder"], xk, xv))
+    float(pp(dec_prepared, xk, xv))
     pp_s = (time.perf_counter() - t0) / 256
 
     # ---- batched serving throughput: B windows, enc + 200 tokens each ----
@@ -134,9 +136,10 @@ def main():
         return jnp.sum(tok)
 
     melB = jnp.zeros((B, 2 * cfg.n_audio_ctx, cfg.n_mels), jnp.float32)
-    float(batched_round(params, melB))
+    params_prep = {"encoder": params["encoder"], "decoder": dec_prepared}
+    float(batched_round(params_prep, melB))
     t0 = time.perf_counter()
-    float(batched_round(params, melB))
+    float(batched_round(params_prep, melB))
     batched_sps = B * 30.0 / (time.perf_counter() - t0)
 
     # ---- true end-to-end: whisper_full on 30 s of audio (mel + windows +
@@ -154,6 +157,14 @@ def main():
     F.whisper_full(ctx, fp, audio)
     e2e_rtf = 30.0 / (time.perf_counter() - t0)
 
+    # ---- decoder with runtime int8 logits (decoder_int8 path) ----
+    dec_int8 = M.quantize_decoder_int8(dec_prepared)
+    dec8_loop = make_dec_loop(1, K)
+    float(dec8_loop(dec_int8, xk, xv))
+    t0 = time.perf_counter()
+    float(dec8_loop(dec_int8, xk, xv))
+    dec8_s = (time.perf_counter() - t0) / K
+
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
     baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
 
@@ -165,6 +176,7 @@ def main():
         "detail": {
             "enc_ms": round(enc_s * 1e3, 2),
             "dec_ms_per_token": round(dec_s * 1e3, 3),
+            "dec_int8_ms_per_token": round(dec8_s * 1e3, 3),
             "bch5_ms_per_token": round(bch5_s * 1e3, 3),
             "pp_ms_per_token": round(pp_s * 1e3, 4),
             "baseline_enc_ms": BASELINE_ENC_MS,

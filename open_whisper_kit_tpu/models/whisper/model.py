@@ -497,7 +497,8 @@ _INT8_DECODE_WEIGHTS = ("qkv_w", "q_w", "k_w", "v_w", "o_w", "cq_w", "co_w",
                         "mlp0_w", "mlp1_w")
 
 
-def quantize_decoder_int8(dec: Params, scope: str = "logits") -> Params:
+def quantize_decoder_int8(dec: Params, scope: str = "logits",
+                          logits_bits: int = 8) -> Params:
     """Runtime W8: repack decoder matmul weights into int8 QuantLinear
     planes for the fused Pallas dequant-matvec (q8_0-level error, ~0.4%
     relative). The token-embedding gather keeps the dense `te`. Apply AFTER
@@ -510,7 +511,8 @@ def quantize_decoder_int8(dec: Params, scope: str = "logits") -> Params:
     ~10% on v5e (per-call overhead > bandwidth saved on <=13 MB planes) but
     halves decoder weight memory — useful when packing many models or big
     batches on one chip. Numbers: docs/PERFORMANCE.md."""
-    from ...ops.quant_matmul import QuantLinear, quantize_linear
+    from ...ops.quant_matmul import (QuantLinear, quantize_linear,
+                                     quantize_linear4)
 
     out = dict(dec)
     if scope == "all":
@@ -525,7 +527,10 @@ def quantize_decoder_int8(dec: Params, scope: str = "logits") -> Params:
         out["blocks"] = blocks
     te = dec["te"]
     if te.shape[-1] % 32 == 0 and "te_logits" not in dec:
-        out["te_logits"] = quantize_linear(te.T)
+        # logits_bits=4 halves the logits stream again (q4_0-level error on
+        # the vocab projection only; the reference ships whole q4_0 models)
+        q = quantize_linear4 if logits_bits == 4 else quantize_linear
+        out["te_logits"] = q(te.T)
     return out
 
 

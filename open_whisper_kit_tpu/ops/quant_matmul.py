@@ -150,16 +150,118 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def qmatmul(x: jnp.ndarray, w: QuantLinear) -> jnp.ndarray:
-    """y = x @ w for quantized w; x (..., K) -> (..., N), f32 accumulate."""
+def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
+    """y = x @ w for quantized w (QuantLinear or QuantLinear4);
+    x (..., K) -> (..., N), f32 accumulate."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    out = _qmm(x2, w.qs, w.scales, interpret=not _on_tpu())
+    if isinstance(w, QuantLinear4):
+        out = _qmm4(x2, w.qs, w.scales, interpret=not _on_tpu())
+    else:
+        out = _qmm(x2, w.qs, w.scales, interpret=not _on_tpu())
     n = w.n_out
     if n != out.shape[-1]:
         out = out[:, :n]
     return out.reshape(*lead, n)
+
+
+# -- int4 planes --------------------------------------------------------------
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("qs", "scales"), meta_fields=("n",))
+@dataclasses.dataclass
+class QuantLinear4:
+    """4-bit weight planes: qs (K/2, Np) uint8, low nibble = even K row,
+    high nibble = odd K row (both rows of a nibble pair share the same
+    32-row scale block, so dequant needs no interleave: y = x_even@W_even +
+    x_odd@W_odd). scales (K/32, Np) f32; `n` = logical output width."""
+    qs: jnp.ndarray
+    scales: jnp.ndarray
+    n: int | None = None
+
+    @property
+    def n_out(self) -> int:
+        return self.n if self.n is not None else self.qs.shape[-1]
+
+    @property
+    def shape(self):
+        return (self.qs.shape[-2] * 2, self.n_out)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+
+def quantize_linear4(w: jnp.ndarray) -> QuantLinear4:
+    """Dense (K, N) weight -> symmetric per-32-K-block int4 planes
+    (q4_0-level error, ~2% relative on the weights; halves the HBM bytes of
+    the int8 planes again — the logits-projection stream lever)."""
+    K, N = w.shape
+    x32 = jnp.asarray(w, jnp.float32).reshape(K // QK, QK, N)
+    amax = jnp.max(jnp.abs(x32), axis=1)
+    scale = amax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    q = jnp.clip(jnp.round(x32 * inv[:, None, :]), -8, 7) + 8
+    q = q.reshape(K, N).astype(jnp.uint8)
+    packed = (q[0::2] | (q[1::2] << 4))                     # (K/2, N)
+    Np = -(-N // _BN) * _BN
+    if Np != N:
+        packed = jnp.pad(packed, ((0, 0), (0, Np - N)))
+        scale = jnp.pad(scale, ((0, 0), (0, Np - N)))
+    return QuantLinear4(qs=packed, scales=scale, n=N)
+
+
+@functools.cache
+def _make_qmm4_kernel(compute_dtype):
+    def kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref):
+        K2 = q_ref.shape[0]                          # K/2
+        BN = q_ref.shape[1]
+        w = q_ref[:]
+        s = s_ref[:]                                 # (K/32, BN) == (K2//16, BN)
+        lo = (w & 0x0F).astype(jnp.float32) - 8.0    # even K rows
+        hi = (w >> 4).astype(jnp.float32) - 8.0      # odd K rows
+        lo = (lo.reshape(K2 // 16, 16, BN) * s[:, None, :]).reshape(K2, BN)
+        hi = (hi.reshape(K2 // 16, 16, BN) * s[:, None, :]).reshape(K2, BN)
+        o_ref[:] = (jnp.dot(xe_ref[:].astype(compute_dtype),
+                            lo.astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(xo_ref[:].astype(compute_dtype),
+                              hi.astype(compute_dtype),
+                              preferred_element_type=jnp.float32))
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm4(x: jnp.ndarray, qs: jnp.ndarray, scales: jnp.ndarray,
+          interpret: bool = False) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    K2, Np = qs.shape
+    Mp = -(-M // _M_PAD) * _M_PAD
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    xb = x.astype(jnp.bfloat16)
+    xe, xo = xb[:, 0::2], xb[:, 1::2]            # (Mp, K/2) each
+
+    out = pl.pallas_call(
+        _make_qmm4_kernel(jnp.float32 if interpret else jnp.bfloat16),
+        grid=(Np // _BN,),
+        in_specs=[
+            pl.BlockSpec((Mp, K2), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, K2), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, _BN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2 // 16, _BN), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, _BN), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        interpret=interpret,
+    )(xe, xo, qs, scales)
+    return out[:M]
 
 
 def concat_quant(ws: list[QuantLinear]) -> QuantLinear:
@@ -204,7 +306,14 @@ def _quantize_planes(w: jnp.ndarray):
     return qs.reshape(*lead, K, N).astype(jnp.int8), scale
 
 
-def dequantize_dense(w: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
+def dequantize_dense(w, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Expand to a dense (K, N) array (fallback path / testing)."""
+    if isinstance(w, QuantLinear4):
+        lo = (w.qs & 0x0F).astype(jnp.float32) - 8.0
+        hi = (w.qs >> 4).astype(jnp.float32) - 8.0
+        K2, Np = w.qs.shape
+        q = jnp.stack([lo, hi], axis=1).reshape(2 * K2, Np)
+        s = jnp.repeat(w.scales, QK, axis=-2)
+        return (q * s).astype(dtype)[..., :w.n_out]
     s = jnp.repeat(w.scales, QK, axis=-2)
     return (w.qs.astype(jnp.float32) * s).astype(dtype)[..., :w.n_out]

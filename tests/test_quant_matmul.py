@@ -115,3 +115,35 @@ def test_quantize_decoder_int8_logits_parity():
         scale = float(jnp.abs(ref).max())
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=scale * 0.05)
+
+
+def test_quantize_linear4_roundtrip():
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((64, 100)).astype(np.float32) * 0.1
+    q4 = QM.quantize_linear4(jnp.asarray(w))
+    assert q4.shape == (64, 100) and q4.qs.shape == (32, 512)
+    dense = np.asarray(QM.dequantize_dense(q4, jnp.float32))
+    assert dense.shape == (64, 100)
+    np.testing.assert_allclose(dense, w, atol=np.abs(w).max() / 12)
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    y = np.asarray(QM.qmatmul(jnp.asarray(x), q4))
+    ref = x @ dense
+    np.testing.assert_allclose(y, ref, rtol=0.02, atol=0.02)
+
+
+def test_int4_logits_decode_parity():
+    from open_whisper_kit_tpu.models.whisper import model as M
+    cfg = M.WhisperConfig(512, 16, 64, 2, 2, 16, 64, 2, 2, 80)
+    params = M.init_params(cfg, seed=0, dtype=jnp.float32)
+    dec = M.prepare_decoder(params["decoder"])
+    dec4 = M.quantize_decoder_int8(dec, logits_bits=4)
+    assert isinstance(dec4["te_logits"], QM.QuantLinear4)
+    kv_k, kv_v = M.init_kv_cache(cfg, 1, jnp.float32)
+    xk = jnp.zeros((2, 1, 2, 16, 32), jnp.float32)
+    tok = jnp.array([[5, 9]], jnp.int32)
+    ref, _, _, _ = M.decode_impl(cfg, dec, tok, kv_k, kv_v, 0, xk, xk)
+    got, _, _, _ = M.decode_impl(cfg, dec4, tok, jnp.zeros_like(kv_k),
+                                 jnp.zeros_like(kv_v), 0, xk, xk)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=scale * 0.15)   # 4-bit quant noise
