@@ -219,8 +219,11 @@ def _make_qmm4_kernel(compute_dtype):
         BN = q_ref.shape[1]
         w = q_ref[:]
         s = s_ref[:]                                 # (K/32, BN) == (K2//16, BN)
-        lo = (w & 0x0F).astype(jnp.float32) - 8.0    # even K rows
-        hi = (w >> 4).astype(jnp.float32) - 8.0      # odd K rows
+        # Mosaic legalizes sub/shift/cast only at i32 for narrow ints:
+        # widen once, then all bit ops in i32
+        w32 = w.astype(jnp.int32)
+        lo = ((w32 & 0x0F) - 8).astype(jnp.float32)   # even rows
+        hi = ((w32 >> 4) - 8).astype(jnp.float32)     # odd rows
         lo = (lo.reshape(K2 // 16, 16, BN) * s[:, None, :]).reshape(K2, BN)
         hi = (hi.reshape(K2 // 16, 16, BN) * s[:, None, :]).reshape(K2, BN)
         o_ref[:] = (jnp.dot(xe_ref[:].astype(compute_dtype),
