@@ -81,6 +81,41 @@ def _normalize_jit(logmel: jnp.ndarray, n_len: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(live[:, None], out, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("n_chunks",))
+def _mel_full_jit(padded: jnp.ndarray, window: jnp.ndarray,
+                  filters_t: jnp.ndarray, n_len: jnp.ndarray,
+                  n_chunks: int) -> jnp.ndarray:
+    """Whole-audio mel in ONE device program: scan over fixed 1024-frame
+    chunks (so one upload + one dispatch per call — each extra dispatch
+    costs a full round trip on a remote-device link), then normalize."""
+    overlap = N_FFT - HOP_LENGTH
+    cs = _FRAME_BUCKET * HOP_LENGTH
+    idx = (jnp.arange(_FRAME_BUCKET)[:, None] * HOP_LENGTH
+           + jnp.arange(N_FFT)[None, :])
+
+    def chunk(_, i):
+        seg = jax.lax.dynamic_slice(padded, (i * cs,), (cs + overlap,))
+        frames = seg[idx] * window[None, :]
+        spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
+        power = (spec.real * spec.real
+                 + spec.imag * spec.imag).astype(jnp.float32)
+        mel = jnp.dot(power, filters_t, preferred_element_type=jnp.float32)
+        return None, jnp.log10(jnp.maximum(mel, 1e-10))
+
+    _, logmel = jax.lax.scan(chunk, None, jnp.arange(n_chunks))
+    logmel = logmel.reshape(n_chunks * _FRAME_BUCKET, -1)
+    live = jnp.arange(logmel.shape[0]) < n_len
+    mmax = jnp.max(jnp.where(live[:, None], logmel, -jnp.inf)) - 8.0
+    out = (jnp.maximum(logmel, mmax) + 4.0) / 4.0
+    return jnp.where(live[:, None], out, 0.0)
+
+
+def _bucket_chunks(n_chunks: int) -> int:
+    """Bound the number of compiled _mel_full_jit programs: exact up to 8
+    chunks (<= ~82 s audio), then multiples of 8."""
+    return n_chunks if n_chunks <= 8 else -(-n_chunks // 8) * 8
+
+
 def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
     """Whisper log-mel of 16 kHz mono float32 `samples`.
 
@@ -95,7 +130,7 @@ def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
     n_len = (n + N_SAMPLES_CHUNK + 2 * pad_half - N_FFT) // HOP_LENGTH
     n_len_org = 1 + (n + pad_half - N_FFT) // HOP_LENGTH if n + pad_half >= N_FFT else 0
 
-    n_chunks = max(1, -(-n_len // _FRAME_BUCKET))
+    n_chunks = _bucket_chunks(max(1, -(-n_len // _FRAME_BUCKET)))
     padded_len = n_chunks * _FRAME_BUCKET * HOP_LENGTH + (N_FFT - HOP_LENGTH)
     padded = np.zeros(padded_len, dtype=np.float32)
     if n > 0:
@@ -107,14 +142,8 @@ def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
 
     window = jnp.asarray(hann_window(N_FFT))
     filters_t = jnp.asarray(np.ascontiguousarray(filters.T, dtype=np.float32))
-    chunk_samples = _FRAME_BUCKET * HOP_LENGTH + (N_FFT - HOP_LENGTH)
-    parts = []
-    for i in range(n_chunks):
-        lo = i * _FRAME_BUCKET * HOP_LENGTH
-        parts.append(_mel_frames_jit(jnp.asarray(padded[lo:lo + chunk_samples]),
-                                     window, filters_t, _FRAME_BUCKET))
-    logmel = parts[0] if n_chunks == 1 else jnp.concatenate(parts)
-    data = _normalize_jit(logmel, jnp.int32(n_len))
+    data = _mel_full_jit(jnp.asarray(padded), window, filters_t,
+                         jnp.int32(n_len), n_chunks)
     return Mel(data=data, n_len=n_len, n_len_org=n_len_org)
 
 

@@ -168,16 +168,18 @@ class WhisperContext:
         i0 = min(seek, n_len)
         need = 2 * n_ctx
         if i0 + need <= n_len:
+            # mel.data is bucket-padded with zeros past n_len, so this slice
+            # covers the reference's zero-pad-past-the-end semantics
+            # (whisper.cpp:2392-2399) without a host round trip
             window = jax.lax.dynamic_slice_in_dim(mel_data, i0, need, axis=0)
-        else:  # zero-pad past the end (whisper.cpp:2392-2399)
+        else:  # mel shorter than one window (callers passing raw arrays)
             w = np.zeros((need, self.cfg.n_mels), np.float32)
             avail = n_len - i0
             if avail > 0:
                 w[:avail] = np.asarray(mel_data[i0:i0 + avail])
             window = jnp.asarray(w)
-        enc_out = M.encode(self.cfg, self.params["encoder"], window[None])
-        xk, xv = M.cross_kv(self.cfg, self.params["decoder"], enc_out)
-        return enc_out, xk, xv
+        return M.encode_with_cross_kv(self.cfg, self.params["encoder"],
+                                      self.params["decoder"], window[None])
 
     def rule_masks(self, p: FullParams):
         key = (p.suppress_blank, p.no_timestamps, p.tdrz_enable, p.suppress_nst,
@@ -257,7 +259,8 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
 
     t0 = time.perf_counter()
     mel = mel_mod.log_mel_spectrogram(np.asarray(samples, np.float32), ctx.filters)
-    mel.data.block_until_ready()
+    # no device sync: dispatch is async so decode overlaps; timing buckets
+    # attribute wall-clock to whichever stage first forces a fetch
     timings.t_mel_ms = (time.perf_counter() - t0) * 1e3
 
     if p.token_timestamps:
@@ -353,7 +356,6 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
 
         t0 = time.perf_counter()
         _enc_out, xk, xv = ctx.encode_window(mel.data, seek, audio_ctx)
-        xk.block_until_ready()
         timings.t_encode_ms += (time.perf_counter() - t0) * 1e3
         timings.n_encode += 1
 

@@ -491,6 +491,16 @@ def prepare_decoder(dec: Params) -> Params:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_with_cross_kv(cfg: WhisperConfig, enc: Params, dec: Params,
+                         mel: jnp.ndarray):
+    """encode + cross-KV precompute in ONE dispatch (each separate dispatch
+    costs a full round trip on a remote-device link)."""
+    enc_out = encode(cfg, enc, mel)
+    xk, xv = cross_kv(cfg, dec, enc_out)
+    return enc_out, xk, xv
+
+
 # weights on the per-token decode path; ck/cv (per-window cross-KV build)
 # and the encoder stay dense — they are compute-bound, not stream-bound.
 _INT8_DECODE_WEIGHTS = ("qkv_w", "q_w", "k_w", "v_w", "o_w", "cq_w", "co_w",
