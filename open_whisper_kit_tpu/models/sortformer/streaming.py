@@ -10,15 +10,19 @@ Port of the reference's streaming logic
 * the chunked batch driver sortformer_diarize (:2271-2571) and the true
   streaming API (:2676-3281).
 
-The per-chunk compute (pre-encoder + conformer/transformer head) runs as two
-jitted device calls; the state machine is small host-side numpy.
+The per-chunk compute (pre-encoder + conformer/transformer head) runs as ONE
+fused jitted device call returning one packed buffer (_fused_chunk_jit); the
+AOSC state machine stays small host-side numpy, exactly matching the
+reference's ordering semantics.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -213,6 +217,30 @@ def _state_update(st: StreamState, cfg: StreamConfig,
         st.fifo_preds = upd_preds
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fused_chunk_jit(cfg, params, mel_pad, t_mel, prefix_pad, p_len, n_valid):
+    """preencode + [prefix|preenc] assembly + head in ONE dispatch, ONE
+    packed f32 result (each extra dispatch/fetch costs a full round trip on
+    a remote-device link).
+
+    mel_pad (1, Tm_pad, n_mels); prefix_pad (P_pad, d_model) is the host's
+    concat(spkcache, fifo) zero-padded to a compile bucket; p_len its live
+    length. combined[i] = prefix[i] if i < p_len else preenc[i - p_len]
+    (a gather — dynamic boundary, static shapes)."""
+    pre = SM.preencode(cfg, params, mel_pad, t_mel)[0]     # (Kp, d)
+    P = prefix_pad.shape[0]
+    K = pre.shape[0]
+    T = P + K
+    i = jnp.arange(T)
+    idx_pre = jnp.clip(i - p_len, 0, K - 1)
+    idx_prefix = jnp.clip(i, 0, P - 1)
+    combined = jnp.where((i < p_len)[:, None],
+                         prefix_pad[idx_prefix], pre[idx_pre])
+    preds = SM.head(cfg, params, combined[None], n_valid)[0]   # (T, n_spk)
+    return jnp.concatenate([pre.reshape(-1),
+                            preds.astype(jnp.float32).reshape(-1)])
+
+
 class SortformerDiarizer:
     """Batch + streaming diarization over the jitted compute stages."""
 
@@ -251,6 +279,34 @@ class SortformerDiarizer:
                            jnp.asarray(chunk_mel)[None], jnp.int32(t))
         return np.asarray(out[0])[:SM.preenc_out_len(t)]
 
+    def _fused_chunk(self, chunk_mel: np.ndarray, prefix: np.ndarray):
+        """One dispatch + one fetch for a streaming chunk.
+
+        Returns (preenc (pre_len, d), full_preds (p_len + pre_len, n_spk)),
+        numerically identical to _preencode + host concat + _chunk_predict
+        (the gather assembly and n_valid masking are exactness-preserving)."""
+        t = chunk_mel.shape[0]
+        mb = self._BUCKET * self.cfg.subsampling
+        t_pad = -(-t // mb) * mb
+        if t_pad != t:
+            chunk_mel = np.concatenate(
+                [chunk_mel, np.zeros((t_pad - t, chunk_mel.shape[1]),
+                                     chunk_mel.dtype)])
+        pre_len = SM.preenc_out_len(t)
+        p_len = prefix.shape[0]
+        p_pad = max(self._BUCKET, -(-p_len // self._BUCKET) * self._BUCKET)
+        prefix_pad = np.zeros((p_pad, self.cfg.d_model), np.float32)
+        prefix_pad[:p_len] = prefix
+        packed = np.asarray(_fused_chunk_jit(
+            self.cfg, self.params, jnp.asarray(chunk_mel)[None],
+            jnp.int32(t), jnp.asarray(prefix_pad), jnp.int32(p_len),
+            jnp.int32(p_len + pre_len)))
+        kp = t_pad // self.cfg.subsampling
+        d = self.cfg.d_model
+        pre = packed[:kp * d].reshape(kp, d)[:pre_len]
+        preds = packed[kp * d:].reshape(p_pad + kp, N_SPK)[:p_len + pre_len]
+        return pre, preds
+
     def diarize(self, samples: np.ndarray,
                 stream_cfg: StreamConfig | None = None,
                 progress_callback=None) -> np.ndarray:
@@ -279,11 +335,9 @@ class SortformerDiarizer:
             lc = round(left_off / sub)
             rc = math.ceil(right_off / sub)
 
-            preenc = self._preencode(chunk_mel)
+            prefix = np.concatenate([st.spkcache, st.fifo])
+            preenc, full_preds = self._fused_chunk(chunk_mel, prefix)
             chunk_used = preenc.shape[0] - lc - rc
-
-            combined = np.concatenate([st.spkcache, st.fifo, preenc])
-            full_preds = self._chunk_predict(combined)
 
             pred_start = st.spkcache_len + st.fifo_len + lc
             chunk_preds = full_preds[pred_start:pred_start + chunk_used]

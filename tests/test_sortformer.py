@@ -369,3 +369,23 @@ class TestBatchDiarize:
         # only near-equality is guaranteed (see diarize_batch docstring)
         np.testing.assert_allclose(batch[1], single2, atol=0.1)
         assert np.mean(np.abs(batch[1] - single2)) < 0.02
+
+
+def test_fused_chunk_matches_two_call_path(tiny_params):
+    """_fused_chunk (one dispatch) == _preencode + host concat +
+    _chunk_predict bit-for-bit on the live prefix."""
+    from open_whisper_kit_tpu.models.sortformer.streaming import (
+        SortformerDiarizer)
+    dz = SortformerDiarizer(TINY, tiny_params)
+    rng = np.random.default_rng(11)
+    chunk_mel = rng.standard_normal((100, TINY.n_mels)).astype(np.float32)
+    prefix = rng.standard_normal((37, TINY.d_model)).astype(np.float32) * 0.1
+
+    pre_ref = dz._preencode(chunk_mel)
+    combined = np.concatenate([prefix, pre_ref])
+    preds_ref = dz._chunk_predict(combined)
+
+    pre, preds = dz._fused_chunk(chunk_mel, prefix)
+    np.testing.assert_allclose(pre, pre_ref, atol=1e-5)
+    assert preds.shape == preds_ref.shape
+    np.testing.assert_allclose(preds, preds_ref, atol=1e-5)
