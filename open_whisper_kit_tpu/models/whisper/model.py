@@ -263,7 +263,11 @@ def _attention_hm(q, kh, vh, n_head, scale, mask=None):
     return out.transpose(0, 2, 1, 3).reshape(B, Tq, S), probs
 
 
-def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+_ENC_PAD_MIN_T = 256   # pad-once threshold (= ops.attention._MIN_FLASH_T)
+
+
+def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray,
+                   n_valid: int | None = None) -> jnp.ndarray:
     from ...ops.attention import mha_full
 
     scale = 1.0 / np.sqrt(cfg.d_audio_head)
@@ -271,7 +275,7 @@ def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray
     q = _mm(h, p["q_w"]) + p["q_b"]
     k = _mm(h, p["k_w"])  # no key bias (whisper.cpp:2125)
     v = _mm(h, p["v_w"]) + p["v_b"]
-    a = mha_full(q, k, v, cfg.n_audio_head, scale)
+    a = mha_full(q, k, v, cfg.n_audio_head, scale, kv_valid=n_valid)
     x = x + _mm(a, p["o_w"]) + p["o_b"]
     h = _ln(x, p["mlp_ln_w"], p["mlp_ln_b"], cfg.eps)
     h = jax.nn.gelu(_mm(h, p["mlp0_w"]) + p["mlp0_b"], approximate=True)
@@ -301,10 +305,21 @@ def encode(cfg: WhisperConfig, enc: Params, mel: jnp.ndarray) -> jnp.ndarray:
     n_ctx = x.shape[1]
     x = x + enc["pos"][:n_ctx].astype(dtype)
 
+    # pad ONCE to the flash-attention block multiple instead of pad/slice
+    # copies of q/k/v in every layer (~12 ms of pure data movement for
+    # large-v3-turbo on v5e); pad keys are masked in the kernel, pad-query
+    # outputs never feed back into live positions and are sliced off below
+    n_pad = -n_ctx % 128 if n_ctx >= _ENC_PAD_MIN_T else 0
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+
     def body(h, bp):
-        return _encoder_block(cfg, bp, h), None
+        return _encoder_block(cfg, bp, h,
+                              n_valid=n_ctx if n_pad else None), None
 
     x, _ = jax.lax.scan(body, x, enc["blocks"])
+    if n_pad:
+        x = x[:, :n_ctx]
     return _ln(x, enc["ln_post_w"], enc["ln_post_b"], cfg.eps)
 
 

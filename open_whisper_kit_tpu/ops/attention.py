@@ -40,8 +40,16 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
 
 
 def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-             n_head: int, scale: float) -> jnp.ndarray:
-    """Unmasked multi-head attention, (B, T, S) layout, fused on TPU."""
+             n_head: int, scale: float,
+             kv_valid: int | None = None) -> jnp.ndarray:
+    """Unmasked multi-head attention, (B, T, S) layout, fused on TPU.
+
+    `kv_valid`: when the caller runs pre-padded sequences (pad-once at the
+    top of the encoder instead of pad/slice copies in every layer), the
+    number of live positions; keys beyond it are masked out. Outputs at
+    padded query positions are garbage by design — the caller slices them
+    off after the stack.
+    """
     B, Tq, S = q.shape
     Tk = k.shape[1]
     d = S // n_head
@@ -52,6 +60,9 @@ def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         vh = v.reshape(B, Tk, n_head, d)
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32) * scale
+        if kv_valid is not None and kv_valid < Tk:
+            mask = jnp.where(jnp.arange(Tk) < kv_valid, 0.0, -jnp.inf)
+            scores = scores + mask[None, None, None, :].astype(scores.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), vh,
                          preferred_element_type=jnp.float32).astype(q.dtype)
@@ -69,10 +80,12 @@ def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vp = _pad_to(vh, 2, _BLOCK)
     Tqp, Tkp = qp.shape[2], kp.shape[2]
 
+    live_q = Tq if kv_valid is None else kv_valid
+    live_k = Tk if kv_valid is None else kv_valid
     seg = None
-    if Tqp != Tq or Tkp != Tk:
-        q_ids = (jnp.arange(Tqp) >= Tq).astype(jnp.int32)[None].repeat(B, 0)
-        kv_ids = (jnp.arange(Tkp) >= Tk).astype(jnp.int32)[None].repeat(B, 0)
+    if Tqp != live_q or Tkp != live_k:
+        q_ids = (jnp.arange(Tqp) >= live_q).astype(jnp.int32)[None].repeat(B, 0)
+        kv_ids = (jnp.arange(Tkp) >= live_k).astype(jnp.int32)[None].repeat(B, 0)
         seg = SegmentIds(q=q_ids, kv=kv_ids)
 
     # full k-rows in VMEM, q blocked at 1024 for grid pipelining: 178 -> 162

@@ -185,3 +185,22 @@ def test_beam_reorder(params):
     enc_src = torch.from_numpy(np.asarray(enc_out))[torch.from_numpy(np.asarray(src))]
     want = torch_decode(params, toks_src, enc_src).numpy()[:, -1]
     np.testing.assert_allclose(np.asarray(logits2)[:, -1], want, atol=5e-3)
+
+
+def test_encode_pad_once_parity(monkeypatch):
+    """Pad-once encoder (T padded to 128-multiple, masked keys) equals the
+    exact-length computation on the live prefix."""
+    import jax.numpy as jnp
+    from open_whisper_kit_tpu.models.whisper import model as M
+
+    cfg = M.WhisperConfig(100, 160, 64, 2, 2, 16, 64, 2, 2, 80)  # T=320
+    params = M.init_params(cfg, seed=3, dtype=jnp.float32)
+    mel = np.random.default_rng(4).standard_normal((1, 320, 80)).astype(np.float32)
+
+    got = np.asarray(M.encode.__wrapped__(cfg, params["encoder"],
+                                          jnp.asarray(mel)))
+    monkeypatch.setattr(M, "_ENC_PAD_MIN_T", 10**9)   # disable padding
+    ref = np.asarray(M.encode.__wrapped__(cfg, params["encoder"],
+                                          jnp.asarray(mel)))
+    assert got.shape == ref.shape == (1, 160, 64)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
