@@ -29,6 +29,58 @@ def _flash_available() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def _packed_kernel(n_valid: int, Tk: int, scale: float, n_pair: int):
+    """Resident-softmax attention over `n_pair` 64-wide heads packed in one
+    128-lane column group; whole score rows stay in VMEM (no flash
+    running-max bookkeeping needed at whisper's T<=1536)."""
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        q = q_ref[0]                              # (blk, 128)
+        k = k_ref[0]                              # (Tk, 128)
+        v = v_ref[0]
+        outs = []
+        for a in range(n_pair):
+            qa = q[:, a * 64:(a + 1) * 64]
+            ka = k[:, a * 64:(a + 1) * 64]
+            va = v[:, a * 64:(a + 1) * 64]
+            s = jax.lax.dot_general(qa, ka, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if n_valid < Tk:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, -jnp.inf)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
+            outs.append(jnp.dot(p, va, preferred_element_type=jnp.float32))
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(q.dtype)
+    return kernel
+
+
+def _mha_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                scale: float, n_valid: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Attention directly on the (B, T, S=H*64) layout — no head transposes,
+    no per-layer pads. 87.5 us/layer at whisper large's (20, 1536, 64) on
+    v5e (138 TFLOP/s, ~the d=64 MXU ceiling) vs 162 us for the tuned flash
+    kernel — and saves the 4 layout transposes around it."""
+    from jax.experimental import pallas as pl
+
+    B, Tq, S = q.shape
+    Tk = k.shape[1]
+    blk = next(b for b in (768, 512, 256, 128) if Tq % b == 0)
+    return pl.pallas_call(
+        _packed_kernel(n_valid, Tk, float(scale), 2),
+        grid=(B, S // 128, Tq // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, 128), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, Tk, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, Tk, 128), lambda b, h, i: (b, 0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, blk, 128), lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, S), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     n = x.shape[axis]
     pad = (-n) % multiple
@@ -67,6 +119,9 @@ def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), vh,
                          preferred_element_type=jnp.float32).astype(q.dtype)
         return out.reshape(B, Tq, S)
+
+    if (d == 64 and S % 128 == 0 and Tk == Tq and Tq % 128 == 0):
+        return _mha_packed(q, k, v, scale, Tq if kv_valid is None else kv_valid)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)

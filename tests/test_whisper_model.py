@@ -204,3 +204,30 @@ def test_encode_pad_once_parity(monkeypatch):
                                           jnp.asarray(mel)))
     assert got.shape == ref.shape == (1, 160, 64)
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_mha_packed_matches_einsum():
+    """The packed no-transpose attention kernel (interpret mode) equals the
+    einsum reference with key masking."""
+    import jax
+    import jax.numpy as jnp
+    from open_whisper_kit_tpu.ops.attention import _mha_packed
+
+    B, H, T, D, NV = 2, 4, 256, 64, 250
+    S = H * D
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((B, T, S)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, S)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, S)).astype(np.float32))
+    scale = 0.125
+
+    got = np.asarray(_mha_packed(q, k, v, scale, NV, interpret=True))
+
+    qh = np.asarray(q).reshape(B, T, H, D)
+    kh = np.asarray(k).reshape(B, T, H, D)[:, :NV]
+    vh = np.asarray(v).reshape(B, T, H, D)[:, :NV]
+    s = np.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, T, S)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
