@@ -142,6 +142,34 @@ def main():
     float(batched_round(params_prep, melB))
     batched_sps = B * 30.0 / (time.perf_counter() - t0)
 
+    # quantized serving mode: int8 logits planes + int8 cross-KV (opt-in
+    # decoder_int8 / cross_kv_int8 flags; q8_0-level numerics)
+    @jax.jit
+    def batched_round_q8(p, melB):
+        enc = M.encode(cfg, p["encoder"], melB)
+        xkB, xvB = M.cross_kv(cfg, p["decoder"], enc)
+        xkB, xvB = M.quantize_cross_kv(xkB), M.quantize_cross_kv(xvB)
+        kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16)
+        tok = jnp.zeros((B, 1), jnp.int32)
+
+        def body(carry, _):
+            tok, kv_k, kv_v, head = carry
+            logits, kv_k, kv_v, _ = M.decode_impl(
+                cfg, p["decoder"], tok, kv_k, kv_v, head, xkB, xvB)
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return (tok, kv_k, kv_v, head + 1), ()
+
+        (tok, _, _, _), _ = jax.lax.scan(
+            body, (tok, kv_k, kv_v, jnp.int32(0)), None, length=N_DEC_TOKENS)
+        return jnp.sum(tok)
+
+    dec_int8_full = M.quantize_decoder_int8(dec_prepared)
+    params_q8 = {"encoder": params["encoder"], "decoder": dec_int8_full}
+    float(batched_round_q8(params_q8, melB))
+    t0 = time.perf_counter()
+    float(batched_round_q8(params_q8, melB))
+    batched_q8_sps = B * 30.0 / (time.perf_counter() - t0)
+
     # ---- true end-to-end: whisper_full on 30 s of audio (mel + windows +
     # fused device decode + segment assembly) ----
     from open_whisper_kit_tpu.decode import full as F
@@ -161,11 +189,10 @@ def main():
     e2e_rtf = 30.0 / e2e_best
 
     # ---- decoder with runtime int8 logits (decoder_int8 path) ----
-    dec_int8 = M.quantize_decoder_int8(dec_prepared)
     dec8_loop = make_dec_loop(1, K)
-    float(dec8_loop(dec_int8, xk, xv))
+    float(dec8_loop(dec_int8_full, xk, xv))
     t0 = time.perf_counter()
-    float(dec8_loop(dec_int8, xk, xv))
+    float(dec8_loop(dec_int8_full, xk, xv))
     dec8_s = (time.perf_counter() - t0) / K
 
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
@@ -186,6 +213,7 @@ def main():
             "baseline_dec_ms": BASELINE_DEC_MS,
             "baseline_rtf": round(baseline_rtf, 1),
             "batched16_audio_sec_per_sec": round(batched_sps, 1),
+            "batched16_int8_audio_sec_per_sec": round(batched_q8_sps, 1),
             "e2e_whisper_full_rtf": round(e2e_rtf, 1),
             "device": str(jax.devices()[0]),
         },
