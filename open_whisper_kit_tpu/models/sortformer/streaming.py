@@ -309,11 +309,21 @@ class SortformerDiarizer:
 
     def diarize(self, samples: np.ndarray,
                 stream_cfg: StreamConfig | None = None,
-                progress_callback=None) -> np.ndarray:
+                progress_callback=None,
+                device_state: bool = False) -> np.ndarray:
         """16 kHz mono f32 -> per-80ms-frame speaker probs (n_frames, 4).
 
         Port of sortformer_diarize (sortformer.cpp:2271-2571).
+
+        `device_state=True` runs the ENTIRE chunk loop (incl. the AOSC
+        state machine) as one device scan (device_aosc.py) — one dispatch
+        per file instead of one synchronized round trip per chunk;
+        bit-exact vs this host loop (verified in tests). No
+        progress_callback in that mode.
         """
+        if device_state:
+            from .device_aosc import diarize_device
+            return diarize_device(self, samples, stream_cfg)
         cfg = self.cfg
         scfg = stream_cfg or StreamConfig()
         sub = cfg.subsampling

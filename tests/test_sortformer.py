@@ -389,3 +389,25 @@ def test_fused_chunk_matches_two_call_path(tiny_params):
     np.testing.assert_allclose(pre, pre_ref, atol=1e-5)
     assert preds.shape == preds_ref.shape
     np.testing.assert_allclose(preds, preds_ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("scfg", [
+    SS.StreamConfig(chunk_len=8, fifo_len=16, spkcache_len=16,
+                    spkcache_update_period=12, chunk_left_context=1,
+                    chunk_right_context=1, spkcache_sil_frames_per_spk=1),
+    SS.StreamConfig(chunk_len=6, fifo_len=24, spkcache_len=20,
+                    spkcache_update_period=16, chunk_right_context=3),
+    SS.StreamConfig(chunk_len=10),   # defaults: fifo_len=0, always-pop path
+])
+def test_device_aosc_matches_host(tiny_params, scfg):
+    """The single-dispatch device AOSC scan is bit-exact vs the host loop
+    (FIFO pops, spkcache compression, silence profile all exercised)."""
+    from open_whisper_kit_tpu.models.sortformer.device_aosc import (
+        diarize_device)
+    dz = SS.SortformerDiarizer(TINY, tiny_params)
+    audio = (np.random.default_rng(1).standard_normal(16000 * 7) * 0.1
+             ).astype(np.float32)
+    ref = dz.diarize(audio, scfg)
+    got = dz.diarize(audio, scfg, device_state=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-6)
