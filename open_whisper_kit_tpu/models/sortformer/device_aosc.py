@@ -286,20 +286,21 @@ def _diarize_scan_jit(cfg, key: tuple, params, mel, starts, t_mels, lcs,
     return preds
 
 
-def diarize_device(diarizer, samples: np.ndarray,
-                   scfg: StreamConfig | None = None) -> np.ndarray:
-    """Single-dispatch diarization (same output as SortformerDiarizer.diarize
-    up to float associativity; see module docstring)."""
-    cfg = diarizer.cfg
-    scfg = scfg or StreamConfig()
+@functools.partial(jax.jit, static_argnames=("cfg", "key", "mel_max",
+                                              "ch_max", "t_comb"))
+def _diarize_scan_batch_jit(cfg, key, params, mel_b, starts, t_mels, lcs,
+                            chunk_useds, mel_max, ch_max, t_comb):
+    """vmap of the single-file scan over a leading file axis (the chunk
+    schedule is shared, so per-file states stay shape-aligned)."""
+    def one(mel):
+        return _diarize_scan_jit.__wrapped__(
+            cfg, key, params, mel, starts, t_mels, lcs, chunk_useds,
+            mel_max, ch_max, t_comb)
+    return jax.vmap(one)(mel_b)
+
+
+def _chunk_schedule(cfg, scfg: StreamConfig, feat_len: int):
     sub = cfg.subsampling
-    per_spk = scfg.spkcache_len // N_SPK - scfg.spkcache_sil_frames_per_spk
-    assert int(per_spk * scfg.weak_boost_rate) <= scfg.spkcache_len, \
-        "device AOSC requires weak_k <= spkcache_len (top_k size is static)"
-
-    mel, seq_len = SM.compute_mel(cfg, diarizer.params, samples)
-    feat_len = int(seq_len)
-
     starts, t_mels, lcs, useds = [], [], [], []
     stt = 0
     while stt < feat_len:
@@ -314,14 +315,41 @@ def diarize_device(diarizer, samples: np.ndarray,
         lcs.append(lc)
         useds.append(SM.preenc_out_len(t) - lc - rc)
         stt = end
-    if not starts:
-        return np.zeros((0, N_SPK), np.float32)
+    return starts, t_mels, lcs, useds
 
-    bucket = 64 * sub
+
+def _scan_args(cfg, scfg, starts, t_mels, lcs, useds):
+    bucket = 64 * cfg.subsampling
     mel_max = max(-(-max(t_mels) // bucket) * bucket, bucket)
     ch_max = max(useds)
-    t_comb_raw = scfg.spkcache_len + scfg.fifo_len + mel_max // sub
+    t_comb_raw = scfg.spkcache_len + scfg.fifo_len + mel_max // cfg.subsampling
     t_comb = -(-t_comb_raw // 64) * 64
+    xs = (jnp.asarray(starts, jnp.int32), jnp.asarray(t_mels, jnp.int32),
+          jnp.asarray(lcs, jnp.int32), jnp.asarray(useds, jnp.int32))
+    return mel_max, ch_max, t_comb, xs
+
+
+def _check_scfg(scfg: StreamConfig):
+    per_spk = scfg.spkcache_len // N_SPK - scfg.spkcache_sil_frames_per_spk
+    assert int(per_spk * scfg.weak_boost_rate) <= scfg.spkcache_len, \
+        "device AOSC requires weak_k <= spkcache_len (top_k size is static)"
+
+
+def diarize_device(diarizer, samples: np.ndarray,
+                   scfg: StreamConfig | None = None) -> np.ndarray:
+    """Single-dispatch diarization (same output as SortformerDiarizer.diarize
+    up to float associativity; see module docstring)."""
+    cfg = diarizer.cfg
+    scfg = scfg or StreamConfig()
+    _check_scfg(scfg)
+
+    mel, seq_len = SM.compute_mel(cfg, diarizer.params, samples)
+    feat_len = int(seq_len)
+    starts, t_mels, lcs, useds = _chunk_schedule(cfg, scfg, feat_len)
+    if not starts:
+        return np.zeros((0, N_SPK), np.float32)
+    mel_max, ch_max, t_comb, xs = _scan_args(cfg, scfg, starts, t_mels,
+                                             lcs, useds)
     mel_np = np.asarray(mel)
     n_pad = starts[-1] + mel_max - mel_np.shape[0]
     if n_pad > 0:
@@ -329,8 +357,44 @@ def diarize_device(diarizer, samples: np.ndarray,
             [mel_np, np.zeros((n_pad, mel_np.shape[1]), mel_np.dtype)])
 
     preds = np.asarray(_diarize_scan_jit(
-        cfg, _scfg_key(scfg), diarizer.params, jnp.asarray(mel_np),
-        jnp.asarray(starts, jnp.int32), jnp.asarray(t_mels, jnp.int32),
-        jnp.asarray(lcs, jnp.int32), jnp.asarray(useds, jnp.int32),
+        cfg, _scfg_key(scfg), diarizer.params, jnp.asarray(mel_np), *xs,
         mel_max, ch_max, t_comb))
     return np.concatenate([preds[i, :useds[i]] for i in range(len(useds))])
+
+
+def diarize_device_batch(diarizer, audios: list[np.ndarray],
+                         scfg: StreamConfig | None = None) -> list[np.ndarray]:
+    """Batched single-dispatch diarization over several files in lockstep
+    (chunk schedule follows the batch maximum — same semantics as
+    SortformerDiarizer.diarize_batch)."""
+    if not audios:
+        return []
+    cfg = diarizer.cfg
+    scfg = scfg or StreamConfig()
+    _check_scfg(scfg)
+
+    mels, seq_lens = [], []
+    for a in audios:
+        m, s = SM.compute_mel(cfg, diarizer.params, np.asarray(a, np.float32))
+        mels.append(np.asarray(m))
+        seq_lens.append(int(s))
+    feat_len = max(seq_lens)
+    starts, t_mels, lcs, useds = _chunk_schedule(cfg, scfg, feat_len)
+    if not starts:
+        return [np.zeros((0, N_SPK), np.float32) for _ in audios]
+    mel_max, ch_max, t_comb, xs = _scan_args(cfg, scfg, starts, t_mels,
+                                             lcs, useds)
+    rows = max(max(m.shape[0] for m in mels), starts[-1] + mel_max)
+    mel_b = np.zeros((len(audios), rows, cfg.n_mels), np.float32)
+    for i, m in enumerate(mels):
+        mel_b[i, :m.shape[0]] = m
+
+    preds = np.asarray(_diarize_scan_batch_jit(
+        cfg, _scfg_key(scfg), diarizer.params, jnp.asarray(mel_b), *xs,
+        mel_max, ch_max, t_comb))           # (B, n_chunks, ch_max, 4)
+    out = []
+    for b, sl in enumerate(seq_lens):
+        full = np.concatenate([preds[b, i, :useds[i]]
+                               for i in range(len(useds))])
+        out.append(full[:-(-sl // cfg.subsampling)])
+    return out

@@ -366,8 +366,8 @@ class SortformerDiarizer:
 
 
     def diarize_batch(self, audios: list[np.ndarray],
-                      stream_cfg: StreamConfig | None = None
-                      ) -> list[np.ndarray]:
+                      stream_cfg: StreamConfig | None = None,
+                      device_state: bool = False) -> list[np.ndarray]:
         """Diarize several files in lockstep: each chunk round runs ONE
         batched pre-encoder + head call over all files (the AOSC schedule is
         shape-deterministic, so per-file states stay aligned).
@@ -376,7 +376,11 @@ class SortformerDiarizer:
         ride along on zero-padded mel (their chunk schedule follows the batch
         maximum), so their predictions are those of the zero-padded audio —
         near-identical in practice; batch same-length files when exactness
-        matters."""
+        matters. `device_state=True`: whole loop on device (one dispatch for
+        the entire batch, device_aosc.py)."""
+        if device_state:
+            from .device_aosc import diarize_device_batch
+            return diarize_device_batch(self, audios, stream_cfg)
         if not audios:
             return []
         cfg = self.cfg

@@ -411,3 +411,20 @@ def test_device_aosc_matches_host(tiny_params, scfg):
     got = dz.diarize(audio, scfg, device_state=True)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_device_aosc_batch_matches_host_batch(tiny_params):
+    from open_whisper_kit_tpu.models.sortformer.device_aosc import (
+        diarize_device_batch)
+    dz = SS.SortformerDiarizer(TINY, tiny_params)
+    scfg = SS.StreamConfig(chunk_len=8, fifo_len=16, spkcache_len=16,
+                           spkcache_update_period=12,
+                           spkcache_sil_frames_per_spk=1)
+    rng = np.random.default_rng(2)
+    audios = [rng.standard_normal(16000 * 5).astype(np.float32) * 0.1,
+              rng.standard_normal(16000 * 5).astype(np.float32) * 0.1]
+    ref = dz.diarize_batch(audios, scfg)
+    got = dz.diarize_batch(audios, scfg, device_state=True)
+    for r, g in zip(ref, got):
+        assert r.shape == g.shape
+        np.testing.assert_allclose(g, r, atol=1e-6)
