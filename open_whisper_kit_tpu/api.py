@@ -127,10 +127,20 @@ class Diarizer:
         else:
             raise ValueError("model_path or (cfg, params) required")
 
+    @staticmethod
+    def _auto_device_state(device_state: bool | None) -> bool:
+        """Default the single-dispatch device AOSC loop on for accelerators
+        (bit-exact vs the host loop; big win on high-latency links)."""
+        if device_state is not None:
+            return device_state
+        import jax
+        return jax.devices()[0].platform != "cpu"
+
     def diarize(self, audio: str | Path | np.ndarray,
                 stream_config: StreamConfig | str | None = None,
                 threshold: float = 0.5, median_win: int = 11,
-                file_id: str | None = None):
+                file_id: str | None = None,
+                device_state: bool | None = None):
         """-> (probs (T,4), rttm segments)."""
         if isinstance(audio, (str, Path)):
             if file_id is None:
@@ -138,14 +148,17 @@ class Diarizer:
             audio = load_wav(audio)
         if isinstance(stream_config, str):
             stream_config = PRESETS[stream_config]
-        probs = self.engine.diarize(audio, stream_config)
+        probs = self.engine.diarize(
+            audio, stream_config,
+            device_state=self._auto_device_state(device_state))
         segments = _rttm.probs_to_segments(probs, threshold, median_win,
                                            file_id or "unknown")
         return probs, segments
 
     def diarize_batch(self, audios: list, stream_config=None,
                       threshold: float = 0.5, median_win: int = 11,
-                      file_ids: list[str] | None = None):
+                      file_ids: list[str] | None = None,
+                      device_state: bool | None = None):
         """Lockstep multi-file diarization -> list of (probs, segments)."""
         loaded = []
         ids = []
@@ -158,7 +171,9 @@ class Diarizer:
                 loaded.append(np.asarray(a, np.float32))
         if isinstance(stream_config, str):
             stream_config = PRESETS[stream_config]
-        all_probs = self.engine.diarize_batch(loaded, stream_config)
+        all_probs = self.engine.diarize_batch(
+            loaded, stream_config,
+            device_state=self._auto_device_state(device_state))
         return [(p, _rttm.probs_to_segments(p, threshold, median_win, fid))
                 for p, fid in zip(all_probs, ids)]
 
