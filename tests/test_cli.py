@@ -176,3 +176,24 @@ def test_cli_print_colors_stub(ref_models, jfk_wav):
             "-f", str(jfk_wav)]
     assert main(base + ["-pc"]) == 0
     assert main(base + ["--print-confidence", "-nt"]) == 0
+
+
+def test_diarized_transcript_example(tmp_path, ref_models, jfk_wav):
+    """examples/diarized_transcript.py end-to-end on stub whisper + tiny
+    random sortformer (smoke: flow wiring, output files)."""
+    import sys
+    sys.path.insert(0, "examples")
+    import jax.numpy as jnp
+    from tests.test_sortformer import TINY, _write_tiny_gguf
+    from open_whisper_kit_tpu.models.sortformer import model as SM
+
+    params = SM.init_params(TINY, seed=0)
+    gguf = _write_tiny_gguf(tmp_path, TINY, params)
+    import diarized_transcript as EX
+    wav = tmp_path / "in.wav"
+    import shutil
+    shutil.copy(jfk_wav, wav)
+    rc = EX.main([str(wav), "-m", str(ref_models / "for-tests-ggml-tiny.en.bin"),
+                  "-dm", str(gguf), "--rttm-out", str(tmp_path / "o.rttm")])
+    assert rc == 0
+    assert (tmp_path / "o.rttm").exists()
