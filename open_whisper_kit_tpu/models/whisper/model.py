@@ -466,8 +466,14 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
         x = x + _mm(ca, p["co_w"]) + p["co_b"]
 
         h = _ln(x, p["mlp_ln_w"], p["mlp_ln_b"], cfg.eps)
-        h = jax.nn.gelu(_mm(h, p["mlp0_w"]) + p["mlp0_b"], approximate=True)
-        x = x + _mm(h, p["mlp1_w"]) + p["mlp1_b"]
+        from ...ops.quant_matmul import QuantLinear as _QL, fused_ffn_int8
+        if (isinstance(p["mlp0_w"], _QL) and isinstance(p["mlp1_w"], _QL)
+                and p["mlp0_w"].qs.shape[-1] == p["mlp0_w"].n_out):
+            x = x + fused_ffn_int8(h, p["mlp0_w"], p["mlp0_b"],
+                                   p["mlp1_w"]).astype(x.dtype) + p["mlp1_b"]
+        else:
+            h = jax.nn.gelu(_mm(h, p["mlp0_w"]) + p["mlp0_b"], approximate=True)
+            x = x + _mm(h, p["mlp1_w"]) + p["mlp1_b"]
 
     x = _ln(x, dec["ln_w"], dec["ln_b"], cfg.eps)
     if "te_logits" in dec:   # int8 planes of te.T (quantize_decoder_int8)
@@ -530,25 +536,31 @@ def quantize_decoder_int8(dec: Params, scope: str = "logits",
     prepare_decoder.
 
     scope="logits" (default) quantizes only the vocab projection — the one
-    plane big enough (e.g. 133 MB for large-v3-turbo) that halved HBM
-    traffic beats the extra kernel-call overhead; measured -8% decode step
-    on v5e. scope="all" also covers the per-layer matmuls: today that LOSES
-    ~10% on v5e (per-call overhead > bandwidth saved on <=13 MB planes) but
-    halves decoder weight memory — useful when packing many models or big
-    batches on one chip. Numbers: docs/PERFORMANCE.md."""
+    plane big enough (133 MB for large-v3-turbo) that halved HBM traffic
+    clearly wins: 0.56 -> 0.48 ms/step on v5e. scope="mlp" additionally
+    routes the MLP pair through the single fused_ffn_int8 kernel: 22 vs
+    35 us per layer in ISOLATION, but in the full decode step it measures
+    SLOWER (0.60 ms) — the opaque pallas call defeats XLA's cross-op
+    prefetch overlap that the dense matmuls enjoy; kept as a
+    memory-halving option. scope="all" also covers the attention matmuls
+    (same in-situ loss, max memory saving). Numbers:
+    docs/PERFORMANCE.md."""
     from ...ops.quant_matmul import (QuantLinear, quantize_linear,
                                      quantize_linear4)
 
     out = dict(dec)
-    if scope == "all":
+    if scope in ("all", "mlp"):
         blocks = dict(dec["blocks"])
-        for name in _INT8_DECODE_WEIGHTS:
+        names = (_INT8_DECODE_WEIGHTS if scope == "all"
+                 else ("mlp0_w", "mlp1_w"))
+        for name in names:
             w = blocks.get(name)
             if w is None or isinstance(w, QuantLinear):
                 continue
-            if w.shape[-2] % 32:
-                continue   # K not block-divisible (tiny test configs)
-            blocks[name] = quantize_linear(w)
+            if w.shape[-2] % 32 or w.shape[-1] % 32:
+                continue   # not block-divisible (tiny test configs)
+            # mlp0 feeds the fused FFN kernel: unpadded logical width
+            blocks[name] = quantize_linear(w, pad=(name != "mlp0_w"))
         out["blocks"] = blocks
     te = dec["te"]
     if te.shape[-1] % 32 == 0 and "te_logits" not in dec:

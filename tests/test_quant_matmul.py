@@ -97,7 +97,7 @@ def test_quantize_decoder_int8_logits_parity():
     cfg = M.WhisperConfig(512, 16, 64, 2, 2, 16, 64, 2, 2, 80)
     params = M.init_params(cfg, seed=0, dtype=jnp.float32)
     dec = M.prepare_decoder(params["decoder"])
-    dec8 = M.quantize_decoder_int8(dec)             # default: logits only
+    dec8 = M.quantize_decoder_int8(dec, scope="logits")
     assert "te_logits" in dec8
     assert not any(isinstance(v, QM.QuantLinear)
                    for v in dec8["blocks"].values())
@@ -147,3 +147,42 @@ def test_int4_logits_decode_parity():
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=scale * 0.15)   # 4-bit quant noise
+
+
+def test_fused_ffn_int8_matches_dense():
+    rng = np.random.default_rng(6)
+    K, FF = 64, 256
+    w0 = rng.standard_normal((K, FF)).astype(np.float32) * 0.1
+    b0 = rng.standard_normal(FF).astype(np.float32) * 0.05
+    w1 = rng.standard_normal((FF, 50)).astype(np.float32) * 0.1
+    q0 = QM.quantize_linear(jnp.asarray(w0), pad=False)
+    q1 = QM.quantize_linear(jnp.asarray(w1))
+    x = rng.standard_normal((3, K)).astype(np.float32)
+    got = np.asarray(QM.fused_ffn_int8(jnp.asarray(x), q0,
+                                       jnp.asarray(b0), q1))
+    import jax
+    h = np.asarray(jax.nn.gelu(jnp.asarray(x @ w0 + b0), approximate=True))
+    ref = h @ w1
+    assert got.shape == (3, 50)
+    np.testing.assert_allclose(got, ref, rtol=0.05,
+                               atol=0.05 * np.abs(ref).max())
+
+
+def test_quantize_decoder_int8_mlp_scope_parity():
+    from open_whisper_kit_tpu.models.whisper import model as M
+    cfg = M.WhisperConfig(512, 16, 64, 2, 2, 16, 64, 2, 2, 80)
+    params = M.init_params(cfg, seed=0, dtype=jnp.float32)
+    dec = M.prepare_decoder(params["decoder"])
+    dec_m = M.quantize_decoder_int8(dec, scope="mlp")
+    assert isinstance(dec_m["blocks"]["mlp0_w"], QM.QuantLinear)
+    assert (dec_m["blocks"]["mlp0_w"].qs.shape[-1]
+            == dec_m["blocks"]["mlp0_w"].n_out)     # unpadded for fused FFN
+    kv_k, kv_v = M.init_kv_cache(cfg, 1, jnp.float32)
+    xk = jnp.zeros((2, 1, 2, 16, 32), jnp.float32)
+    tok = jnp.array([[5, 9]], jnp.int32)
+    ref, _, _, _ = M.decode_impl(cfg, dec, tok, kv_k, kv_v, 0, xk, xk)
+    got, _, _, _ = M.decode_impl(cfg, dec_m, tok, jnp.zeros_like(kv_k),
+                                 jnp.zeros_like(kv_v), 0, xk, xk)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=scale * 0.05)
