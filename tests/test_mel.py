@@ -79,3 +79,19 @@ def test_nemo_mel_shapes():
     assert out.shape[0] % 16 == 0
     n_frames = 1 + (16000 + 512 - 512) // 160
     assert out.shape[0] == -(-n_frames // 16) * 16
+
+
+def test_long_audio_bucketed_chunks_match_oracle(ref_models):
+    """>8 mel chunks triggers the 8-multiple bucket (_bucket_chunks); the
+    padded program must still match the exact oracle on the live frames."""
+    filt = _filters(ref_models)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(16000 * 95) * 0.1).astype(np.float32)  # 95 s
+    m = mel_mod.log_mel_spectrogram(x, filt)
+    assert m.data.shape[0] % (8 * 1024) == 0        # bucketed chunk count
+    ref = mel_mod.log_mel_spectrogram_numpy(x, filt)
+    got = m.ref_layout()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    # padding rows beyond n_len are exactly zero
+    assert float(np.abs(np.asarray(m.data[m.n_len:])).max()) == 0.0
