@@ -521,14 +521,12 @@ class SortformerStream:
                 return
             rc = math.ceil(right_off / sub)
 
-            preenc = self.d._preencode(chunk_mel)
+            st = self.st
+            prefix = np.concatenate([st.spkcache, st.fifo])
+            preenc, full_preds = self.d._fused_chunk(chunk_mel, prefix)
             chunk_used = preenc.shape[0] - rc
             if chunk_used <= 0:
                 return
-
-            st = self.st
-            combined = np.concatenate([st.spkcache, st.fifo, preenc])
-            full_preds = self.d._chunk_predict(combined)
             pred_start = st.spkcache_len + st.fifo_len
             chunk_preds = full_preds[pred_start:pred_start + chunk_used]
             self._out.append(chunk_preds.copy())
