@@ -356,6 +356,9 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
 
         t0 = time.perf_counter()
         _enc_out, xk, xv = ctx.encode_window(mel.data, seek, audio_ctx)
+        if p.cross_kv_int8:
+            xk = M.quantize_cross_kv(xk)
+            xv = M.quantize_cross_kv(xv)
         timings.t_encode_ms += (time.perf_counter() - t0) * 1e3
         timings.n_encode += 1
 
@@ -416,8 +419,8 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             if use_device_beam:
                 t0 = time.perf_counter()
                 kv_k, kv_v = M.init_kv_cache(cfg, n_dec_cur, dtype=ctx.dtype)
-                xk_b = jnp.repeat(xk, n_dec_cur, axis=1)
-                xv_b = jnp.repeat(xv, n_dec_cur, axis=1)
+                xk_b = _repeat_kv(xk, n_dec_cur)
+                xv_b = _repeat_kv(xv, n_dec_cur)
                 toks, T_real = _pad_prompt(cfg, prompt)
                 from . import device_beam as DB
                 scalars = jnp.asarray(np.array(
@@ -489,8 +492,8 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             if n_dec_cur > 1:
                 kv_k = jnp.repeat(kv_k, n_dec_cur, axis=1)
                 kv_v = jnp.repeat(kv_v, n_dec_cur, axis=1)
-                xk_b = jnp.repeat(xk, n_dec_cur, axis=1)
-                xv_b = jnp.repeat(xv, n_dec_cur, axis=1)
+                xk_b = _repeat_kv(xk, n_dec_cur)
+                xv_b = _repeat_kv(xv, n_dec_cur)
                 step_logits = jnp.repeat(last_logits, n_dec_cur, axis=0)
             else:
                 xk_b, xv_b = xk, xv
@@ -679,6 +682,14 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
 
     return result
 
+
+
+def _repeat_kv(x, n: int):
+    """Broadcast cross-KV over beams; handles int8 QuantKV planes."""
+    if isinstance(x, M.QuantKV):
+        return M.QuantKV(jnp.repeat(x.qs, n, axis=1),
+                         jnp.repeat(x.scale, n, axis=1))
+    return jnp.repeat(x, n, axis=1)
 
 
 def _pad_prompt(cfg: M.WhisperConfig, prompt: list[int]):

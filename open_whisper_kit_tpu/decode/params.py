@@ -113,6 +113,10 @@ class FullParams:
     # TPU-specific: allow the fused on-device decode loops (greedy + beam).
     # False forces the host-stepped reference-exact path.
     use_device_loops: bool = True
+    # TPU-specific: store the per-window cross-attention K/V as int8 planes
+    # (symmetric per-position scales; q8_0-level error). Halves the dominant
+    # HBM stream of batched/beam decoding.
+    cross_kv_int8: bool = False
 
     @classmethod
     def greedy_default(cls) -> "FullParams":

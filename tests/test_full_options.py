@@ -124,3 +124,24 @@ def test_encoder_begin_veto(ctx):
     res = F.whisper_full(ctx, p, _audio(seed=11))
     assert res.segments == []
     assert res.timings.n_encode == 0
+
+
+def test_cross_kv_int8_full(ctx, jfk_wav):
+    """whisper_full with int8 cross-KV planes runs through both device
+    paths (greedy + beam) and matches shape-wise."""
+    from open_whisper_kit_tpu.audio.wav import load_wav
+    from open_whisper_kit_tpu.decode import full as F
+    from open_whisper_kit_tpu.decode.params import (FullParams,
+                                                    SamplingStrategy)
+    audio = load_wav(jfk_wav)[:16000 * 3]
+    p = FullParams(print_progress=False, cross_kv_int8=True)
+    p.greedy.best_of = 1
+    p.temperature_inc = 0
+    r = F.whisper_full(ctx, p, audio)
+    assert r is not None
+    pb = FullParams(print_progress=False, cross_kv_int8=True,
+                    strategy=SamplingStrategy.BEAM_SEARCH)
+    pb.beam_search.beam_size = 2
+    pb.temperature_inc = 0
+    rb = F.whisper_full(ctx, pb, audio)
+    assert rb is not None
