@@ -93,6 +93,30 @@ class TestServer:
             data = json.loads(r.read())
         assert "text" in data
 
+    def test_concurrent_inference(self, server, jfk_wav):
+        """ThreadingHTTPServer + shared jitted context: parallel requests
+        all succeed and return consistent text."""
+        body, ctype = _multipart({"file": jfk_wav.read_bytes(),
+                                  "response_format": b"json"})
+        results, errors = [], []
+
+        def hit():
+            try:
+                req = urllib.request.Request(f"{server}/inference", data=body,
+                                             headers={"Content-Type": ctype})
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    results.append(json.loads(r.read()))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors and len(results) == 4
+        assert len({r["text"] for r in results}) == 1
+
     def test_inference_no_file(self, server):
         body, ctype = _multipart({"language": b"en"})
         req = urllib.request.Request(f"{server}/inference", data=body,
