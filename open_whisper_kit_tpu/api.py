@@ -181,9 +181,14 @@ class Diarizer:
         _, segments = self.diarize(audio, **kw)
         return _rttm.to_rttm(segments)
 
-    def stream(self, preset: str | StreamConfig = "low_latency") -> SortformerStream:
-        """True streaming session (sortformer_stream_* analog)."""
-        return SortformerStream(self.engine, preset)
+    def stream(self, preset: str | StreamConfig = "low_latency",
+               device_state: bool | None = None) -> SortformerStream:
+        """True streaming session (sortformer_stream_* analog).
+
+        `device_state=None` auto-enables the device-resident AOSC state on
+        accelerators (one fused dispatch + one small fetch per chunk)."""
+        return SortformerStream(self.engine, preset,
+                                device_state=self._auto_device_state(device_state))
 
 
 def align(words: list[WordTiming], segments: list[RttmSegment],

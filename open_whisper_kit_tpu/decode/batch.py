@@ -110,8 +110,9 @@ def _make_batch_step(sa: _StaticArgs):
         t_prompt = prompt.shape[1]
         logits_all, kv_k, kv_v, _ = M.decode_impl(
             cfg, dec["decoder"], jnp.broadcast_to(prompt, (B, t_prompt)),
-            kv_k, kv_v, jnp.int32(0), xk, xv)
-        last_logits = logits_all[:, -1]                       # (B, V)
+            kv_k, kv_v, jnp.int32(0), xk, xv,
+            logits_pos=jnp.int32(t_prompt - 1))
+        last_logits = logits_all[:, 0]                        # (B, V)
         nsp = jax.vmap(lambda row: LR.compute_no_speech_prob(row, token_nosp))(
             last_logits)
 

@@ -94,9 +94,8 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     Tp = prompt.shape[1]
     logits_all, kv_k, kv_v, _ = M.decode_impl(
         cfg, dec, jnp.broadcast_to(prompt, (B, Tp)), kv_k, kv_v,
-        jnp.int32(0), xk, xv)
-    last_logits = jax.lax.dynamic_index_in_dim(
-        logits_all, t_real - 1, axis=1, keepdims=False)    # (B, V)
+        jnp.int32(0), xk, xv, logits_pos=t_real - 1)
+    last_logits = logits_all[:, 0]    # (B, V)
     nsp = LR.compute_no_speech_prob(last_logits[0], token_nosp)
 
     carry = _Carry(

@@ -64,34 +64,28 @@ class _Carry(NamedTuple):
     failed: jnp.ndarray
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "rc", "n_max", "max_tokens", "single_segment",
-                     "no_timestamps", "stub"),
-    donate_argnames=("kv_k", "kv_v"))
-def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
-                   dec: M.Params, prompt: jnp.ndarray,
-                   kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                   xk: jnp.ndarray, xv: jnp.ndarray,
-                   base_mask: jnp.ndarray, init_mask: jnp.ndarray,
-                   scalars: jnp.ndarray, *, n_max: int,
-                   max_tokens: int = 0, single_segment: bool = False,
-                   no_timestamps: bool = False,
-                   stub: bool = False) -> SegmentResult:
-    """Greedy-decode one window. prompt (1, T_pad) i32; `scalars` packs
-    (t_real, token_nosp, seek, seek_end) into one i32 upload (each separate
-    scalar transfer costs a full round-trip on relayed links)."""
-    t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
-                                          scalars[2], scalars[3])
+def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
+                 dec: M.Params, prompt: jnp.ndarray,
+                 kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                 xk, xv,
+                 base_mask: jnp.ndarray, init_mask: jnp.ndarray,
+                 t_real, token_nosp, seek, seek_end, *, n_max: int,
+                 max_tokens: int = 0, single_segment: bool = False,
+                 no_timestamps: bool = False,
+                 stub: bool = False) -> tuple["_Carry", jnp.ndarray]:
+    """Traceable greedy segment decode; returns (final carry, no_speech_prob).
+
+    Shared by the one-window `decode_segment` jit below and the K-windows
+    loop in decode/device_windows.py."""
     token_beg = rc.token_beg
     token_eot = rc.token_eot
     delta_min = 10
 
-    # ---- prompt ingest ----
+    # ---- prompt ingest (logits only at the last real position) ----
     logits_all, kv_k, kv_v, _ = M.decode_impl(
-        cfg, dec, prompt, kv_k, kv_v, jnp.int32(0), xk, xv)
-    last_logits = jax.lax.dynamic_index_in_dim(
-        logits_all, t_real - 1, axis=1, keepdims=False)  # (1, V)
+        cfg, dec, prompt, kv_k, kv_v, jnp.int32(0), xk, xv,
+        logits_pos=t_real - 1)
+    last_logits = logits_all[:, 0]  # (1, V)
     no_speech_prob = LR.compute_no_speech_prob(last_logits[0], token_nosp)
 
     carry = _Carry(
@@ -186,6 +180,31 @@ def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             completed=completed, failed=failed)
 
     c = jax.lax.while_loop(cond, body, carry)
+    return c, no_speech_prob
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "rc", "n_max", "max_tokens", "single_segment",
+                     "no_timestamps", "stub"),
+    donate_argnames=("kv_k", "kv_v"))
+def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
+                   dec: M.Params, prompt: jnp.ndarray,
+                   kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                   xk: jnp.ndarray, xv: jnp.ndarray,
+                   base_mask: jnp.ndarray, init_mask: jnp.ndarray,
+                   scalars: jnp.ndarray, *, n_max: int,
+                   max_tokens: int = 0, single_segment: bool = False,
+                   no_timestamps: bool = False,
+                   stub: bool = False) -> SegmentResult:
+    """Greedy-decode one window. prompt (1, T_pad) i32; `scalars` packs
+    (t_real, token_nosp, seek, seek_end) into one i32 upload (each separate
+    scalar transfer costs a full round-trip on relayed links)."""
+    c, no_speech_prob = segment_core(
+        cfg, rc, dec, prompt, kv_k, kv_v, xk, xv, base_mask, init_mask,
+        scalars[0], scalars[1], scalars[2], scalars[3], n_max=n_max,
+        max_tokens=max_tokens, single_segment=single_segment,
+        no_timestamps=no_timestamps, stub=stub)
 
     return SegmentResult(
         tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,

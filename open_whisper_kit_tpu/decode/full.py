@@ -345,6 +345,17 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
 
     seek = seek_start
 
+    # fused multi-window device path: K windows per dispatch, host only for
+    # temperature-fallback windows (decode/device_windows.py)
+    if _multiwindow_eligible(ctx, p, temperatures, audio_ctx):
+        _run_device_windows(
+            ctx, p, result, mel, rc, temperatures, seek_start, seek_end,
+            prompt_past1, prompt_init, max_prompt_ctx, no_timestamps,
+            base_mask, init_mask, language, rng_key)
+        if vad_mapping:
+            _remap_vad(result, vad_mapping)
+        return result
+
     while True:
         if p.progress_callback:
             progress = 100 * (seek - seek_start) // max(1, seek_end - seek_start)
@@ -367,260 +378,13 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             prompt_past0.clear()
             prompt_past1.clear()
 
-        best_decoder_id = 0
-        decoders: list[_DecoderState] = []
-        no_speech_prob = 0.0
-        prompt: list[int] = []
-
-        for it, t_cur in enumerate(temperatures):
-            if p.strategy == SamplingStrategy.GREEDY:
-                n_dec_cur = p.greedy.best_of if t_cur > 0 else 1
-            else:
-                n_dec_cur = p.greedy.best_of if t_cur > 0 else p.beam_search.beam_size
-            n_dec_cur = max(1, n_dec_cur)
-            beam_mode = p.strategy == SamplingStrategy.BEAM_SEARCH and t_cur <= 0
-
-            decoders = [_DecoderState() for _ in range(n_dec_cur)]
-            if p.grammar_rules is not None:
-                from . import grammar as G
-                base_grammar = (p.grammar_rules if isinstance(p.grammar_rules, G.Grammar)
-                                else G.Grammar.from_gbnf(p.grammar_rules))
-                for d in decoders:
-                    d.grammar = base_grammar.copy()
-
-            # build prompt (whisper.cpp:7121-7148)
-            prompt = []
-            if p.n_max_text_ctx > 0 and t_cur < HISTORY_CONDITIONING_TEMP_CUTOFF:
-                can0 = p.carry_initial_prompt and prompt_past0
-                can1 = bool(prompt_past1)
-                if max_prompt_ctx > 0 and (can0 or can1):
-                    prompt.append(vocab.token_prev)
-                    n_take0 = 0
-                    if can0:
-                        n_take0 = len(prompt_past0)
-                        prompt.extend(prompt_past0)
-                    n_take1 = min(max_prompt_ctx - n_take0 - 1, len(prompt_past1))
-                    if n_take1 > 0:
-                        prompt.extend(prompt_past1[-n_take1:])
-            prompt.extend(prompt_init)
-
-            n_max = cfg.n_text_ctx // 2 - 4
-
-            # fused on-device path for the common t=0 single-decoder case
-            use_device_loop = (p.use_device_loops
-                               and n_dec_cur == 1 and t_cur < 1e-6
-                               and p.grammar_rules is None
-                               and p.logits_filter_callback is None)
-            use_device_beam = (p.use_device_loops
-                               and beam_mode and n_dec_cur > 1
-                               and t_cur < 1e-6
-                               and p.grammar_rules is None
-                               and p.logits_filter_callback is None)
-            if use_device_beam:
-                t0 = time.perf_counter()
-                kv_k, kv_v = M.init_kv_cache(cfg, n_dec_cur, dtype=ctx.dtype)
-                xk_b = _repeat_kv(xk, n_dec_cur)
-                xv_b = _repeat_kv(xv, n_dec_cur)
-                toks, T_real = _pad_prompt(cfg, prompt)
-                from . import device_beam as DB
-                scalars = jnp.asarray(np.array(
-                    [T_real, vocab.token_nosp, seek, seek_end], np.int32))
-                res_dev = DB.decode_segment_beam(
-                    cfg, rc, dec_params, toks,
-                    kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
-                    scalars, beam_size=n_dec_cur,
-                    n_max=cfg.n_text_ctx // 2 - 4,
-                    max_tokens=p.max_tokens, single_segment=p.single_segment,
-                    no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
-                r = DB.unpack_beam_result(
-                    DB.pack_beam_result(res_dev), n_dec_cur,
-                    cfg.n_text_ctx // 2 - 4)
-                n_tok = r["n_tokens"]
-                for j, d in enumerate(decoders):
-                    _fill_decoder(d, r, n_tok, j)
-                no_speech_prob = r["no_speech_prob"]
-                timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-                timings.n_decode += n_tok + 1
-                timings.n_sample += n_tok
-                best_decoder_id, success = _rank_decoders(
-                    decoders, p, no_speech_prob,
-                    it == len(temperatures) - 1)
-                if success:
-                    break
-                continue
-            if use_device_loop:
-                t0 = time.perf_counter()
-                kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
-                toks, T_real = _pad_prompt(cfg, prompt)
-                from . import device_loop as DL
-                scalars = jnp.asarray(np.array(
-                    [T_real, vocab.token_nosp, seek, seek_end], np.int32))
-                res_dev = DL.decode_segment(
-                    cfg, rc, dec_params, toks,
-                    kv_k, kv_v, xk, xv, base_mask, init_mask,
-                    scalars, n_max=n_max,
-                    max_tokens=p.max_tokens, single_segment=p.single_segment,
-                    no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
-                r = DL.unpack_segment_result(
-                    DL.pack_segment_result(res_dev), n_max)
-                n_tok = r["n_tokens"]
-                _fill_decoder(decoders[0], r, n_tok)
-                no_speech_prob = r["no_speech_prob"]
-                timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-                timings.n_decode += n_tok + 1
-                timings.n_sample += n_tok
-                best_decoder_id, success = _rank_decoders(
-                    decoders, p, no_speech_prob,
-                    it == len(temperatures) - 1)
-                if success:
-                    break
-                continue
-
-            # prompt decode, B=1
-            t0 = time.perf_counter()
-            kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
-            toks, T_real = _pad_prompt(cfg, prompt)
-            logits_all, kv_k, kv_v, _ = M.decode(
-                cfg, dec_params, toks, kv_k, kv_v,
-                jnp.int32(0), xk, xv)
-            last_logits = logits_all[:, T_real - 1]  # (1, V)
-            nsp = LR.compute_no_speech_prob(last_logits[0], jnp.int32(vocab.token_nosp))
-            no_speech_prob = float(nsp)
-            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-            timings.n_decode += 1
-
-            if n_dec_cur > 1:
-                kv_k = jnp.repeat(kv_k, n_dec_cur, axis=1)
-                kv_v = jnp.repeat(kv_v, n_dec_cur, axis=1)
-                xk_b = _repeat_kv(xk, n_dec_cur)
-                xv_b = _repeat_kv(xv, n_dec_cur)
-                step_logits = jnp.repeat(last_logits, n_dec_cur, axis=0)
-            else:
-                xk_b, xv_b = xk, xv
-                step_logits = last_logits
-            kv_head = T_real
-
-            n_max = cfg.n_text_ctx // 2 - 4
-            for i in range(n_max):
-                # ---- rules + sampling (on device, batched over beams) ----
-                t0 = time.perf_counter()
-                st = _beam_state(decoders, vocab)
-                gmask = None
-                if p.grammar_rules is not None:
-                    gmask = jnp.asarray(np.stack(
-                        [d.grammar.penalty_mask(vocab, p.grammar_penalty)
-                         if d.grammar is not None and not (d.completed or d.failed)
-                         else np.zeros(cfg.n_vocab, np.float32)
-                         for d in decoders]))
-                f_logits, f_logprobs, f_probs = LR.apply_rules(
-                    rc, step_logits, base_mask, init_mask, st,
-                    jnp.float32(t_cur), gmask)
-
-                if beam_mode:
-                    k = p.beam_search.beam_size
-                    top_id, top_p, top_lp, pt, ptsum, tid = LR.sample_topk(
-                        rc, k, f_logits, f_logprobs, f_probs)
-                    _beam_expand_and_merge(
-                        decoders, np.asarray(top_id), np.asarray(top_p),
-                        np.asarray(top_lp), np.asarray(pt), np.asarray(ptsum),
-                        np.asarray(tid), i, vocab.token_beg)
-                    src = np.array([d._src for d in decoders], np.int32)
-                    if not np.array_equal(src, np.arange(n_dec_cur)):
-                        kv_k, kv_v = M.reorder_kv(kv_k, kv_v, jnp.asarray(src))
-                    for d in decoders:
-                        if (d.grammar is not None and d.tokens
-                                and not (d.completed or d.failed)):
-                            d.grammar.accept_token(
-                                vocab.id_to_token[d.tokens[-1].id])
-                else:
-                    if t_cur < 1e-6:
-                        out = LR.sample_greedy(rc, f_logits, f_logprobs, f_probs)
-                    else:
-                        rng_key, sub = jax.random.split(rng_key)
-                        out = LR.sample_multinomial(rc, sub, f_logits,
-                                                    f_logprobs, f_probs)
-                    tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (np.asarray(x) for x in out)
-                    for j, d in enumerate(decoders):
-                        if d.completed or d.failed:
-                            continue
-                        td = TokenData(int(tok_a[j]), int(tid_a[j]), float(p_a[j]),
-                                       float(lp_a[j]), float(pt_a[j]), float(pts_a[j]))
-                        if td.id >= vocab.token_beg:
-                            td.tid = td.id
-                            td.pt = td.p
-                        d.tokens.append(td)
-                        d.sum_logprobs_all += td.plog
-                        if d.grammar is not None:
-                            d.grammar.accept_token(vocab.id_to_token[td.id])
-                timings.t_sample_ms += (time.perf_counter() - t0) * 1e3
-                timings.n_sample += 1
-
-                # ---- per-decoder state update (whisper.cpp:7355-7459) ----
-                for j, d in enumerate(decoders):
-                    if d.completed or d.failed:
-                        continue
-                    token = d.tokens[-1]
-                    if token.id > vocab.token_beg:
-                        seek_delta_new = 2 * (token.id - vocab.token_beg)
-                        if (d.has_ts and d.seek_delta > seek_delta_new
-                                and d.result_len < i):
-                            d.failed = True
-                            continue
-                        d.seek_delta = seek_delta_new
-                        d.result_len = i + 1
-                        d.has_ts = True
-
-                    if (token.id == vocab.token_eot
-                            or (p.max_tokens > 0 and i >= p.max_tokens)
-                            or (d.has_ts and seek + d.seek_delta + DELTA_MIN >= seek_end)):
-                        if d.result_len == 0 and not no_timestamps:
-                            if seek + d.seek_delta + DELTA_MIN >= seek_end:
-                                d.result_len = i + 1
-                            else:
-                                d.failed = True
-                                continue
-                        if p.single_segment or no_timestamps:
-                            d.result_len = i + 1
-                            d.seek_delta = 100 * CHUNK_SIZE
-                        d.completed = True
-                        continue
-
-                    # stub-model short-circuit (tests; whisper.cpp:7426-7431)
-                    if ctx.n_loaded == 0:
-                        d.seek_delta = 100 * CHUNK_SIZE
-                        d.completed = True
-                        continue
-
-                    # repetition-loop bail-out
-                    if i == n_max - 1 and (d.result_len == 0
-                                           or d.seek_delta < 100 * CHUNK_SIZE // 2):
-                        d.failed = True
-                        continue
-
-                if all(d.completed or d.failed for d in decoders):
-                    break
-
-                # ---- next decode step, all beams ----
-                t0 = time.perf_counter()
-                next_tok = np.array(
-                    [[d.tokens[-1].id if d.tokens else vocab.token_eot]
-                     for d in decoders], np.int32)
-                step_logits_all, kv_k, kv_v, _ = M.decode(
-                    cfg, dec_params, jnp.asarray(next_tok), kv_k, kv_v,
-                    jnp.int32(kv_head), xk_b, xv_b)
-                step_logits = step_logits_all[:, 0]
-                kv_head += 1
-                timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-                timings.n_decode += 1
-
-                if p.abort_callback and p.abort_callback():
-                    return result
-
-            # ---- rank sequences (whisper.cpp:7545-7580) ----
-            best_decoder_id, success = _rank_decoders(
-                decoders, p, no_speech_prob, it == len(temperatures) - 1)
-            if success:
-                break
+        best_decoder_id, decoders, no_speech_prob, prompt, rng_key, aborted = \
+            _decode_window_host(
+                ctx, p, rc, temperatures, seek, seek_end, xk, xv,
+                prompt_past0, prompt_past1, max_prompt_ctx, prompt_init,
+                no_timestamps, base_mask, init_mask, timings, rng_key)
+        if aborted:
+            return result
 
         # ---- segment emission (whisper.cpp:7608-7772) ----
         best = decoders[best_decoder_id]
@@ -665,23 +429,447 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
         seek += seek_delta
 
     if vad_mapping:
-        # remap processed-time segments to original time
-        # (whisper_full_get_segment_t0/t1_from_state, whisper.cpp:7989-8027)
-        from ..vad.segments import map_processed_to_original as _map
-        for s in result.segments:
-            t0m = _map(s.t0, vad_mapping)
-            t1m = _map(s.t1, vad_mapping)
-            if t1m - t0m < 10:
-                t1m = t0m + 10
-            s.t0, s.t1 = t0m, t1m
-            for tk in s.tokens:
-                if tk.t0 >= 0:
-                    tk.t0 = _map(tk.t0, vad_mapping)
-                if tk.t1 >= 0:
-                    tk.t1 = _map(tk.t1, vad_mapping)
+        _remap_vad(result, vad_mapping)
 
     return result
 
+
+def _remap_vad(result: TranscribeResult, vad_mapping) -> None:
+    """Remap processed-time segments to original time
+    (whisper_full_get_segment_t0/t1_from_state, whisper.cpp:7989-8027)."""
+    from ..vad.segments import map_processed_to_original as _map
+    for s in result.segments:
+        t0m = _map(s.t0, vad_mapping)
+        t1m = _map(s.t1, vad_mapping)
+        if t1m - t0m < 10:
+            t1m = t0m + 10
+        s.t0, s.t1 = t0m, t1m
+        for tk in s.tokens:
+            if tk.t0 >= 0:
+                tk.t0 = _map(tk.t0, vad_mapping)
+            if tk.t1 >= 0:
+                tk.t1 = _map(tk.t1, vad_mapping)
+
+
+def _multiwindow_eligible(ctx: WhisperContext, p: FullParams,
+                          temperatures, audio_ctx: int) -> bool:
+    """The fused K-windows-per-dispatch loop covers the common greedy t=0
+    configuration; anything needing per-window host intervention (grammar,
+    DTW re-decode, per-window veto callbacks, beam search) uses the
+    one-window-at-a-time drivers."""
+    return (p.use_device_loops and p.device_windows > 1
+            and p.strategy == SamplingStrategy.GREEDY
+            and temperatures[0] < 1e-6
+            and audio_ctx == 0
+            and not p.single_segment
+            and not p.carry_initial_prompt
+            and not p.dtw_token_timestamps
+            and p.grammar_rules is None
+            and p.logits_filter_callback is None
+            and p.encoder_begin_callback is None
+            and p.abort_callback is None)
+
+
+def _run_device_windows(ctx: WhisperContext, p: FullParams,
+                        result: TranscribeResult, mel: mel_mod.Mel, rc,
+                        temperatures, seek_start: int, seek_end: int,
+                        prompt_past1: list[int], prompt_init: list[int],
+                        max_prompt_ctx: int, no_timestamps: bool,
+                        base_mask, init_mask, language, rng_key) -> None:
+    """Drive the whole transcription through the fused multi-window device
+    loop (decode/device_windows.py); fall out to the host temperature
+    schedule only for windows that trip a quality gate."""
+    from . import device_windows as DW
+    cfg = ctx.cfg
+    vocab = ctx.vocab
+    timings = result.timings
+    P = max(0, max_prompt_ctx - 1)
+    n_max = cfg.n_text_ctx // 2 - 4
+    K = p.device_windows
+    fallback_available = len(temperatures) > 1
+    fscal = jnp.asarray(np.array(
+        [p.logprob_thold, p.entropy_thold, p.no_speech_thold], np.float32))
+
+    def upload_past(past_list: list[int]):
+        past_list = past_list[-P:] if P > 0 else []
+        buf = np.zeros(max(P, 1), np.int32)[:P]
+        if past_list:
+            buf[P - len(past_list):] = past_list
+        return jnp.asarray(buf), len(past_list)
+
+    past_buf, past_len = upload_past(list(prompt_past1))
+    seek = seek_start
+
+    while seek + DELTA_MIN < seek_end:
+        if p.progress_callback:
+            p.progress_callback(
+                100 * (seek - seek_start) // max(1, seek_end - seek_start))
+
+        t0 = time.perf_counter()
+        iscal = jnp.asarray(np.array(
+            [vocab.token_nosp, vocab.token_prev, seek, seek_start, seek_end,
+             past_len], np.int32))
+        res = DW.decode_windows(
+            cfg, rc, ctx.params["encoder"], ctx.params["decoder"], mel.data,
+            base_mask, init_mask, past_buf, iscal, fscal,
+            prompt_init=tuple(prompt_init), K=K, n_max=n_max, P=P,
+            max_tokens=p.max_tokens, no_timestamps=no_timestamps,
+            stub=ctx.n_loaded == 0, window_frames=2 * cfg.n_audio_ctx,
+            fallback_available=fallback_available, quant_kv=p.cross_kv_int8)
+        past_buf = res.past_buf   # stays on device for the next dispatch
+        r = DW.unpack_windows_result(DW.pack_windows_result(res), K, n_max)
+        # one dispatch covers encode+decode of n_done windows; bucket the
+        # wall time under decode, count encoder passes separately
+        timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        n_done = r["n_done"]
+        timings.n_encode += n_done
+
+        for w in range(n_done):
+            rl = r["result_len"][w]
+            n_tok = int(r["n_tokens"][w])
+            timings.n_decode += n_tok + 1
+            timings.n_sample += n_tok
+            tokens_cur = [
+                TokenData(int(r["tokens"][w, k]), int(r["tid"][w, k]),
+                          float(r["p"][w, k]), float(r["plog"][w, k]),
+                          float(r["pt"][w, k]), float(r["ptsum"][w, k]))
+                for k in range(rl)]
+            if tokens_cur and ctx.n_loaded > 0 and not r["is_no_speech"][w]:
+                _emit_segments(ctx, p, result, tokens_cur,
+                               int(r["seek"][w]), int(r["seek_delta"][w]),
+                               float(r["no_speech_prob"][w]))
+
+        next_seek = r["next_seek"]
+        past_len = r["past_len"]
+
+        if r["fallback"] and next_seek + DELTA_MIN < seek_end:
+            # host temperature-fallback for the window at next_seek
+            # (whisper.cpp:7069 fallback iterations)
+            pb = np.asarray(past_buf)
+            past_list = [int(x) for x in pb[P - past_len:]] if past_len else []
+            seek = next_seek
+
+            t0 = time.perf_counter()
+            _enc, xk, xv = ctx.encode_window(mel.data, seek, 0)
+            if p.cross_kv_int8:
+                xk = M.quantize_cross_kv(xk)
+                xv = M.quantize_cross_kv(xv)
+            timings.t_encode_ms += (time.perf_counter() - t0) * 1e3
+            timings.n_encode += 1
+            if seek > seek_start and seek + 500 >= seek_end:
+                past_list = []
+
+            best_id, decoders, nsp, prompt, rng_key, aborted = \
+                _decode_window_host(
+                    ctx, p, rc, temperatures, seek, seek_end, xk, xv,
+                    [], past_list, max_prompt_ctx, prompt_init,
+                    no_timestamps, base_mask, init_mask, timings, rng_key)
+            if aborted:
+                return
+            best = decoders[best_id]
+            seek_delta = best.seek_delta
+            tokens_cur = best.tokens
+            result_len = best.result_len
+            is_nsp = (nsp > p.no_speech_thold
+                      and best.avg_logprobs < p.logprob_thold)
+            new_past1: list[int] = []
+            if prompt and prompt[0] == vocab.token_prev:
+                new_past1 = prompt[1:len(prompt) - len(prompt_init)]
+            past_list = new_past1
+            if not is_nsp:
+                past_list.extend(t.id for t in tokens_cur[:result_len])
+            if tokens_cur and ctx.n_loaded > 0 and not is_nsp:
+                _emit_segments(ctx, p, result, tokens_cur, seek, seek_delta,
+                               nsp)
+            single_ts_end = (len(tokens_cur) > 1
+                             and tokens_cur[-2].id < vocab.token_beg
+                             and tokens_cur[-1].id > vocab.token_beg)
+            if single_ts_end:
+                seek_delta = min(seek_end - seek, CHUNK_SIZE * 100)
+            next_seek = seek + seek_delta
+            past_buf, past_len = upload_past(past_list)
+        elif n_done == 0 and next_seek == seek:
+            break   # safety: no progress possible
+
+        seek = next_seek
+
+    if p.progress_callback:
+        p.progress_callback(100)
+
+
+
+
+def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
+                        temperatures, seek: int, seek_end: int, xk, xv,
+                        prompt_past0: list[int], prompt_past1: list[int],
+                        max_prompt_ctx: int, prompt_init: list[int],
+                        no_timestamps: bool, base_mask, init_mask,
+                        timings: Timings, rng_key):
+    """Temperature-fallback decode of ONE 30 s window (the body of the
+    reference's `for (int it = 0; ...)` loop, whisper.cpp:7069-7605).
+
+    Returns (best_decoder_id, decoders, no_speech_prob, prompt, rng_key,
+    aborted)."""
+    cfg = ctx.cfg
+    vocab = ctx.vocab
+    dec_params = ctx.params["decoder"]
+    best_decoder_id = 0
+    decoders: list[_DecoderState] = []
+    no_speech_prob = 0.0
+    prompt: list[int] = []
+
+    for it, t_cur in enumerate(temperatures):
+        if p.strategy == SamplingStrategy.GREEDY:
+            n_dec_cur = p.greedy.best_of if t_cur > 0 else 1
+        else:
+            n_dec_cur = p.greedy.best_of if t_cur > 0 else p.beam_search.beam_size
+        n_dec_cur = max(1, n_dec_cur)
+        beam_mode = p.strategy == SamplingStrategy.BEAM_SEARCH and t_cur <= 0
+
+        decoders = [_DecoderState() for _ in range(n_dec_cur)]
+        if p.grammar_rules is not None:
+            from . import grammar as G
+            base_grammar = (p.grammar_rules if isinstance(p.grammar_rules, G.Grammar)
+                            else G.Grammar.from_gbnf(p.grammar_rules))
+            for d in decoders:
+                d.grammar = base_grammar.copy()
+
+        # build prompt (whisper.cpp:7121-7148)
+        prompt = []
+        if p.n_max_text_ctx > 0 and t_cur < HISTORY_CONDITIONING_TEMP_CUTOFF:
+            can0 = p.carry_initial_prompt and prompt_past0
+            can1 = bool(prompt_past1)
+            if max_prompt_ctx > 0 and (can0 or can1):
+                prompt.append(vocab.token_prev)
+                n_take0 = 0
+                if can0:
+                    n_take0 = len(prompt_past0)
+                    prompt.extend(prompt_past0)
+                n_take1 = min(max_prompt_ctx - n_take0 - 1, len(prompt_past1))
+                if n_take1 > 0:
+                    prompt.extend(prompt_past1[-n_take1:])
+        prompt.extend(prompt_init)
+
+        n_max = cfg.n_text_ctx // 2 - 4
+
+        # fused on-device path for the common t=0 single-decoder case
+        use_device_loop = (p.use_device_loops
+                           and n_dec_cur == 1 and t_cur < 1e-6
+                           and p.grammar_rules is None
+                           and p.logits_filter_callback is None)
+        use_device_beam = (p.use_device_loops
+                           and beam_mode and n_dec_cur > 1
+                           and t_cur < 1e-6
+                           and p.grammar_rules is None
+                           and p.logits_filter_callback is None)
+        if use_device_beam:
+            t0 = time.perf_counter()
+            kv_k, kv_v = M.init_kv_cache(cfg, n_dec_cur, dtype=ctx.dtype)
+            xk_b = _repeat_kv(xk, n_dec_cur)
+            xv_b = _repeat_kv(xv, n_dec_cur)
+            toks, T_real = _pad_prompt(cfg, prompt)
+            from . import device_beam as DB
+            scalars = jnp.asarray(np.array(
+                [T_real, vocab.token_nosp, seek, seek_end], np.int32))
+            res_dev = DB.decode_segment_beam(
+                cfg, rc, dec_params, toks,
+                kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
+                scalars, beam_size=n_dec_cur,
+                n_max=cfg.n_text_ctx // 2 - 4,
+                max_tokens=p.max_tokens, single_segment=p.single_segment,
+                no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+            r = DB.unpack_beam_result(
+                DB.pack_beam_result(res_dev), n_dec_cur,
+                cfg.n_text_ctx // 2 - 4)
+            n_tok = r["n_tokens"]
+            for j, d in enumerate(decoders):
+                _fill_decoder(d, r, n_tok, j)
+            no_speech_prob = r["no_speech_prob"]
+            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+            timings.n_decode += n_tok + 1
+            timings.n_sample += n_tok
+            best_decoder_id, success = _rank_decoders(
+                decoders, p, no_speech_prob,
+                it == len(temperatures) - 1)
+            if success:
+                break
+            continue
+        if use_device_loop:
+            t0 = time.perf_counter()
+            kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
+            toks, T_real = _pad_prompt(cfg, prompt)
+            from . import device_loop as DL
+            scalars = jnp.asarray(np.array(
+                [T_real, vocab.token_nosp, seek, seek_end], np.int32))
+            res_dev = DL.decode_segment(
+                cfg, rc, dec_params, toks,
+                kv_k, kv_v, xk, xv, base_mask, init_mask,
+                scalars, n_max=n_max,
+                max_tokens=p.max_tokens, single_segment=p.single_segment,
+                no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+            r = DL.unpack_segment_result(
+                DL.pack_segment_result(res_dev), n_max)
+            n_tok = r["n_tokens"]
+            _fill_decoder(decoders[0], r, n_tok)
+            no_speech_prob = r["no_speech_prob"]
+            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+            timings.n_decode += n_tok + 1
+            timings.n_sample += n_tok
+            best_decoder_id, success = _rank_decoders(
+                decoders, p, no_speech_prob,
+                it == len(temperatures) - 1)
+            if success:
+                break
+            continue
+
+        # prompt decode, B=1
+        t0 = time.perf_counter()
+        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
+        toks, T_real = _pad_prompt(cfg, prompt)
+        logits_all, kv_k, kv_v, _ = M.decode(
+            cfg, dec_params, toks, kv_k, kv_v,
+            jnp.int32(0), xk, xv, logits_pos=jnp.int32(T_real - 1))
+        last_logits = logits_all[:, 0]  # (1, V)
+        nsp = LR.compute_no_speech_prob(last_logits[0], jnp.int32(vocab.token_nosp))
+        no_speech_prob = float(nsp)
+        timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        timings.n_decode += 1
+
+        if n_dec_cur > 1:
+            kv_k = jnp.repeat(kv_k, n_dec_cur, axis=1)
+            kv_v = jnp.repeat(kv_v, n_dec_cur, axis=1)
+            xk_b = _repeat_kv(xk, n_dec_cur)
+            xv_b = _repeat_kv(xv, n_dec_cur)
+            step_logits = jnp.repeat(last_logits, n_dec_cur, axis=0)
+        else:
+            xk_b, xv_b = xk, xv
+            step_logits = last_logits
+        kv_head = T_real
+
+        n_max = cfg.n_text_ctx // 2 - 4
+        for i in range(n_max):
+            # ---- rules + sampling (on device, batched over beams) ----
+            t0 = time.perf_counter()
+            st = _beam_state(decoders, vocab)
+            gmask = None
+            if p.grammar_rules is not None:
+                gmask = jnp.asarray(np.stack(
+                    [d.grammar.penalty_mask(vocab, p.grammar_penalty)
+                     if d.grammar is not None and not (d.completed or d.failed)
+                     else np.zeros(cfg.n_vocab, np.float32)
+                     for d in decoders]))
+            f_logits, f_logprobs, f_probs = LR.apply_rules(
+                rc, step_logits, base_mask, init_mask, st,
+                jnp.float32(t_cur), gmask)
+
+            if beam_mode:
+                k = p.beam_search.beam_size
+                top_id, top_p, top_lp, pt, ptsum, tid = LR.sample_topk(
+                    rc, k, f_logits, f_logprobs, f_probs)
+                _beam_expand_and_merge(
+                    decoders, np.asarray(top_id), np.asarray(top_p),
+                    np.asarray(top_lp), np.asarray(pt), np.asarray(ptsum),
+                    np.asarray(tid), i, vocab.token_beg)
+                src = np.array([d._src for d in decoders], np.int32)
+                if not np.array_equal(src, np.arange(n_dec_cur)):
+                    kv_k, kv_v = M.reorder_kv(kv_k, kv_v, jnp.asarray(src))
+                for d in decoders:
+                    if (d.grammar is not None and d.tokens
+                            and not (d.completed or d.failed)):
+                        d.grammar.accept_token(
+                            vocab.id_to_token[d.tokens[-1].id])
+            else:
+                if t_cur < 1e-6:
+                    out = LR.sample_greedy(rc, f_logits, f_logprobs, f_probs)
+                else:
+                    rng_key, sub = jax.random.split(rng_key)
+                    out = LR.sample_multinomial(rc, sub, f_logits,
+                                                f_logprobs, f_probs)
+                tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (np.asarray(x) for x in out)
+                for j, d in enumerate(decoders):
+                    if d.completed or d.failed:
+                        continue
+                    td = TokenData(int(tok_a[j]), int(tid_a[j]), float(p_a[j]),
+                                   float(lp_a[j]), float(pt_a[j]), float(pts_a[j]))
+                    if td.id >= vocab.token_beg:
+                        td.tid = td.id
+                        td.pt = td.p
+                    d.tokens.append(td)
+                    d.sum_logprobs_all += td.plog
+                    if d.grammar is not None:
+                        d.grammar.accept_token(vocab.id_to_token[td.id])
+            timings.t_sample_ms += (time.perf_counter() - t0) * 1e3
+            timings.n_sample += 1
+
+            # ---- per-decoder state update (whisper.cpp:7355-7459) ----
+            for j, d in enumerate(decoders):
+                if d.completed or d.failed:
+                    continue
+                token = d.tokens[-1]
+                if token.id > vocab.token_beg:
+                    seek_delta_new = 2 * (token.id - vocab.token_beg)
+                    if (d.has_ts and d.seek_delta > seek_delta_new
+                            and d.result_len < i):
+                        d.failed = True
+                        continue
+                    d.seek_delta = seek_delta_new
+                    d.result_len = i + 1
+                    d.has_ts = True
+
+                if (token.id == vocab.token_eot
+                        or (p.max_tokens > 0 and i >= p.max_tokens)
+                        or (d.has_ts and seek + d.seek_delta + DELTA_MIN >= seek_end)):
+                    if d.result_len == 0 and not no_timestamps:
+                        if seek + d.seek_delta + DELTA_MIN >= seek_end:
+                            d.result_len = i + 1
+                        else:
+                            d.failed = True
+                            continue
+                    if p.single_segment or no_timestamps:
+                        d.result_len = i + 1
+                        d.seek_delta = 100 * CHUNK_SIZE
+                    d.completed = True
+                    continue
+
+                # stub-model short-circuit (tests; whisper.cpp:7426-7431)
+                if ctx.n_loaded == 0:
+                    d.seek_delta = 100 * CHUNK_SIZE
+                    d.completed = True
+                    continue
+
+                # repetition-loop bail-out
+                if i == n_max - 1 and (d.result_len == 0
+                                       or d.seek_delta < 100 * CHUNK_SIZE // 2):
+                    d.failed = True
+                    continue
+
+            if all(d.completed or d.failed for d in decoders):
+                break
+
+            # ---- next decode step, all beams ----
+            t0 = time.perf_counter()
+            next_tok = np.array(
+                [[d.tokens[-1].id if d.tokens else vocab.token_eot]
+                 for d in decoders], np.int32)
+            step_logits_all, kv_k, kv_v, _ = M.decode(
+                cfg, dec_params, jnp.asarray(next_tok), kv_k, kv_v,
+                jnp.int32(kv_head), xk_b, xv_b)
+            step_logits = step_logits_all[:, 0]
+            kv_head += 1
+            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+            timings.n_decode += 1
+
+            if p.abort_callback and p.abort_callback():
+                return (best_decoder_id, decoders, no_speech_prob, prompt,
+                        rng_key, True)
+
+        # ---- rank sequences (whisper.cpp:7545-7580) ----
+        best_decoder_id, success = _rank_decoders(
+            decoders, p, no_speech_prob, it == len(temperatures) - 1)
+        if success:
+            break
+
+    return best_decoder_id, decoders, no_speech_prob, prompt, rng_key, False
 
 
 def _repeat_kv(x, n: int):

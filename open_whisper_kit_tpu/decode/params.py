@@ -113,6 +113,10 @@ class FullParams:
     # TPU-specific: allow the fused on-device decode loops (greedy + beam).
     # False forces the host-stepped reference-exact path.
     use_device_loops: bool = True
+    # TPU-specific: decode up to this many 30 s windows per device dispatch
+    # (greedy t=0 path; decode/device_windows.py). 0/1 disables the fused
+    # window loop and decodes one window per dispatch.
+    device_windows: int = 8
     # TPU-specific: store the per-window cross-attention K/V as int8 planes
     # (symmetric per-position scales; q8_0-level error). Halves the dominant
     # HBM stream of batched/beam decoding.

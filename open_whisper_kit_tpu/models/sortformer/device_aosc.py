@@ -242,6 +242,52 @@ def init_state_dev(scfg: StreamConfig, d_model: int, ch_max: int) -> dict:
     }
 
 
+def _chunk_step(cfg, key: tuple, params, state: dict, chunk_mel, t_mel, lc,
+                chunk_used, ch_max: int, t_comb: int):
+    """One streaming chunk: preencode + [spkcache|fifo|chunk] assembly +
+    head + AOSC state update, on fixed-shape device buffers. Shared by the
+    whole-file scan below and the true-streaming step (stream_step_jit)."""
+    pre = SM.preencode(cfg, params, chunk_mel[None], t_mel)[0]
+    pre_len = SM.preenc_out_len(t_mel)   # integer ops, traces fine
+
+    sc_len, fifo_len = state["sc_len"], state["fifo_len"]
+    p_len = sc_len + fifo_len
+    ci = jnp.arange(t_comb)
+    from_sc = ci < sc_len
+    from_fifo = (~from_sc) & (ci < p_len)
+    combined = jnp.where(
+        from_sc[:, None], _gather_rows(state["sc"], 0, jnp.clip(ci, 0, state["sc"].shape[0] - 1)),
+        jnp.where(from_fifo[:, None],
+                  _gather_rows(state["fifo"], -sc_len, ci),
+                  _gather_rows(pre, -p_len, ci)))
+    n_valid = p_len + pre_len
+    full_preds = SM.head(cfg, params, combined[None], n_valid)[0]
+
+    pred_start = p_len + lc
+    oi = jnp.arange(ch_max)
+    chunk_preds = jnp.where((oi < chunk_used)[:, None],
+                            _gather_rows(full_preds, pred_start, oi), 0.0)
+    chunk_embs = jnp.where((oi < chunk_used)[:, None],
+                           _gather_rows(pre, lc, oi), 0.0)
+
+    state = _state_update_dev(state, key, chunk_embs, chunk_used,
+                              chunk_preds, full_preds)
+    return state, chunk_preds
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "key", "ch_max",
+                                             "t_comb"))
+def stream_step_jit(cfg, key: tuple, params, state: dict, chunk_mel,
+                    scalars, ch_max: int, t_comb: int):
+    """True-streaming single-chunk step with device-resident AOSC state.
+
+    chunk_mel (mel_max, n_mels) zero-padded; scalars i32 packs
+    (t_mel, lc, chunk_used). Returns (new state dict of device arrays,
+    (ch_max, 4) chunk predictions — the only per-chunk fetch)."""
+    return _chunk_step(cfg, key, params, state, chunk_mel,
+                       scalars[0], scalars[1], scalars[2], ch_max, t_comb)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "key", "mel_max",
                                              "ch_max", "t_comb"))
 def _diarize_scan_jit(cfg, key: tuple, params, mel, starts, t_mels, lcs,
@@ -254,32 +300,8 @@ def _diarize_scan_jit(cfg, key: tuple, params, mel, starts, t_mels, lcs,
         start, t_mel, lc, chunk_used = xs
         chunk_mel = jax.lax.dynamic_slice(
             mel, (start, 0), (mel_max, mel.shape[1]))
-        pre = SM.preencode(cfg, params, chunk_mel[None], t_mel)[0]
-        pre_len = SM.preenc_out_len(t_mel)   # integer ops, traces fine
-
-        sc_len, fifo_len = state["sc_len"], state["fifo_len"]
-        p_len = sc_len + fifo_len
-        ci = jnp.arange(t_comb)
-        from_sc = ci < sc_len
-        from_fifo = (~from_sc) & (ci < p_len)
-        combined = jnp.where(
-            from_sc[:, None], _gather_rows(state["sc"], 0, jnp.clip(ci, 0, state["sc"].shape[0] - 1)),
-            jnp.where(from_fifo[:, None],
-                      _gather_rows(state["fifo"], -sc_len, ci),
-                      _gather_rows(pre, -p_len, ci)))
-        n_valid = p_len + pre_len
-        full_preds = SM.head(cfg, params, combined[None], n_valid)[0]
-
-        pred_start = p_len + lc
-        oi = jnp.arange(ch_max)
-        chunk_preds = jnp.where((oi < chunk_used)[:, None],
-                                _gather_rows(full_preds, pred_start, oi), 0.0)
-        chunk_embs = jnp.where((oi < chunk_used)[:, None],
-                               _gather_rows(pre, lc, oi), 0.0)
-
-        state = _state_update_dev(state, key, chunk_embs, chunk_used,
-                                  chunk_preds, full_preds)
-        return state, chunk_preds
+        return _chunk_step(cfg, key, params, state, chunk_mel, t_mel, lc,
+                           chunk_used, ch_max, t_comb)
 
     _, preds = jax.lax.scan(body, state,
                             (starts, t_mels, lcs, chunk_useds))

@@ -473,7 +473,13 @@ class SortformerStream:
     AUDIO_OVERLAP = 352   # n_fft - hop = samples carried between feeds
 
     def __init__(self, diarizer: SortformerDiarizer,
-                 preset: str | StreamConfig = "low_latency"):
+                 preset: str | StreamConfig = "low_latency",
+                 device_state: bool = False):
+        """`device_state=True` keeps the AOSC state (spkcache/FIFO/silence
+        profile) resident on device and advances it with one fused dispatch
+        per chunk (device_aosc.stream_step_jit); the host fetches only the
+        (chunk, 4) predictions. Bit-compatible with the host state machine
+        up to float associativity of the silence-profile mean."""
         self.d = diarizer
         self.cfg = diarizer.cfg
         self.scfg = (PRESETS[preset] if isinstance(preset, str)
@@ -483,6 +489,21 @@ class SortformerStream:
         self._mel = np.zeros((0, self.cfg.n_mels), np.float32)
         self._out: list[np.ndarray] = []
         self._total_samples = 0
+        self.device_state = device_state
+        if device_state:
+            from . import device_aosc as DA
+            DA._check_scfg(self.scfg)
+            sub = self.cfg.subsampling
+            bucket = 64 * sub
+            need_feat = (self.scfg.chunk_len
+                         + self.scfg.chunk_right_context) * sub
+            self._mel_max = max(-(-need_feat // bucket) * bucket, bucket)
+            self._ch_max = SM.preenc_out_len(self._mel_max)
+            t_comb_raw = (self.scfg.spkcache_len + self.scfg.fifo_len
+                          + self._mel_max // sub)
+            self._t_comb = -(-t_comb_raw // 64) * 64
+            self._dev_state = DA.init_state_dev(self.scfg, self.cfg.d_model,
+                                                self._ch_max)
 
     def feed(self, samples: np.ndarray):
         """Append audio; runs chunks as they fill."""
@@ -521,18 +542,35 @@ class SortformerStream:
                 return
             rc = math.ceil(right_off / sub)
 
-            st = self.st
-            prefix = np.concatenate([st.spkcache, st.fifo])
-            preenc, full_preds = self.d._fused_chunk(chunk_mel, prefix)
-            chunk_used = preenc.shape[0] - rc
-            if chunk_used <= 0:
-                return
-            pred_start = st.spkcache_len + st.fifo_len
-            chunk_preds = full_preds[pred_start:pred_start + chunk_used]
-            self._out.append(chunk_preds.copy())
+            if self.device_state:
+                from . import device_aosc as DA
+                t_mel = chunk_mel.shape[0]
+                chunk_used = SM.preenc_out_len(t_mel) - rc
+                if chunk_used <= 0:
+                    return
+                pad = np.zeros((self._mel_max, self.cfg.n_mels), np.float32)
+                pad[:t_mel] = chunk_mel
+                scalars = jnp.asarray(
+                    np.array([t_mel, 0, chunk_used], np.int32))
+                self._dev_state, preds = DA.stream_step_jit(
+                    self.cfg, DA._scfg_key(scfg), self.d.params,
+                    self._dev_state, jnp.asarray(pad), scalars,
+                    self._ch_max, self._t_comb)
+                self._out.append(np.asarray(preds)[:chunk_used])
+            else:
+                st = self.st
+                prefix = np.concatenate([st.spkcache, st.fifo])
+                preenc, full_preds = self.d._fused_chunk(chunk_mel, prefix)
+                chunk_used = preenc.shape[0] - rc
+                if chunk_used <= 0:
+                    return
+                pred_start = st.spkcache_len + st.fifo_len
+                chunk_preds = full_preds[pred_start:pred_start + chunk_used]
+                self._out.append(chunk_preds.copy())
 
-            chunk_embs = preenc[:chunk_used]
-            _state_update(st, scfg, chunk_embs, chunk_preds.copy(), full_preds)
+                chunk_embs = preenc[:chunk_used]
+                _state_update(st, scfg, chunk_embs, chunk_preds.copy(),
+                              full_preds)
 
             consumed = end_feat * hop
             self._audio = self._audio[consumed:]

@@ -400,12 +400,17 @@ def _layer_params(blocks: Params, il: int) -> Params:
 def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
                 kv_k: jnp.ndarray, kv_v: jnp.ndarray, kv_head: jnp.ndarray,
                 xk: jnp.ndarray, xv: jnp.ndarray,
-                collect_cross_qk: bool = False):
+                collect_cross_qk: bool = False, logits_pos=None):
     """One decoder forward over `tokens` (B,T) starting at cache slot kv_head.
 
     Returns (logits (B,T,n_vocab) f32, kv_k, kv_v, cross_qk).
     cross_qk is (L,B,H,T,Ta) softmax cross-attention probabilities (the
     DTW timestamp signal, whisper.cpp:2720-2736) or None.
+
+    `logits_pos` (traced i32): compute logits only for that token position
+    (shape (B,1,V)). Prompt ingest only reads the last position's logits
+    (whisper.cpp gathers rows with batch.logits[i]==1, :2934-2956); skipping
+    the rest saves a T x n_vocab matmul + HBM write per window.
 
     Mirrors whisper_build_graph_decoder (src/whisper.cpp:2458-2836):
     Q and K of self-attention pre-scaled by d**-0.25 (K stored scaled in the
@@ -476,6 +481,8 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
             x = x + _mm(h, p["mlp1_w"]) + p["mlp1_b"]
 
     x = _ln(x, dec["ln_w"], dec["ln_b"], cfg.eps)
+    if logits_pos is not None:
+        x = jax.lax.dynamic_slice_in_dim(x, logits_pos, 1, axis=1)
     if "te_logits" in dec:   # int8 planes of te.T (quantize_decoder_int8)
         from ...ops.quant_matmul import qmatmul
         logits = qmatmul(x, dec["te_logits"])

@@ -428,3 +428,27 @@ def test_device_aosc_batch_matches_host_batch(tiny_params):
     for r, g in zip(ref, got):
         assert r.shape == g.shape
         np.testing.assert_allclose(g, r, atol=1e-6)
+
+
+def test_stream_device_state_matches_host_stream(tiny_params):
+    """True-streaming with device-resident AOSC state must match the
+    host-stepped stream chunk-for-chunk."""
+    d = SS.SortformerDiarizer(TINY, tiny_params)
+    scfg = SS.StreamConfig(chunk_len=8, fifo_len=16, spkcache_len=16,
+                           spkcache_update_period=12,
+                           spkcache_sil_frames_per_spk=1,
+                           chunk_right_context=2)
+    audio = (np.random.default_rng(9).standard_normal(16000 * 6) * 0.1
+             ).astype(np.float32)
+
+    def run(device_state):
+        stream = SS.SortformerStream(d, scfg, device_state=device_state)
+        for i in range(0, len(audio), 5000):
+            stream.feed(audio[i:i + 5000])
+        stream.finish()
+        return stream.probs()
+
+    ref = run(False)
+    got = run(True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
