@@ -36,15 +36,9 @@ def main():
 
     # persistent compile cache: cold compiles via the remote compile service
     # can take minutes; caching makes repeat bench runs warm-start
-    try:
-        cache = os.environ.get("OWK_JAX_CACHE_DIR",
-                               os.path.join(os.path.dirname(__file__) or ".",
-                                            ".jax_cache"))
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:  # noqa: BLE001 - cache is best-effort
-        pass
+    from open_whisper_kit_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(os.path.join(os.path.dirname(__file__) or ".",
+                                      ".jax_cache"))
 
     import jax.numpy as jnp
 

@@ -149,6 +149,8 @@ def _bench_mul_mat():
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser(prog="whisper-bench")
     ap.add_argument("-m", "--model", default=None)
     ap.add_argument("--preset", default=None,

@@ -136,6 +136,8 @@ def params_from_args(args) -> "FullParams":
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     files = list(args.files) + list(args.files_pos)
     if not files:

@@ -43,6 +43,8 @@ def build_parser():
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     import jax.numpy as jnp

@@ -11,6 +11,8 @@ import sys
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser(prog="vad-speech-segments")
     ap.add_argument("-vm", "--vad-model", required=True)
     ap.add_argument("-f", "--file", required=True)

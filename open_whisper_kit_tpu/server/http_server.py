@@ -194,6 +194,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     import argparse
     ap = argparse.ArgumentParser(prog="whisper-server")
     ap.add_argument("-m", "--model", required=True)

@@ -1,0 +1,35 @@
+"""Persistent XLA compile cache.
+
+Cold compiles of the fused decode loops go through the remote compile
+service and can take minutes on a tunneled TPU; a repo-local on-disk cache
+makes every entry point warm-start after the first run. Opt out with
+OWK_JAX_CACHE_DIR="" (empty), or point it somewhere shared.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(default_dir: str | None = None) -> str | None:
+    """Enable jax's persistent compilation cache; returns the dir or None.
+
+    Best-effort: failures (read-only fs, old jax) never break the caller.
+    """
+    import jax
+
+    cache = os.environ.get("OWK_JAX_CACHE_DIR")
+    if cache == "":
+        return None
+    if cache is None:
+        root = default_dir or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+        cache = root
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        return cache
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        return None
