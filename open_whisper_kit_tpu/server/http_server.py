@@ -98,7 +98,16 @@ def make_handler(state: ServerState):
             body = self.rfile.read(length)
             if self.path == "/load":
                 try:
-                    req = json.loads(body or b"{}")
+                    ctype = self.headers.get("Content-Type", "")
+                    if ctype.startswith("application/x-www-form-urlencoded"):
+                        from urllib.parse import parse_qs
+                        req = {k: v[0] for k, v in
+                               parse_qs(body.decode()).items()}
+                    elif ctype.startswith("multipart/form-data"):
+                        req = {k: v.decode() for k, v in
+                               _parse_multipart(body, ctype).items()}
+                    else:
+                        req = json.loads(body or b"{}")
                     state.load(req["model"])
                     self._send(200, json.dumps({"status": "ok"}))
                 except Exception as e:  # noqa: BLE001

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -142,3 +143,77 @@ def _multipart(fields: dict) -> tuple[bytes, str]:
             + b"\r\n")
     body = b"".join(parts) + f"--{boundary}--\r\n".encode()
     return body, f'multipart/form-data; boundary="{boundary}"'
+
+
+class TestBindingWireFormats:
+    """The exact multipart bodies produced by bindings/{ruby,java,go} and
+    the form body of /load must parse against the real server."""
+
+    @pytest.fixture(scope="class")
+    def server(self, ref_models):
+        from open_whisper_kit_tpu.server.http_server import serve
+        srv = serve(str(ref_models / "for-tests-ggml-tiny.en.bin"),
+                    port=0, dtype=jnp.float32)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    @staticmethod
+    def _wav_bytes(seconds=1):
+        import io
+        import wave
+        pcm = (np.random.default_rng(0).standard_normal(16000 * seconds)
+               * 3000).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def _post(self, url, body, ctype):
+        req = urllib.request.Request(url, data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+
+    def test_ruby_java_multipart_layout(self, server):
+        # mirror bindings/ruby/owk.rb transcribe() byte-for-byte
+        b = "owk-ruby-boundary"
+        wav = self._wav_bytes()
+        body = (f"--{b}\r\nContent-Disposition: form-data; name=\"file\"; "
+                f"filename=\"t.wav\"\r\nContent-Type: audio/wav\r\n\r\n"
+                ).encode() + wav + f"\r\n--{b}\r\n".encode() + (
+            "Content-Disposition: form-data; name=\"response_format\"\r\n\r\n"
+            f"json\r\n--{b}--\r\n").encode()
+        status, resp = self._post(f"{server}/inference", body,
+                                  f"multipart/form-data; boundary={b}")
+        assert status == 200
+        assert "text" in json.loads(resp)
+
+    def test_go_style_params_order(self, server):
+        # Go's mime/multipart writes fields after the file part, CRLF framing
+        b = "gob0undary"
+        wav = self._wav_bytes()
+        parts = [
+            f"--{b}\r\nContent-Disposition: form-data; name=\"file\"; "
+            f"filename=\"a.wav\"\r\n"
+            "Content-Type: application/octet-stream\r\n\r\n".encode() + wav,
+            f"--{b}\r\nContent-Disposition: form-data; "
+            "name=\"temperature\"\r\n\r\n0.0".encode(),
+            f"--{b}\r\nContent-Disposition: form-data; "
+            "name=\"response_format\"\r\n\r\ntext".encode(),
+        ]
+        body = b"\r\n".join(parts) + f"\r\n--{b}--\r\n".encode()
+        status, _resp = self._post(f"{server}/inference", body,
+                                   f"multipart/form-data; boundary={b}")
+        assert status == 200
+
+    def test_load_form_urlencoded(self, server, ref_models):
+        body = ("model=" + urllib.parse.quote(
+            str(ref_models / "for-tests-ggml-tiny.en.bin"))).encode()
+        status, resp = self._post(f"{server}/load", body,
+                                  "application/x-www-form-urlencoded")
+        assert status == 200
