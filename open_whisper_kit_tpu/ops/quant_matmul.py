@@ -213,12 +213,32 @@ def quantize_linear4(w: jnp.ndarray) -> QuantLinear4:
 
 
 @functools.cache
-def _make_qmm4_kernel(compute_dtype):
+def _make_qmm4_kernel(compute_dtype, bf16_trick: bool = False):
     def kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref):
         K2 = q_ref.shape[0]                          # K/2
         BN = q_ref.shape[1]
         w = q_ref[:]
         s = s_ref[:]                                 # (K/32, BN) == (K2//16, BN)
+        if bf16_trick:
+            # dequant fully at 16 bit: OR the nibble into the mantissa of a
+            # bf16 with exponent 2^7 (0x4300 | q == 128 + q exactly for
+            # q in [0,16)), subtract 136 -> q - 8 in bf16 with no int
+            # arithmetic and 2x the lanes per VPU op vs the i32 path
+            w16 = w.astype(jnp.uint16)
+            lo = jax.lax.bitcast_convert_type(
+                (w16 & 0x0F) | 0x4300, jnp.bfloat16) - jnp.bfloat16(136)
+            # Mosaic doesn't legalize 16-bit shrui: shift at i32, narrow back
+            hi16 = (w.astype(jnp.int32) >> 4).astype(jnp.uint16)
+            hi = jax.lax.bitcast_convert_type(
+                hi16 | 0x4300, jnp.bfloat16) - jnp.bfloat16(136)
+            sb = s.astype(jnp.bfloat16)
+            lo = (lo.reshape(K2 // 16, 16, BN) * sb[:, None, :]).reshape(K2, BN)
+            hi = (hi.reshape(K2 // 16, 16, BN) * sb[:, None, :]).reshape(K2, BN)
+            o_ref[:] = (jnp.dot(xe_ref[:].astype(compute_dtype), lo,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(xo_ref[:].astype(compute_dtype), hi,
+                                  preferred_element_type=jnp.float32))
+            return
         # Mosaic legalizes sub/shift/cast only at i32 for narrow ints:
         # widen once, then all bit ops in i32
         w32 = w.astype(jnp.int32)
@@ -235,12 +255,20 @@ def _make_qmm4_kernel(compute_dtype):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+_QMM4_TRICK = False  # bf16 bit-trick dequant measured SLOWER (199 vs 135 us on
+                     # the logits matvec, v5e): the hi-nibble shift must widen
+                     # to i32 anyway (Mosaic), so the trick only narrows half
+                     # the dequant while adding bitcasts. See PERFORMANCE.md.
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "trick"))
 def _qmm4(x: jnp.ndarray, qs: jnp.ndarray, scales: jnp.ndarray,
-          interpret: bool = False) -> jnp.ndarray:
+          interpret: bool = False, trick: bool | None = None) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if trick is None:
+        trick = _QMM4_TRICK and not interpret   # interpret mode: f32 path
     M, K = x.shape
     K2, Np = qs.shape
     Mp = -(-M // _M_PAD) * _M_PAD
@@ -250,7 +278,7 @@ def _qmm4(x: jnp.ndarray, qs: jnp.ndarray, scales: jnp.ndarray,
     xe, xo = xb[:, 0::2], xb[:, 1::2]            # (Mp, K/2) each
 
     out = pl.pallas_call(
-        _make_qmm4_kernel(jnp.float32 if interpret else jnp.bfloat16),
+        _make_qmm4_kernel(jnp.float32 if interpret else jnp.bfloat16, trick),
         grid=(Np // _BN,),
         in_specs=[
             pl.BlockSpec((Mp, K2), lambda j: (0, 0), memory_space=pltpu.VMEM),
