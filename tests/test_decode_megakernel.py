@@ -1,0 +1,104 @@
+"""Parity: the single-kernel decoder vs decode_impl (interpret mode).
+
+The megakernel must reproduce models/whisper/model.py::decode_impl at
+M=1 (same rounding points: bf16 residual stream, f32 LN stats, f32 MXU
+accumulation) on its natural-layout caches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_whisper_kit_tpu.models.whisper import model as M
+from open_whisper_kit_tpu.ops import decode_megakernel as MK
+
+CFG = M.WhisperConfig(
+    n_vocab=640, n_audio_ctx=48, n_audio_state=256, n_audio_head=4,
+    n_audio_layer=2, n_text_ctx=64, n_text_state=256, n_text_head=4,
+    n_text_layer=3, n_mels=80)
+
+
+def _setup(seed=0, n_steps=5):
+    rng = np.random.default_rng(seed)
+    params = M.init_params(CFG, seed=seed, dtype=jnp.bfloat16)
+    dec = M.prepare_decoder(params["decoder"])
+    mp = MK.prepare_mega(CFG, dec)
+    Ta = CFG.n_audio_ctx
+    enc_out = jnp.asarray(
+        rng.standard_normal((1, Ta, CFG.n_audio_state)), jnp.bfloat16)
+    xk, xv = M.cross_kv(CFG, dec, enc_out)          # (L,1,H,Ta,dh) head-major
+    toks = rng.integers(0, CFG.n_vocab, size=n_steps)
+    return params, dec, mp, xk, xv, toks
+
+
+def _hm_to_nat(a):
+    """(L,1,H,T,dh) head-major -> (L,T,H*dh) natural."""
+    L, B, H, T, dh = a.shape
+    return jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(L, T, H * dh)
+
+
+def test_megakernel_matches_decode_impl():
+    params, dec, mp, xk, xv, toks = _setup()
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+
+    # reference path: head-major cache, decode_impl step by step
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.bfloat16)
+    ref_logits = []
+    for i, t in enumerate(toks):
+        logits, kv_k, kv_v, _ = M.decode_impl(
+            CFG, dec, jnp.asarray([[t]], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk, xv)
+        ref_logits.append(np.asarray(logits[0, 0]))
+
+    # megakernel path: natural-layout caches
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    got_logits = []
+    for i, t in enumerate(toks):
+        x0 = (dec["te"][jnp.asarray([t])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        logits, nk, nv = MK.mega_decode_step(
+            CFG, mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            interpret=True)
+        got_logits.append(np.asarray(logits[0]))
+
+    for i, (r, g) in enumerate(zip(ref_logits, got_logits)):
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / scale, r / scale, atol=2e-2,
+                                   err_msg=f"step {i}")
+        assert int(np.argmax(g)) == int(np.argmax(r)), f"argmax step {i}"
+
+
+def test_megakernel_cache_rows_match():
+    """The kernel's natural-layout cache rows equal decode_impl's head-major
+    cache content (transposed), and untouched rows stay zero."""
+    params, dec, mp, xk, xv, toks = _setup(seed=3, n_steps=3)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    H, dh = CFG.n_text_head, CFG.d_text_head
+
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.bfloat16)
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    for i, t in enumerate(toks):
+        tok = jnp.asarray([[t]], jnp.int32)
+        _, kv_k, kv_v, _ = M.decode_impl(CFG, dec, tok, kv_k, kv_v,
+                                         jnp.int32(i), xk, xv)
+        x0 = (dec["te"][jnp.asarray([t])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        _, nk, nv = MK.mega_decode_step(CFG, mp, x0, nk, nv, jnp.int32(i),
+                                        xk_nat, xv_nat, interpret=True)
+
+    n = len(toks)
+    hm_k = np.asarray(jnp.transpose(kv_k[:, 0], (0, 2, 1, 3))
+                      .reshape(L, Tc, S), np.float32)
+    hm_v = np.asarray(jnp.transpose(kv_v[:, 0], (0, 2, 1, 3))
+                      .reshape(L, Tc, S), np.float32)
+    got_k, got_v = np.asarray(nk, np.float32), np.asarray(nv, np.float32)
+    sk = np.abs(hm_k[:, :n]).max() + 1e-6
+    np.testing.assert_allclose(got_k[:, :n] / sk, hm_k[:, :n] / sk, atol=2e-2)
+    sv = np.abs(hm_v[:, :n]).max() + 1e-6
+    np.testing.assert_allclose(got_v[:, :n] / sv, hm_v[:, :n] / sv, atol=2e-2)
+    assert (got_k[:, n:] == 0).all() and (got_v[:, n:] == 0).all()
