@@ -204,6 +204,38 @@ def main():
     float(dec8_loop(dec_int8_full, xk, xv))
     dec8_s = (time.perf_counter() - t0) / K
 
+    # ---- single-kernel decoder (ops/decode_megakernel; the default greedy
+    # device-loop step on TPU): all layers + logits in one pallas_call ----
+    from open_whisper_kit_tpu.ops import decode_megakernel as MK
+    mp = MK.prepare_mega(cfg, dec_prepared)
+    L = cfg.n_text_layer
+    S = cfg.n_text_state
+    Tc = cfg.n_text_ctx
+    xk_nat = jnp.transpose(xk[:, 0], (0, 2, 1, 3)).reshape(L, -1, S)
+    xv_nat = jnp.transpose(xv[:, 0], (0, 2, 1, 3)).reshape(L, -1, S)
+
+    @jax.jit
+    def mega_loop(mp, te, pe, xkn, xvn):
+        nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+        nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+
+        def body(carry, i):
+            tok, nk, nv = carry
+            x0 = (te[tok] + pe[i])[None].astype(jnp.bfloat16)
+            logits, nk, nv = MK.mega_decode_step(cfg, mp, x0, nk, nv, i,
+                                                 xkn, xvn)
+            return (jnp.argmax(logits[0]).astype(jnp.int32), nk, nv), ()
+
+        (tok, _, _), _ = jax.lax.scan(
+            body, (jnp.int32(0), nk, nv), jnp.arange(K))
+        return tok
+
+    args = (mp, dec_prepared["te"], dec_prepared["pe"], xk_nat, xv_nat)
+    float(mega_loop(*args))
+    t0 = time.perf_counter()
+    float(mega_loop(*args))
+    mega_s = (time.perf_counter() - t0) / K
+
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
     baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
 
@@ -215,6 +247,7 @@ def main():
         "detail": {
             "enc_ms": round(enc_s * 1e3, 2),
             "dec_ms_per_token": round(dec_s * 1e3, 3),
+            "dec_mega_ms_per_token": round(mega_s * 1e3, 3),
             "dec_int8_ms_per_token": round(dec8_s * 1e3, 3),
             "bch5_ms_per_token": round(bch5_s * 1e3, 3),
             "pp_ms_per_token": round(pp_s * 1e3, 4),

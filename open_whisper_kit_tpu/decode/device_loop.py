@@ -72,19 +72,42 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                  t_real, token_nosp, seek, seek_end, *, n_max: int,
                  max_tokens: int = 0, single_segment: bool = False,
                  no_timestamps: bool = False,
-                 stub: bool = False) -> tuple["_Carry", jnp.ndarray]:
+                 stub: bool = False,
+                 mega=None) -> tuple["_Carry", jnp.ndarray]:
     """Traceable greedy segment decode; returns (final carry, no_speech_prob).
 
     Shared by the one-window `decode_segment` jit below and the K-windows
-    loop in decode/device_windows.py."""
+    loop in decode/device_windows.py.
+
+    `mega` (ops.decode_megakernel.MegaParams or None): when set, per-token
+    steps run through the single-kernel decoder (one pallas_call per token:
+    all layers + logits, weights streamed via pipelined DMA). Prompt ingest
+    stays on the XLA path (M>1 is MXU-efficient there); its head-major
+    cache is converted once per window to the kernel's natural (T, S)
+    layout. In mega mode the incoming kv_k/kv_v must be natural-layout
+    (L, n_ctx, S) buffers; their content is ignored (fresh head-major
+    ingest), only the carry shape matters."""
     token_beg = rc.token_beg
     token_eot = rc.token_eot
     delta_min = 10
 
     # ---- prompt ingest (logits only at the last real position) ----
-    logits_all, kv_k, kv_v, _ = M.decode_impl(
-        cfg, dec, prompt, kv_k, kv_v, jnp.int32(0), xk, xv,
-        logits_pos=t_real - 1)
+    if mega is not None:
+        from ..ops import decode_megakernel as MK
+        S = cfg.n_text_state
+        to_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
+            cfg.n_text_layer, a.shape[3], S)
+        hm_k, hm_v = M.init_kv_cache(cfg, 1, dtype=kv_k.dtype)
+        logits_all, hm_k, hm_v, _ = M.decode_impl(
+            cfg, dec, prompt, hm_k, hm_v, jnp.int32(0), xk, xv,
+            logits_pos=t_real - 1)
+        kv_k, kv_v = to_nat(hm_k), to_nat(hm_v)
+        xk_nat, xv_nat = to_nat(xk), to_nat(xv)
+        mega_interpret = jax.devices()[0].platform == "cpu"
+    else:
+        logits_all, kv_k, kv_v, _ = M.decode_impl(
+            cfg, dec, prompt, kv_k, kv_v, jnp.int32(0), xk, xv,
+            logits_pos=t_real - 1)
     last_logits = logits_all[:, 0]  # (1, V)
     no_speech_prob = LR.compute_no_speech_prob(last_logits[0], token_nosp)
 
@@ -166,12 +189,20 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         failed = failed | rep_fail
 
         # ---- next decode step (result unused on the final iteration) ----
-        step_logits, kv_k, kv_v, _ = M.decode_impl(
-            cfg, dec, tok[:, None], c.kv_k, c.kv_v, c.kv_head, xk, xv)
+        if mega is not None:
+            x0 = (dec["te"][tok]
+                  + dec["pe"][c.kv_head][None, :]).astype(jnp.bfloat16)
+            new_logits, kv_k, kv_v = MK.mega_decode_step(
+                cfg, mega, x0, c.kv_k, c.kv_v, c.kv_head, xk_nat, xv_nat,
+                interpret=mega_interpret)
+        else:
+            step_logits, kv_k, kv_v, _ = M.decode_impl(
+                cfg, dec, tok[:, None], c.kv_k, c.kv_v, c.kv_head, xk, xv)
+            new_logits = step_logits[:, 0]
 
         return _Carry(
             kv_k=kv_k, kv_v=kv_v, kv_head=c.kv_head + 1, i=i + 1,
-            logits=step_logits[:, 0],
+            logits=new_logits,
             tokens=tokens, p=p_buf, plog=plog_buf, pt=pt_buf,
             ptsum=ptsum_buf, tid=tid_buf, sum_logprobs_all=sum_lp,
             last_was_ts=is_ts_tok,
@@ -196,15 +227,16 @@ def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    scalars: jnp.ndarray, *, n_max: int,
                    max_tokens: int = 0, single_segment: bool = False,
                    no_timestamps: bool = False,
-                   stub: bool = False) -> SegmentResult:
+                   stub: bool = False, mega=None) -> SegmentResult:
     """Greedy-decode one window. prompt (1, T_pad) i32; `scalars` packs
     (t_real, token_nosp, seek, seek_end) into one i32 upload (each separate
-    scalar transfer costs a full round-trip on relayed links)."""
+    scalar transfer costs a full round-trip on relayed links). With `mega`,
+    kv_k/kv_v must be natural-layout (L, n_ctx, S) buffers."""
     c, no_speech_prob = segment_core(
         cfg, rc, dec, prompt, kv_k, kv_v, xk, xv, base_mask, init_mask,
         scalars[0], scalars[1], scalars[2], scalars[3], n_max=n_max,
         max_tokens=max_tokens, single_segment=single_segment,
-        no_timestamps=no_timestamps, stub=stub)
+        no_timestamps=no_timestamps, stub=stub, mega=mega)
 
     return SegmentResult(
         tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,

@@ -97,7 +97,8 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    mel_data: jnp.ndarray,
                    base_mask: jnp.ndarray, init_mask: jnp.ndarray,
                    past_buf: jnp.ndarray,
-                   iscalars: jnp.ndarray, fscalars: jnp.ndarray, *,
+                   iscalars: jnp.ndarray, fscalars: jnp.ndarray,
+                   mega=None, *,
                    prompt_init: tuple[int, ...], K: int, n_max: int, P: int,
                    max_tokens: int = 0, no_timestamps: bool = False,
                    stub: bool = False, window_frames: int = 2 * 1500,
@@ -118,7 +119,12 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     T_pad = 1 + P + n_init          # token_prev + past tail + task prompt
     init_arr = jnp.asarray(np.array(prompt_init, np.int32))
 
-    kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=enc_params["conv1_w"].dtype)
+    if mega is not None:   # natural-layout carry buffers (decode_megakernel)
+        kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx, cfg.n_text_state),
+                         enc_params["conv1_w"].dtype)
+        kv_v = kv_k
+    else:
+        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=enc_params["conv1_w"].dtype)
 
     out = WindowsResult(
         tokens=jnp.zeros((K, n_max), jnp.int32),
@@ -186,7 +192,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             cfg, rc, dec_params, prompt[None], c.kv_k, c.kv_v, xk, xv,
             base_mask, init_mask, t_real, token_nosp, c.seek, seek_end,
             n_max=n_max, max_tokens=max_tokens, single_segment=False,
-            no_timestamps=no_timestamps, stub=stub)
+            no_timestamps=no_timestamps, stub=stub, mega=mega)
 
         # ---- quality gates (whisper_rank / _score_sequence) ----
         rl = seg.result_len

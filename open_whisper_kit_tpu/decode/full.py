@@ -119,7 +119,42 @@ class WhisperContext:
         self.dtype = dtype
         self.model_type = model_type
         self._mask_cache: dict = {}
+        self._mega = None       # lazy MegaParams (single-kernel decoder)
         self._vad = None
+
+    def mega_params(self, p: FullParams):
+        """MegaParams for the single-kernel per-token decoder
+        (ops/decode_megakernel), or None when the configuration is not
+        eligible. Auto policy (p.megakernel=None): on for accelerators with
+        dense bf16 weights; p.megakernel=True additionally allows the CPU
+        interpret path (tests); False disables."""
+        # Auto policy: OFF for dense bf16 — the in-situ A/B measured the
+        # megakernel step at parity with the XLA step inside the fused
+        # segment loop (523 vs 528 us/token, large-v3-turbo v5e): XLA
+        # overlaps the logit rules with the next decode step, the opaque
+        # pallas call cannot. Opt in with megakernel=True. (The int8-plane
+        # variant is where the kernel wins; see ops/decode_megakernel.)
+        if p.megakernel is not True or not p.use_device_loops:
+            return None
+        cfg = self.cfg
+        dec = self.params["decoder"]
+        from ..ops.quant_matmul import QuantLinear, QuantLinear4
+        structural = (
+            self.dtype == jnp.bfloat16
+            and not p.cross_kv_int8
+            and "qkv_w" in dec["blocks"]
+            and cfg.n_text_layer <= 8       # kernel is fully unrolled
+            and cfg.n_text_state % 128 == 0
+            and "te_logits" not in dec
+            and not any(isinstance(w, (QuantLinear, QuantLinear4))
+                        for w in dec["blocks"].values()))
+        on_accel = jax.devices()[0].platform != "cpu"
+        if not (structural and (on_accel or p.megakernel is True)):
+            return None
+        if self._mega is None:
+            from ..ops.decode_megakernel import prepare_mega
+            self._mega = prepare_mega(cfg, dec)
+        return self._mega
 
     def get_vad(self, model_path: str | None):
         """Lazy-load the Silero VAD context (whisper.cpp:6656-6665)."""
@@ -512,6 +547,7 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
         res = DW.decode_windows(
             cfg, rc, ctx.params["encoder"], ctx.params["decoder"], mel.data,
             base_mask, init_mask, past_buf, iscal, fscal,
+            mega=ctx.mega_params(p),
             prompt_init=tuple(prompt_init), K=K, n_max=n_max, P=P,
             max_tokens=p.max_tokens, no_timestamps=no_timestamps,
             stub=ctx.n_loaded == 0, window_frames=2 * cfg.n_audio_ctx,
@@ -696,7 +732,13 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
             continue
         if use_device_loop:
             t0 = time.perf_counter()
-            kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
+            mega = ctx.mega_params(p) if not isinstance(xk, M.QuantKV) else None
+            if mega is not None:   # natural-layout carry (decode_megakernel)
+                kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx,
+                                  cfg.n_text_state), ctx.dtype)
+                kv_v = kv_k
+            else:
+                kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
             toks, T_real = _pad_prompt(cfg, prompt)
             from . import device_loop as DL
             scalars = jnp.asarray(np.array(
@@ -706,7 +748,8 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
                 kv_k, kv_v, xk, xv, base_mask, init_mask,
                 scalars, n_max=n_max,
                 max_tokens=p.max_tokens, single_segment=p.single_segment,
-                no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+                no_timestamps=no_timestamps, stub=ctx.n_loaded == 0,
+                mega=mega)
             r = DL.unpack_segment_result(
                 DL.pack_segment_result(res_dev), n_max)
             n_tok = r["n_tokens"]

@@ -121,6 +121,11 @@ class FullParams:
     # (symmetric per-position scales; q8_0-level error). Halves the dominant
     # HBM stream of batched/beam decoding.
     cross_kv_int8: bool = False
+    # TPU-specific: single-kernel per-token decoder (ops/decode_megakernel):
+    # the whole layer stack + vocab projection in one pallas_call with
+    # pipelined weight DMA. None = auto (on, when the greedy device loop
+    # runs on an accelerator with dense bf16 weights); False disables.
+    megakernel: bool | None = None
 
     @classmethod
     def greedy_default(cls) -> "FullParams":

@@ -127,7 +127,13 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                  ta_valid: int | None = None):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
-    padded vocab. ta_valid: real cross length (pad rows masked)."""
+    padded vocab. ta_valid: real cross length (pad rows masked).
+
+    All weight matvecs consume ONE continuous, fully unrolled tile stream
+    with lookahead-2 triple-buffered DMA: tile i+1 and i+2 are already in
+    flight when tile i is consumed, ACROSS stage and layer boundaries, so
+    the DMA engine never drains at a matvec boundary (the stall that
+    limited the loop-per-matvec v1 to 602 us/token)."""
     if ta_valid is None:
         ta_valid = Ta
     from jax.experimental import pallas as pl
@@ -139,40 +145,19 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     dh = S // H
     M = 8                                    # sublane-padded token rows
     kqscale = float(dh) ** -0.25
-    TN_QKV = _pick_tn(3 * S)
-    TN_SQ = _pick_tn(S, cap=640)             # o/cq/co tiles
-    TN_M0 = _pick_tn(4 * S, cap=512)
+    NB = 3                                   # tile buffer slots
+    LOOKAHEAD = 2                            # tiles in flight ahead of use
+                                             # (A/B: NB=5/LA=4 measured the
+                                             # same 506-511 us — the queue
+                                             # never drains at depth 2)
+    TN_QKV = _pick_tn(3 * S, cap=1280)
+    TN_SQ = _pick_tn(S, cap=1280)            # o/cq/co tiles
+    TN_M0 = _pick_tn(4 * S, cap=1280)
     TN_M1 = _pick_tn(S, cap=256)             # mlp1: K=4S rows, narrow tiles
-    TN_TE = 512
+    TN_TE = _pick_tn(Vp, cap=1024)
+    TN_MAX = max(TN_QKV, TN_SQ, TN_M0, TN_TE)
     Tcp = -(-Tc // 16) * 16                  # bf16 sublane padding
     Tap = -(-Ta // 16) * 16
-
-    def stream_mm(x16, w_hbm, nk, n_out, tn, wbuf, wsem, out_ref, out_off=0):
-        """out_ref[:, out_off + j*tn : ...] = x16 @ w_hbm[:, j*tn : ...],
-        tile by tile, double-buffered HBM->VMEM weight DMA. out_ref f32."""
-        nt = n_out // tn
-
-        def dma(t):
-            slot = jax.lax.rem(t, 2)
-            return pltpu.make_async_copy(
-                w_hbm.at[:, pl.ds(t * tn, tn)],
-                wbuf.at[slot, pl.ds(0, nk), pl.ds(0, tn)],
-                wsem.at[slot])
-
-        dma(0).start()
-
-        def body(t, _):
-            @pl.when(t + 1 < nt)
-            def _():
-                dma(t + 1).start()
-            dma(t).wait()
-            slot = jax.lax.rem(t, 2)
-            w = wbuf[slot, pl.ds(0, nk), pl.ds(0, tn)]
-            out_ref[:, pl.ds(out_off + t * tn, tn)] = jnp.dot(
-                x16, w, preferred_element_type=jnp.float32)
-            return 0
-
-        jax.lax.fori_loop(0, nt, body, 0)
 
     def attend(q16, kbuf, vbuf, n_valid, scale):
         """Packed-slice attention: q16 (M, S) bf16, kbuf/vbuf (Tpad, S)
@@ -199,20 +184,80 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                lnw_ref, lnb_ref,               # VMEM (3L+1, S) bf16
                qkvb_ref, ob_ref, cqb_ref, cob_ref, m0b_ref, m1b_ref,
                qkvw_ref, ow_ref, cqw_ref, cow_ref, m0w_ref, m1w_ref,
-               teT_ref,                        # ANY  (S, Vp) bf16
-               kvk_ref, kvv_ref,               # ANY  (L, Tc, S) bf16 aliased
-               xk_ref, xv_ref,                 # ANY  (L, Ta, S) bf16
+               teT_ref,                        # HBM  (S, Vp) bf16
+               kvk_ref, kvv_ref,               # HBM  (L, Tc, S) bf16 aliased
+               xk_ref, xv_ref,                 # HBM  (L, Ta, S) bf16
                logits_ref,                     # out VMEM (M, Vp) f32
-               okvk_ref, okvv_ref,             # out ANY aliased
-               wbuf, wbuf2,                    # (2, S, TN_QKV) / (2, 4S, TN_M1)
+               okvk_ref, okvv_ref,             # out HBM aliased
+               wbuf, wbuf2,                    # (NB,S,TN_MAX) / (NB,4S,TN_M1)
                abuf,                           # (M, 4S) f32 matvec outputs
                kbuf, vbuf,                     # (Tcp, S) self-cache tiles
                ckbuf, cvbuf,                   # (2, Tap, S) cross double-buf
-               wsem, ksem, csem, wrsem):       # DMA semaphores
+               wsem, wsem2, ksem, csem, wrsem):  # DMA semaphores
         # okvk/okvv alias kvk/kvv (same HBM buffer on hardware); reads go
         # through the input refs, the new-row DMAs through the output refs
         # so interpret mode (separate copies) stays correct too.
         head = head_ref[0, 0]
+
+        # ---- static tile schedules (program order == consume order) ----
+        tiles_a, tiles_b = [], []
+        for il in range(L):
+            for (wref, n_out, tn) in ((qkvw_ref.at[il], 3 * S, TN_QKV),
+                                      (ow_ref.at[il], S, TN_SQ),
+                                      (cqw_ref.at[il], S, TN_SQ),
+                                      (cow_ref.at[il], S, TN_SQ),
+                                      (m0w_ref.at[il], 4 * S, TN_M0)):
+                for t in range(n_out // tn):
+                    tiles_a.append((wref, t * tn, tn))
+            for t in range(S // TN_M1):
+                tiles_b.append((m1w_ref.at[il], t * TN_M1))
+        for t in range(Vp // TN_TE):
+            tiles_a.append((teT_ref, t * TN_TE, TN_TE))
+
+        def dma_a(i):
+            wref, off, tn = tiles_a[i]
+            return pltpu.make_async_copy(
+                wref.at[:, pl.ds(off, tn)],
+                wbuf.at[i % NB, pl.ds(0, S), pl.ds(0, tn)],
+                wsem.at[i % NB])
+
+        def dma_b(i):
+            wref, off = tiles_b[i]
+            return pltpu.make_async_copy(
+                wref.at[:, pl.ds(off, TN_M1)],
+                wbuf2.at[i % NB], wsem2.at[i % NB])
+
+        st = {"a_started": 0, "a_next": 0, "b_started": 0, "b_next": 0}
+
+        def a_ensure(n):
+            while st["a_started"] < min(n, len(tiles_a)):
+                dma_a(st["a_started"]).start()
+                st["a_started"] += 1
+
+        def b_ensure(n):
+            while st["b_started"] < min(n, len(tiles_b)):
+                dma_b(st["b_started"]).start()
+                st["b_started"] += 1
+
+        def consume_a(x16, out_ref, n_out, tn):
+            """out_ref[:, :n_out] = x16 @ W for the next n_out//tn tiles."""
+            for t in range(n_out // tn):
+                i = st["a_next"]
+                st["a_next"] += 1
+                a_ensure(i + 1 + LOOKAHEAD)
+                dma_a(i).wait()
+                w = wbuf[i % NB, pl.ds(0, S), pl.ds(0, tn)]
+                out_ref[:, pl.ds(t * tn, tn)] = jnp.dot(
+                    x16, w, preferred_element_type=jnp.float32)
+
+        def consume_b(x16, out_ref):
+            for t in range(S // TN_M1):
+                i = st["b_next"]
+                st["b_next"] += 1
+                b_ensure(i + 1 + LOOKAHEAD)
+                dma_b(i).wait()
+                out_ref[:, pl.ds(t * TN_M1, TN_M1)] = jnp.dot(
+                    x16, wbuf2[i % NB], preferred_element_type=jnp.float32)
 
         def cross_dma(il, slot):
             return (pltpu.make_async_copy(xk_ref.at[il], ckbuf.at[slot],
@@ -222,6 +267,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
         for d in cross_dma(0, 0):
             d.start()
+        a_ensure(1 + LOOKAHEAD)
 
         x32 = x_ref[:].astype(jnp.float32)     # (M, S) residual stream
 
@@ -239,8 +285,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             # ---- self-attention ----
             h16 = _ln_rows(x32, lnw_ref[3 * il], lnb_ref[3 * il],
                            eps).astype(jnp.bfloat16)
-            stream_mm(h16, qkvw_ref.at[il], S, 3 * S, TN_QKV, wbuf, wsem,
-                      abuf)
+            consume_a(h16, abuf, 3 * S, TN_QKV)
             qkv = (abuf[:, pl.ds(0, 3 * S)].astype(jnp.bfloat16)
                    + qkvb_ref[il][None, :])
             q = qkv[:, :S] * jnp.bfloat16(kqscale)
@@ -268,8 +313,9 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             wk.start()
             wv.start()
 
+            a_ensure(st["a_next"] + 1 + LOOKAHEAD)
             a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0)
-            stream_mm(a16, ow_ref.at[il], S, S, TN_SQ, wbuf, wsem, abuf)
+            consume_a(a16, abuf, S, TN_SQ)
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
                       + ob_ref[il][None, :])).astype(jnp.float32)
@@ -281,14 +327,15 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
             h16 = _ln_rows(x32, lnw_ref[3 * il + 1], lnb_ref[3 * il + 1],
                            eps).astype(jnp.bfloat16)
-            stream_mm(h16, cqw_ref.at[il], S, S, TN_SQ, wbuf, wsem, abuf)
+            consume_a(h16, abuf, S, TN_SQ)
             cq = (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
                   + cqb_ref[il][None, :])
 
             for d in cross_dma(il, slot):
                 d.wait()
+            a_ensure(st["a_next"] + 1 + LOOKAHEAD)
             ca16 = attend(cq, ckbuf[slot], cvbuf[slot], ta_valid, kqscale)
-            stream_mm(ca16, cow_ref.at[il], S, S, TN_SQ, wbuf, wsem, abuf)
+            consume_a(ca16, abuf, S, TN_SQ)
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
                       + cob_ref[il][None, :])).astype(jnp.float32)
@@ -296,25 +343,27 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             # ---- MLP ----
             h16 = _ln_rows(x32, lnw_ref[3 * il + 2], lnb_ref[3 * il + 2],
                            eps).astype(jnp.bfloat16)
-            stream_mm(h16, m0w_ref.at[il], S, 4 * S, TN_M0, wbuf, wsem, abuf)
+            b_ensure(st["b_next"] + 1 + LOOKAHEAD)   # mlp1 tiles in flight
+            consume_a(h16, abuf, 4 * S, TN_M0)
             g = jax.nn.gelu(
                 (abuf[:, pl.ds(0, 4 * S)].astype(jnp.bfloat16)
                  + m0b_ref[il][None, :]).astype(jnp.float32),
                 approximate=True).astype(jnp.bfloat16)
-            stream_mm(g, m1w_ref.at[il], 4 * S, S, TN_M1, wbuf2, wsem, abuf)
+            consume_b(g, abuf)
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
                       + m1b_ref[il][None, :])).astype(jnp.float32)
 
-            wk.wait()                          # krow reused next layer
+            wk.wait()                          # kbuf/vbuf reused next layer
             wv.wait()
 
         # ---- final LN + vocab projection ----
         xf = _ln_rows(x32, lnw_ref[3 * L], lnb_ref[3 * L],
                       eps).astype(jnp.bfloat16)
-        stream_mm(xf, teT_ref, S, Vp, TN_TE, wbuf, wsem, logits_ref)
+        consume_a(xf, logits_ref, Vp, TN_TE)
 
-    return kernel, dict(M=M, TN_QKV=TN_QKV, TN_M1=TN_M1, Tcp=Tcp, Tap=Tap)
+    return kernel, dict(M=M, NB=NB, TN_MAX=TN_MAX, TN_M1=TN_M1,
+                        Tcp=Tcp, Tap=Tap)
 
 
 @functools.partial(jax.jit,
@@ -382,14 +431,15 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
         ),
         input_output_aliases={17: 1, 18: 2},
         scratch_shapes=[
-            pltpu.VMEM((2, S, dims["TN_QKV"]), bf),          # wbuf
-            pltpu.VMEM((2, 4 * S, dims["TN_M1"]), bf),       # wbuf2
+            pltpu.VMEM((dims["NB"], S, dims["TN_MAX"]), bf),   # wbuf
+            pltpu.VMEM((dims["NB"], 4 * S, dims["TN_M1"]), bf),  # wbuf2
             pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
             pltpu.VMEM((dims["Tcp"], S), bf),                # kbuf
             pltpu.VMEM((dims["Tcp"], S), bf),                # vbuf
             pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf
             pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
-            pltpu.SemaphoreType.DMA((2,)),                   # wsem
+            pltpu.SemaphoreType.DMA((dims["NB"],)),          # wsem
+            pltpu.SemaphoreType.DMA((dims["NB"],)),          # wsem2
             pltpu.SemaphoreType.DMA((2,)),                   # ksem
             pltpu.SemaphoreType.DMA((4,)),                   # csem
             pltpu.SemaphoreType.DMA((2,)),                   # wrsem

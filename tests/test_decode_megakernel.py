@@ -102,3 +102,40 @@ def test_megakernel_cache_rows_match():
     sv = np.abs(hm_v[:, :n]).max() + 1e-6
     np.testing.assert_allclose(got_v[:, :n] / sv, hm_v[:, :n] / sv, atol=2e-2)
     assert (got_k[:, n:] == 0).all() and (got_v[:, n:] == 0).all()
+
+
+def test_decode_segment_mega_matches_plain():
+    """The fused greedy segment loop must produce the same tokens/stats with
+    the megakernel step as with the XLA decode_impl step."""
+    from open_whisper_kit_tpu.decode import device_loop as DL
+    from open_whisper_kit_tpu.decode import logit_rules as LR
+
+    params, dec, mp, xk, xv, _ = _setup(seed=11)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    rc = LR.RuleConfig(n_vocab=CFG.n_vocab, token_eot=CFG.n_vocab - 2,
+                       token_beg=CFG.n_vocab - 120)
+    base_mask = jnp.zeros((CFG.n_vocab,), jnp.float32)
+    init_mask = jnp.zeros((CFG.n_vocab,), jnp.float32)
+    prompt = jnp.asarray([[5, 9, 0, 0]], jnp.int32)
+    scalars = jnp.asarray([2, 3, 0, 3000], jnp.int32)  # t_real, nosp, seek
+    n_max = 16
+
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.bfloat16)
+    plain = DL.decode_segment(CFG, rc, dec, prompt, kv_k, kv_v, xk, xv,
+                              base_mask, init_mask, scalars, n_max=n_max)
+
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    got = DL.decode_segment(CFG, rc, dec, prompt, nk, nv, xk, xv,
+                            base_mask, init_mask, scalars, n_max=n_max,
+                            mega=mp)
+
+    assert int(got.n_tokens) == int(plain.n_tokens)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(plain.tokens))
+    np.testing.assert_array_equal(np.asarray(got.tid), np.asarray(plain.tid))
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(plain.p),
+                               atol=5e-3)
+    assert bool(got.completed) == bool(plain.completed)
+    assert bool(got.failed) == bool(plain.failed)
+    assert int(got.seek_delta) == int(plain.seek_delta)
