@@ -226,12 +226,14 @@ class _Parser:
         return out
 
 
-def parse_gbnf(text: str) -> tuple[list[Rule], int]:
-    """-> (rules, root_rule_id); root is the rule named 'root'."""
+def parse_gbnf(text: str, start: str = "root") -> tuple[list[Rule], int]:
+    """-> (rules, start_rule_id); `start` names the entry rule (the
+    reference exposes the same choice as whisper_full_params.i_start_rule,
+    used e.g. by wchess with its 'move' rule)."""
     rules, symbols = _Parser(text).parse()
-    if "root" not in symbols:
-        raise GBNFError("grammar must define a 'root' rule")
-    return rules, symbols["root"]
+    if start not in symbols:
+        raise GBNFError(f"grammar must define a '{start}' rule")
+    return rules, symbols[start]
 
 
 # ---------------------------------------------------------------------------
@@ -305,8 +307,8 @@ class Grammar:
                 break
 
     @classmethod
-    def from_gbnf(cls, text: str) -> "Grammar":
-        rules, root = parse_gbnf(text)
+    def from_gbnf(cls, text: str, start: str = "root") -> "Grammar":
+        rules, root = parse_gbnf(text, start)
         return cls(rules, root)
 
     def copy(self) -> "Grammar":

@@ -1,29 +1,36 @@
 """Single-kernel per-token decoder ("megakernel").
 
 The per-token decode step is HBM-bandwidth bound (~315 MB of bf16 weights
-per token for large-v3-turbo), but as a chain of ~30 XLA ops it leaves
-gaps: each fusion re-synchronizes, the logits matmul cannot start
-prefetching while the MLP runs, and small elementwise stages serialize
-against weight reads. This kernel runs the ENTIRE decoder stack — all L
-layers (self-attention with KV-cache append, cross-attention, MLP) plus
-the final layernorm and vocab projection — as ONE pallas_call:
+per token for large-v3-turbo). This kernel runs the ENTIRE decoder stack -
+all L layers (self-attention with KV-cache append, cross-attention, MLP)
+plus the final layernorm and the vocab projection - as ONE pallas_call:
 
-* Weights stay in HBM (`pl.ANY`) and are streamed through double-buffered
-  VMEM tiles with manual async DMA, so the DMA engine never idles between
-  matvecs of different stages (the gap XLA cannot close across fusions).
-* The self-KV cache and cross-KV use the *natural* (T, S=H*dh) layout —
-  the new K/V rows are written with plain row stores (no head-major
-  relayout on the hot path) and attention contracts 64-wide head slices
-  directly, the same no-transpose trick as ops/attention._mha_packed.
-* The KV cache is aliased in/out: the kernel writes exactly one (1, S)
-  row per cache per layer — HBM write traffic per token is ~10 KB, not a
-  cache copy.
+* Weights stay in HBM and stream through a fully unrolled, lookahead-2
+  triple-buffered DMA pipeline that is CONTINUOUS across stage and layer
+  boundaries: tiles i+1/i+2 (possibly of the *next* matvec or layer) are
+  in flight while tile i multiplies, so the DMA engine never drains at a
+  matvec boundary.
+* Each weight is independently either dense bf16 or int8 planes
+  (per-32-row-block scales, the ops/quant_matmul layout). Int8 tiles are
+  dequantized inline in VMEM right before the MXU - this is the decisive
+  capability over the XLA path, where per-layer int8 lost its bandwidth
+  win to 24 separate kernel launches per step (docs/PERFORMANCE.md).
+* The self-KV cache and cross-KV use the *natural* (T, S=H*dh) layout -
+  new K/V rows are written with one aligned 8-row block DMA per layer and
+  attention contracts 64-wide head slices in place (the
+  ops/attention._mha_packed no-transpose trick).
+* The KV cache is aliased in/out - HBM write traffic per token is ~10 KB.
 
 Semantics mirror models/whisper/model.py::decode_impl at M=1 (greedy
 decode, logits at the last position only), which itself mirrors
 whisper_build_graph_decoder (reference src/whisper.cpp:2458-2836): Q/K
 pre-scaled by d**-0.25, cross K pre-scaled at build, f32 layernorm stats,
 tanh-approximate GELU, bf16 residual stream.
+
+Measured (single-process A/B, large-v3-turbo on v5e, docs/PERFORMANCE.md):
+dense mode 510 vs 606 us/token against the isolated XLA step, parity
+inside the fused segment loop (XLA overlaps the logit rules); the int8
+modes are where the kernel wins outright.
 """
 
 from __future__ import annotations
@@ -35,9 +42,10 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = float("-inf")
+QK = 32            # quant block size along the contraction dim
 
 
-def _pick_tn(n: int, cap: int = 768) -> int:
+def _pick_tn(n: int, cap: int = 1280) -> int:
     """Largest multiple of 128 that divides n (<= cap); weight tile width."""
     for t in range(cap // 128, 0, -1):
         tn = t * 128
@@ -47,44 +55,80 @@ def _pick_tn(n: int, cap: int = 768) -> int:
 
 
 @functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("qs", "sc"), meta_fields=())
+@dataclasses.dataclass
+class QPlanes:
+    """Int8 weight planes for one stacked weight: qs (..., K, N) int8,
+    sc (..., K//32, N) f32 per-block scales (ops/quant_matmul layout)."""
+    qs: jnp.ndarray
+    sc: jnp.ndarray
+
+
+@functools.partial(jax.tree_util.register_dataclass,
                    data_fields=("qkv_w", "qkv_b", "o_w", "o_b", "cq_w",
                                 "cq_b", "co_w", "co_b", "mlp0_w", "mlp0_b",
                                 "mlp1_w", "mlp1_b", "lnw", "lnb", "teT"),
                    meta_fields=())
 @dataclasses.dataclass
 class MegaParams:
-    """Decoder weights arranged for the megakernel (all bf16).
+    """Decoder weights arranged for the megakernel.
 
-    Stacked (L, ...) weight planes are the SAME arrays as the prepared
-    decoder blocks (no copy); lnw/lnb pack the 3 per-layer layernorms plus
-    the final one as rows [3*il+0: attn, +1: cross, +2: mlp, last: final].
-    teT is the transposed, 512-column-padded vocab projection."""
-    qkv_w: jnp.ndarray   # (L, S, 3S)
+    Weight fields (`*_w`, `teT`) are each EITHER a dense bf16 array or
+    QPlanes (int8 + scales). Stacked (L, ...) dense planes are the SAME
+    arrays as the prepared decoder blocks (no copy); lnw/lnb pack the 3
+    per-layer layernorms plus the final one as rows [3*il+0: attn,
+    +1: cross, +2: mlp, last: final]. teT is the transposed,
+    512-column-padded vocab projection."""
+    qkv_w: object        # (L, S, 3S)
     qkv_b: jnp.ndarray   # (L, 3S)
-    o_w: jnp.ndarray     # (L, S, S)
+    o_w: object          # (L, S, S)
     o_b: jnp.ndarray     # (L, S)
-    cq_w: jnp.ndarray    # (L, S, S)
+    cq_w: object         # (L, S, S)
     cq_b: jnp.ndarray    # (L, S)
-    co_w: jnp.ndarray    # (L, S, S)
+    co_w: object         # (L, S, S)
     co_b: jnp.ndarray    # (L, S)
-    mlp0_w: jnp.ndarray  # (L, S, 4S)
+    mlp0_w: object       # (L, S, 4S)
     mlp0_b: jnp.ndarray  # (L, 4S)
-    mlp1_w: jnp.ndarray  # (L, 4S, S)
+    mlp1_w: object       # (L, 4S, S)
     mlp1_b: jnp.ndarray  # (L, S)
     lnw: jnp.ndarray     # (3L+1, S)
     lnb: jnp.ndarray     # (3L+1, S)
-    teT: jnp.ndarray     # (S, Vp)
+    teT: object          # (S, Vp)
 
     @property
     def n_layer(self) -> int:
-        return self.qkv_w.shape[0]
+        w = self.qkv_w
+        return (w.qs if isinstance(w, QPlanes) else w).shape[0]
+
+    @property
+    def vp(self) -> int:
+        w = self.teT
+        return (w.qs if isinstance(w, QPlanes) else w).shape[-1]
 
 
-def prepare_mega(cfg, dec) -> MegaParams:
+def _to_planes(w) -> QPlanes:
+    """Dense stacked weight OR QuantLinear -> unpadded QPlanes."""
+    from .quant_matmul import QuantLinear, _quantize_planes
+    if isinstance(w, QuantLinear):
+        n = w.n_out
+        return QPlanes(qs=w.qs[..., :n], sc=w.scales[..., :n])
+    qs, sc = _quantize_planes(w)
+    return QPlanes(qs=qs, sc=sc)
+
+
+def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
     """Prepared decoder params (after model.prepare_decoder) -> MegaParams.
 
-    Reuses the stacked block arrays in place; only lnw/lnb/teT are built.
+    quant: "none"  - everything dense bf16 (reuses the block arrays).
+           "logits" - layer weights dense, vocab projection int8 (reuses
+             dec["te_logits"] planes when present, so numerics are
+             IDENTICAL to the decoder_int8 scope="logits" XLA path).
+           "all"   - every weight int8 (q8_0-level error, the W8 serving
+             mode; reuses checkpoint QuantLinear planes where present,
+             runtime-quantizes dense ones).
     """
+    from .quant_matmul import QuantLinear
+
     b = dec["blocks"]
     if "qkv_w" not in b:
         raise ValueError("run prepare_decoder first (fused qkv required)")
@@ -98,20 +142,40 @@ def prepare_mega(cfg, dec) -> MegaParams:
                      b["mlp_ln_b"][il]]
     lnw_rows.append(dec["ln_w"])
     lnb_rows.append(dec["ln_b"])
+
+    def weight(name):
+        w = b[name]
+        if quant == "all":
+            return _to_planes(w)
+        if isinstance(w, QuantLinear):   # quant checkpoint, dense-mode ask
+            raise ValueError(f"{name} is quantized; use quant='all'")
+        return w.astype(bf)
+
     te = dec["te"]
     V = te.shape[0]
     Vp = -(-V // 512) * 512
-    teT = jnp.pad(te.T.astype(bf), ((0, 0), (0, Vp - V)))
-    cast = lambda x: x.astype(bf)
+    if quant in ("logits", "all"):
+        tl = dec.get("te_logits")
+        if isinstance(tl, QuantLinear) and tl.qs.shape[-1] == Vp:
+            teT = QPlanes(qs=tl.qs, sc=tl.scales)  # same planes as XLA path
+        else:
+            teT = _to_planes(jnp.pad(te.T.astype(jnp.float32),
+                                     ((0, 0), (0, Vp - V))))
+    else:
+        teT = jnp.pad(te.T.astype(bf), ((0, 0), (0, Vp - V)))
+
+    def bias(name):
+        return b[name].astype(bf)
+
     return MegaParams(
-        qkv_w=cast(b["qkv_w"]), qkv_b=cast(b["qkv_b"]),
-        o_w=cast(b["o_w"]), o_b=cast(b["o_b"]),
-        cq_w=cast(b["cq_w"]), cq_b=cast(b["cq_b"]),
-        co_w=cast(b["co_w"]), co_b=cast(b["co_b"]),
-        mlp0_w=cast(b["mlp0_w"]), mlp0_b=cast(b["mlp0_b"]),
-        mlp1_w=cast(b["mlp1_w"]), mlp1_b=cast(b["mlp1_b"]),
-        lnw=jnp.stack([cast(r) for r in lnw_rows]),
-        lnb=jnp.stack([cast(r) for r in lnb_rows]),
+        qkv_w=weight("qkv_w"), qkv_b=bias("qkv_b"),
+        o_w=weight("o_w"), o_b=bias("o_b"),
+        cq_w=weight("cq_w"), cq_b=bias("cq_b"),
+        co_w=weight("co_w"), co_b=bias("co_b"),
+        mlp0_w=weight("mlp0_w"), mlp0_b=bias("mlp0_b"),
+        mlp1_w=weight("mlp1_w"), mlp1_b=bias("mlp1_b"),
+        lnw=jnp.stack([r.astype(bf) for r in lnw_rows]),
+        lnb=jnp.stack([r.astype(bf) for r in lnb_rows]),
         teT=teT)
 
 
@@ -123,17 +187,17 @@ def _ln_rows(x32, w, b, eps):
     return y * w.astype(jnp.float32)[None, :] + b.astype(jnp.float32)[None, :]
 
 
+# stage table: (field name, K multiplier, N multiplier, stream)
+_STAGES = (("qkv_w", 1, 3, "A"), ("o_w", 1, 1, "A"), ("cq_w", 1, 1, "A"),
+           ("co_w", 1, 1, "A"), ("mlp0_w", 1, 4, "A"), ("mlp1_w", 4, 1, "B"))
+
+
 def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
-                 ta_valid: int | None = None):
+                 qmap: dict, ta_valid: int | None = None):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
-    padded vocab. ta_valid: real cross length (pad rows masked).
-
-    All weight matvecs consume ONE continuous, fully unrolled tile stream
-    with lookahead-2 triple-buffered DMA: tile i+1 and i+2 are already in
-    flight when tile i is consumed, ACROSS stage and layer boundaries, so
-    the DMA engine never drains at a matvec boundary (the stall that
-    limited the loop-per-matvec v1 to 602 us/token)."""
+    padded vocab; qmap: field name -> bool (int8 planes?). ta_valid: real
+    cross length (pad rows masked)."""
     if ta_valid is None:
         ta_valid = Ta
     from jax.experimental import pallas as pl
@@ -148,16 +212,22 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     NB = 3                                   # tile buffer slots
     LOOKAHEAD = 2                            # tiles in flight ahead of use
                                              # (A/B: NB=5/LA=4 measured the
-                                             # same 506-511 us — the queue
-                                             # never drains at depth 2)
-    TN_QKV = _pick_tn(3 * S, cap=1280)
-    TN_SQ = _pick_tn(S, cap=1280)            # o/cq/co tiles
-    TN_M0 = _pick_tn(4 * S, cap=1280)
-    TN_M1 = _pick_tn(S, cap=256)             # mlp1: K=4S rows, narrow tiles
-    TN_TE = _pick_tn(Vp, cap=1024)
-    TN_MAX = max(TN_QKV, TN_SQ, TN_M0, TN_TE)
+                                             # same - depth 2 never drains)
+    TN = {"qkv_w": _pick_tn(3 * S), "o_w": _pick_tn(S), "cq_w": _pick_tn(S),
+          "co_w": _pick_tn(S), "mlp0_w": _pick_tn(4 * S),
+          "mlp1_w": _pick_tn(S, cap=256), "teT": _pick_tn(Vp, cap=1024)}
+    a_fields = ["qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "teT"]
+    TN_A_D = max((TN[f] for f in a_fields if not qmap[f]), default=0)
+    TN_A_Q = max((TN[f] for f in a_fields if qmap[f]), default=0)
     Tcp = -(-Tc // 16) * 16                  # bf16 sublane padding
     Tap = -(-Ta // 16) * 16
+    pools = {                                # pool -> (used, K, TN_max)
+        "AD": (TN_A_D > 0, S, TN_A_D),
+        "AQ": (TN_A_Q > 0, S, TN_A_Q),
+        "BD": (not qmap["mlp1_w"], 4 * S, TN["mlp1_w"]),
+        "BQ": (qmap["mlp1_w"], 4 * S, TN["mlp1_w"]),
+    }
+    dims = dict(M=M, NB=NB, Tcp=Tcp, Tap=Tap, pools=pools)
 
     def attend(q16, kbuf, vbuf, n_valid, scale):
         """Packed-slice attention: q16 (M, S) bf16, kbuf/vbuf (Tpad, S)
@@ -179,85 +249,107 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             outs.append(jnp.dot(p, va, preferred_element_type=jnp.float32))
         return jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
 
-    def kernel(head_ref,                       # SMEM (1,1) i32
-               x_ref,                          # VMEM (M, S) bf16
-               lnw_ref, lnb_ref,               # VMEM (3L+1, S) bf16
-               qkvb_ref, ob_ref, cqb_ref, cob_ref, m0b_ref, m1b_ref,
-               qkvw_ref, ow_ref, cqw_ref, cow_ref, m0w_ref, m1w_ref,
-               teT_ref,                        # HBM  (S, Vp) bf16
-               kvk_ref, kvv_ref,               # HBM  (L, Tc, S) bf16 aliased
-               xk_ref, xv_ref,                 # HBM  (L, Ta, S) bf16
-               logits_ref,                     # out VMEM (M, Vp) f32
-               okvk_ref, okvv_ref,             # out HBM aliased
-               wbuf, wbuf2,                    # (NB,S,TN_MAX) / (NB,4S,TN_M1)
-               abuf,                           # (M, 4S) f32 matvec outputs
-               kbuf, vbuf,                     # (Tcp, S) self-cache tiles
-               ckbuf, cvbuf,                   # (2, Tap, S) cross double-buf
-               wsem, wsem2, ksem, csem, wrsem):  # DMA semaphores
+    def kernel(*refs):
+        it = iter(refs)
+        head_ref = next(it)                    # SMEM (1,1) i32
+        x_ref = next(it)                       # VMEM (M, S) bf16
+        lnw_ref, lnb_ref = next(it), next(it)  # VMEM (3L+1, S) bf16
+        biases = {n: next(it) for n in ("qkv_b", "o_b", "cq_b", "co_b",
+                                        "mlp0_b", "mlp1_b")}
+        wref, sref = {}, {}
+        for name in ("qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w",
+                     "teT"):
+            wref[name] = next(it)              # HBM qs or dense plane
+            if qmap[name]:
+                sref[name] = next(it)          # HBM f32 scales
+        kvk_ref, kvv_ref = next(it), next(it)  # HBM (L, Tc, S) aliased
+        xk_ref, xv_ref = next(it), next(it)    # HBM (L, Ta, S)
+        logits_ref = next(it)                  # out VMEM (M, Vp) f32
+        okvk_ref, okvv_ref = next(it), next(it)  # out HBM aliased
         # okvk/okvv alias kvk/kvv (same HBM buffer on hardware); reads go
         # through the input refs, the new-row DMAs through the output refs
         # so interpret mode (separate copies) stays correct too.
+        pbuf, psbuf, psem, pssem = {}, {}, {}, {}
+        for pname, (used, _k, _tn) in pools.items():
+            if not used:
+                continue
+            pbuf[pname] = next(it)
+            if pname.endswith("Q"):
+                psbuf[pname] = next(it)
+        abuf = next(it)                        # (M, 4S) f32 matvec outputs
+        kbuf, vbuf = next(it), next(it)        # (Tcp, S) self-cache tiles
+        ckbuf, cvbuf = next(it), next(it)      # (2, Tap, S) cross double-buf
+        for pname, (used, _k, _tn) in pools.items():
+            if not used:
+                continue
+            psem[pname] = next(it)
+            if pname.endswith("Q"):
+                pssem[pname] = next(it)
+        ksem, csem, wrsem = next(it), next(it), next(it)
+
         head = head_ref[0, 0]
 
         # ---- static tile schedules (program order == consume order) ----
-        tiles_a, tiles_b = [], []
-        for il in range(L):
-            for (wref, n_out, tn) in ((qkvw_ref.at[il], 3 * S, TN_QKV),
-                                      (ow_ref.at[il], S, TN_SQ),
-                                      (cqw_ref.at[il], S, TN_SQ),
-                                      (cow_ref.at[il], S, TN_SQ),
-                                      (m0w_ref.at[il], 4 * S, TN_M0)):
-                for t in range(n_out // tn):
-                    tiles_a.append((wref, t * tn, tn))
-            for t in range(S // TN_M1):
-                tiles_b.append((m1w_ref.at[il], t * TN_M1))
-        for t in range(Vp // TN_TE):
-            tiles_a.append((teT_ref, t * TN_TE, TN_TE))
+        tiles = {"A": [], "B": []}
+        pool_count = {p: 0 for p in pools}
 
-        def dma_a(i):
-            wref, off, tn = tiles_a[i]
-            return pltpu.make_async_copy(
-                wref.at[:, pl.ds(off, tn)],
-                wbuf.at[i % NB, pl.ds(0, S), pl.ds(0, tn)],
-                wsem.at[i % NB])
-
-        def dma_b(i):
-            wref, off = tiles_b[i]
-            return pltpu.make_async_copy(
-                wref.at[:, pl.ds(off, TN_M1)],
-                wbuf2.at[i % NB], wsem2.at[i % NB])
-
-        st = {"a_started": 0, "a_next": 0, "b_started": 0, "b_next": 0}
-
-        def a_ensure(n):
-            while st["a_started"] < min(n, len(tiles_a)):
-                dma_a(st["a_started"]).start()
-                st["a_started"] += 1
-
-        def b_ensure(n):
-            while st["b_started"] < min(n, len(tiles_b)):
-                dma_b(st["b_started"]).start()
-                st["b_started"] += 1
-
-        def consume_a(x16, out_ref, n_out, tn):
-            """out_ref[:, :n_out] = x16 @ W for the next n_out//tn tiles."""
+        def add_stage(stream, field, il, nk, n_out):
+            w = wref[field] if field == "teT" else wref[field].at[il]
+            s = None
+            if qmap[field]:
+                s = sref[field] if field == "teT" else sref[field].at[il]
+            pool = (stream + "Q") if qmap[field] else (stream + "D")
+            tn = TN[field]
             for t in range(n_out // tn):
-                i = st["a_next"]
-                st["a_next"] += 1
-                a_ensure(i + 1 + LOOKAHEAD)
-                dma_a(i).wait()
-                w = wbuf[i % NB, pl.ds(0, S), pl.ds(0, tn)]
-                out_ref[:, pl.ds(t * tn, tn)] = jnp.dot(
-                    x16, w, preferred_element_type=jnp.float32)
+                slot = pool_count[pool] % NB
+                pool_count[pool] += 1
+                tiles[stream].append((field, w, s, t * tn, tn, nk, pool, slot))
 
-        def consume_b(x16, out_ref):
-            for t in range(S // TN_M1):
-                i = st["b_next"]
-                st["b_next"] += 1
-                b_ensure(i + 1 + LOOKAHEAD)
-                dma_b(i).wait()
-                out_ref[:, pl.ds(t * TN_M1, TN_M1)] = jnp.dot(
-                    x16, wbuf2[i % NB], preferred_element_type=jnp.float32)
+        for il in range(L):
+            for name, km, nm, stream in _STAGES:
+                add_stage(stream, name, il, km * S, nm * S)
+        add_stage("A", "teT", None, S, Vp)
+
+        def tile_dmas(stream, i):
+            field, w, s, off, tn, nk, pool, slot = tiles[stream][i]
+            out = [pltpu.make_async_copy(
+                w.at[:, pl.ds(off, tn)],
+                pbuf[pool].at[slot, pl.ds(0, nk), pl.ds(0, tn)],
+                psem[pool].at[slot])]
+            if s is not None:
+                out.append(pltpu.make_async_copy(
+                    s.at[:, pl.ds(off, tn)],
+                    psbuf[pool].at[slot, pl.ds(0, nk // QK), pl.ds(0, tn)],
+                    pssem[pool].at[slot]))
+            return out
+
+        st = {"A_started": 0, "A_next": 0, "B_started": 0, "B_next": 0}
+
+        def ensure(stream, n):
+            while st[stream + "_started"] < min(n, len(tiles[stream])):
+                for d in tile_dmas(stream, st[stream + "_started"]):
+                    d.start()
+                st[stream + "_started"] += 1
+
+        def consume(stream, x16, out_ref, n_out, tn):
+            """out_ref[:, :n_out] = x16 @ W over the next n_out//tn tiles."""
+            for t in range(n_out // tn):
+                i = st[stream + "_next"]
+                st[stream + "_next"] += 1
+                ensure(stream, i + 1 + LOOKAHEAD)
+                for d in tile_dmas(stream, i):
+                    d.wait()
+                field, _w, _s, _off, _tn, nk, pool, slot = tiles[stream][i]
+                if qmap[field]:
+                    q = pbuf[pool][slot, pl.ds(0, nk),
+                                   pl.ds(0, tn)].astype(jnp.float32)
+                    sc = psbuf[pool][slot, pl.ds(0, nk // QK), pl.ds(0, tn)]
+                    w16 = ((q.reshape(nk // QK, QK, tn) * sc[:, None, :])
+                           .reshape(nk, tn).astype(jnp.bfloat16))
+                else:
+                    w16 = pbuf[pool][slot, pl.ds(0, nk), pl.ds(0, tn)]
+                out_ref[:, pl.ds(t * tn, tn)] = jnp.dot(
+                    x16, w16, preferred_element_type=jnp.float32)
 
         def cross_dma(il, slot):
             return (pltpu.make_async_copy(xk_ref.at[il], ckbuf.at[slot],
@@ -267,7 +359,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
         for d in cross_dma(0, 0):
             d.start()
-        a_ensure(1 + LOOKAHEAD)
+        ensure("A", 1 + LOOKAHEAD)
 
         x32 = x_ref[:].astype(jnp.float32)     # (M, S) residual stream
 
@@ -285,9 +377,9 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             # ---- self-attention ----
             h16 = _ln_rows(x32, lnw_ref[3 * il], lnb_ref[3 * il],
                            eps).astype(jnp.bfloat16)
-            consume_a(h16, abuf, 3 * S, TN_QKV)
+            consume("A", h16, abuf, 3 * S, TN["qkv_w"])
             qkv = (abuf[:, pl.ds(0, 3 * S)].astype(jnp.bfloat16)
-                   + qkvb_ref[il][None, :])
+                   + biases["qkv_b"][il][None, :])
             q = qkv[:, :S] * jnp.bfloat16(kqscale)
             k = qkv[:, S:2 * S] * jnp.bfloat16(kqscale)
             v = qkv[:, 2 * S:]
@@ -297,7 +389,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             # Mosaic requires sublane-aligned stores and DMA slices: patch
             # row `head` via an aligned 8-row read-modify-write in VMEM,
             # then write that same (already-consistent) 8-row block back to
-            # the HBM cache — 20 KB/layer instead of a cache copy
+            # the HBM cache - 20 KB/layer instead of a cache copy
             blk0 = pl.multiple_of((head // 8) * 8, 8)
             rsel = jax.lax.broadcasted_iota(jnp.int32, (8, S), 0) == head - blk0
             kbuf[pl.ds(blk0, 8), :] = jnp.where(
@@ -313,12 +405,11 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             wk.start()
             wv.start()
 
-            a_ensure(st["a_next"] + 1 + LOOKAHEAD)
             a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0)
-            consume_a(a16, abuf, S, TN_SQ)
+            consume("A", a16, abuf, S, TN["o_w"])
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
-                      + ob_ref[il][None, :])).astype(jnp.float32)
+                      + biases["o_b"][il][None, :])).astype(jnp.float32)
 
             # ---- cross-attention ----
             if il + 1 < L:                     # prefetch next layer's cross
@@ -327,32 +418,31 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
             h16 = _ln_rows(x32, lnw_ref[3 * il + 1], lnb_ref[3 * il + 1],
                            eps).astype(jnp.bfloat16)
-            consume_a(h16, abuf, S, TN_SQ)
+            consume("A", h16, abuf, S, TN["cq_w"])
             cq = (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
-                  + cqb_ref[il][None, :])
+                  + biases["cq_b"][il][None, :])
 
             for d in cross_dma(il, slot):
                 d.wait()
-            a_ensure(st["a_next"] + 1 + LOOKAHEAD)
             ca16 = attend(cq, ckbuf[slot], cvbuf[slot], ta_valid, kqscale)
-            consume_a(ca16, abuf, S, TN_SQ)
+            consume("A", ca16, abuf, S, TN["co_w"])
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
-                      + cob_ref[il][None, :])).astype(jnp.float32)
+                      + biases["co_b"][il][None, :])).astype(jnp.float32)
 
             # ---- MLP ----
             h16 = _ln_rows(x32, lnw_ref[3 * il + 2], lnb_ref[3 * il + 2],
                            eps).astype(jnp.bfloat16)
-            b_ensure(st["b_next"] + 1 + LOOKAHEAD)   # mlp1 tiles in flight
-            consume_a(h16, abuf, 4 * S, TN_M0)
+            ensure("B", st["B_next"] + 1 + LOOKAHEAD)  # mlp1 tiles in flight
+            consume("A", h16, abuf, 4 * S, TN["mlp0_w"])
             g = jax.nn.gelu(
                 (abuf[:, pl.ds(0, 4 * S)].astype(jnp.bfloat16)
-                 + m0b_ref[il][None, :]).astype(jnp.float32),
+                 + biases["mlp0_b"][il][None, :]).astype(jnp.float32),
                 approximate=True).astype(jnp.bfloat16)
-            consume_b(g, abuf)
+            consume("B", g, abuf, S, TN["mlp1_w"])
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
-                      + m1b_ref[il][None, :])).astype(jnp.float32)
+                      + biases["mlp1_b"][il][None, :])).astype(jnp.float32)
 
             wk.wait()                          # kbuf/vbuf reused next layer
             wv.wait()
@@ -360,10 +450,9 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
         # ---- final LN + vocab projection ----
         xf = _ln_rows(x32, lnw_ref[3 * L], lnb_ref[3 * L],
                       eps).astype(jnp.bfloat16)
-        consume_a(xf, logits_ref, Vp, TN_TE)
+        consume("A", xf, logits_ref, Vp, TN["teT"])
 
-    return kernel, dict(M=M, NB=NB, TN_MAX=TN_MAX, TN_M1=TN_M1,
-                        Tcp=Tcp, Tap=Tap)
+    return kernel, dims
 
 
 @functools.partial(jax.jit,
@@ -389,8 +478,10 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     Tc = kv_k.shape[1]
     Ta = xk.shape[1]
     V = cfg.n_vocab
-    Vp = mp.teT.shape[1]
+    Vp = mp.vp
     eps = float(cfg.eps)
+    wfields = ["qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w", "teT"]
+    qmap = {n: isinstance(getattr(mp, n), QPlanes) for n in wfields}
 
     # Mosaic DMAs need 16-aligned slabs; the pad is loop-invariant, so XLA
     # hoists it out of any surrounding decode loop (one copy per window)
@@ -399,8 +490,9 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
         xk = jnp.pad(xk, ((0, 0), (0, Tap - Ta), (0, 0)))
         xv = jnp.pad(xv, ((0, 0), (0, Tap - Ta), (0, 0)))
 
-    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, ta_valid=Ta)
+    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta)
     M = dims["M"]
+    NB = dims["NB"]
     x = jnp.zeros((M, S), jnp.bfloat16).at[0:1].set(x0.astype(jnp.bfloat16))
     head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
 
@@ -408,51 +500,69 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     # weights/caches must stay in HBM: pl.ANY lets Mosaic place small
     # operands (the kv cache) in VMEM, where dynamic single-row writes
     # hit sublane-alignment limits; DMA row writes to HBM are unrestricted
-    anym = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     bf = jnp.bfloat16
+
+    operands = [head2d, x, mp.lnw, mp.lnb,
+                mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
+    for name in wfields:
+        w = getattr(mp, name)
+        if qmap[name]:
+            operands += [w.qs, w.sc]
+            in_specs += [hbm(), hbm()]
+        else:
+            operands.append(w)
+            in_specs.append(hbm())
+    kv_idx = len(operands)
+    operands += [kv_k, kv_v, xk, xv]
+    in_specs += [hbm()] * 4
+
+    scratch = []
+    for pname, (used, K, TNmax) in dims["pools"].items():
+        if not used:
+            continue
+        if pname.endswith("Q"):
+            scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
+            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
+        else:
+            scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
+    scratch += [
+        pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
+        pltpu.VMEM((dims["Tcp"], S), bf),                # kbuf
+        pltpu.VMEM((dims["Tcp"], S), bf),                # vbuf
+        pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf
+        pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
+    ]
+    for pname, (used, _k, _tn) in dims["pools"].items():
+        if not used:
+            continue
+        scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+        if pname.endswith("Q"):
+            scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),                   # ksem
+        pltpu.SemaphoreType.DMA((4,)),                   # csem
+        pltpu.SemaphoreType.DMA((2,)),                   # wrsem
+    ]
 
     logits, kv_k, kv_v = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # head
-            vmem(),                                   # x
-            vmem(), vmem(),                           # lnw, lnb
-            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),  # biases
-            anym(), anym(), anym(), anym(), anym(), anym(),  # layer weights
-            anym(),                                   # teT
-            anym(), anym(),                           # kv caches
-            anym(), anym(),                           # cross kv
-        ],
-        out_specs=(vmem(), anym(), anym()),
+        in_specs=in_specs,
+        out_specs=(vmem(), hbm(), hbm()),
         out_shape=(
             jax.ShapeDtypeStruct((M, Vp), jnp.float32),
             jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
             jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
         ),
-        input_output_aliases={17: 1, 18: 2},
-        scratch_shapes=[
-            pltpu.VMEM((dims["NB"], S, dims["TN_MAX"]), bf),   # wbuf
-            pltpu.VMEM((dims["NB"], 4 * S, dims["TN_M1"]), bf),  # wbuf2
-            pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
-            pltpu.VMEM((dims["Tcp"], S), bf),                # kbuf
-            pltpu.VMEM((dims["Tcp"], S), bf),                # vbuf
-            pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf
-            pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
-            pltpu.SemaphoreType.DMA((dims["NB"],)),          # wsem
-            pltpu.SemaphoreType.DMA((dims["NB"],)),          # wsem2
-            pltpu.SemaphoreType.DMA((2,)),                   # ksem
-            pltpu.SemaphoreType.DMA((4,)),                   # csem
-            pltpu.SemaphoreType.DMA((2,)),                   # wrsem
-        ],
+        input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # scratch exceeds the 16 MB default scoped-vmem cap (cross-KV
             # double buffers dominate at ~15 MB); v5e has 128 MB VMEM
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(head2d, x, mp.lnw, mp.lnb,
-      mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b,
-      mp.qkv_w, mp.o_w, mp.cq_w, mp.co_w, mp.mlp0_w, mp.mlp1_w,
-      mp.teT, kv_k, kv_v, xk, xv)
+    )(*operands)
 
     return logits[0:1, :V], kv_k, kv_v

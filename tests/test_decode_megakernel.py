@@ -139,3 +139,81 @@ def test_decode_segment_mega_matches_plain():
     assert bool(got.completed) == bool(plain.completed)
     assert bool(got.failed) == bool(plain.failed)
     assert int(got.seek_delta) == int(plain.seek_delta)
+
+
+def _dequant_blocks(dec):
+    """Replace QPlanes-equivalent int8 content: build a dec whose dense
+    weights equal the dequantized int8 planes, for an XLA reference."""
+    from open_whisper_kit_tpu.ops.decode_megakernel import _to_planes
+    out = dict(dec)
+    blocks = dict(dec["blocks"])
+    for name in ("qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w"):
+        w = blocks[name]
+        pl_ = _to_planes(w)
+        L, K, N = pl_.qs.shape
+        wd = (pl_.qs.astype(jnp.float32).reshape(L, K // 32, 32, N)
+              * pl_.sc[:, :, None, :]).reshape(L, K, N)
+        blocks[name] = wd.astype(jnp.bfloat16)
+    out["blocks"] = blocks
+    return out
+
+
+def test_megakernel_int8_all_matches_dequantized_reference():
+    """quant='all' must equal decode_impl run on the dequantized weights."""
+    params, dec, _, xk, xv, toks = _setup(seed=21, n_steps=3)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    mp = MK.prepare_mega(CFG, dec, quant="all")
+    dec_ref = _dequant_blocks(dec)
+
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.bfloat16)
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    for i, t in enumerate(toks):
+        ref, kv_k, kv_v, _ = M.decode_impl(
+            CFG, dec_ref, jnp.asarray([[t]], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk, xv)
+        x0 = (dec["te"][jnp.asarray([t])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        got, nk, nv = MK.mega_decode_step(CFG, mp, x0, nk, nv, jnp.int32(i),
+                                          xk_nat, xv_nat, interpret=True)
+        # layer stacks share the dequantized weights; the projection
+        # differs only by te quant error, bounded by q8_0 (~0.5% of |max|)
+        r = np.asarray(ref[0, 0])
+        g = np.asarray(got[0])
+        sc = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / sc, r / sc, atol=3e-2,
+                                   err_msg=f"step {i}")
+        assert int(np.argmax(g)) == int(np.argmax(r)), f"argmax step {i}"
+
+
+def test_megakernel_int8_logits_matches_decoder_int8_path():
+    """quant='logits' uses the SAME planes as decoder_int8 scope='logits':
+    logits must match the XLA qmatmul path closely."""
+    from open_whisper_kit_tpu.models.whisper.model import \
+        quantize_decoder_int8
+    params, dec, _, xk, xv, toks = _setup(seed=31, n_steps=3)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    dec_q = quantize_decoder_int8(dec, scope="logits")
+    mp = MK.prepare_mega(CFG, dec_q, quant="logits")
+    assert isinstance(mp.teT, MK.QPlanes)
+    assert not isinstance(mp.qkv_w, MK.QPlanes)
+
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.bfloat16)
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    for i, t in enumerate(toks):
+        ref, kv_k, kv_v, _ = M.decode_impl(
+            CFG, dec_q, jnp.asarray([[t]], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk, xv)
+        x0 = (dec["te"][jnp.asarray([t])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        got, nk, nv = MK.mega_decode_step(CFG, mp, x0, nk, nv, jnp.int32(i),
+                                          xk_nat, xv_nat, interpret=True)
+        r = np.asarray(ref[0, 0])
+        g = np.asarray(got[0])
+        sc = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / sc, r / sc, atol=2e-2,
+                                   err_msg=f"step {i}")
+        assert int(np.argmax(g)) == int(np.argmax(r)), f"argmax step {i}"
