@@ -204,10 +204,12 @@ def main():
     float(dec8_loop(dec_int8_full, xk, xv))
     dec8_s = (time.perf_counter() - t0) / K
 
-    # ---- single-kernel decoder (ops/decode_megakernel; the default greedy
-    # device-loop step on TPU): all layers + logits in one pallas_call ----
+    # ---- single-kernel decoder (ops/decode_megakernel), int8-all mode:
+    # all layers + logits in one pallas_call, weights as int8 planes
+    # dequantized inline (the FullParams.megakernel="int8" W8 serving
+    # path; -17% vs the XLA int8-logits step, in-situ interleaved A/B) ----
     from open_whisper_kit_tpu.ops import decode_megakernel as MK
-    mp = MK.prepare_mega(cfg, dec_prepared)
+    mp = MK.prepare_mega(cfg, dec_prepared, quant="all")
     L = cfg.n_text_layer
     S = cfg.n_text_state
     Tc = cfg.n_text_ctx
@@ -247,7 +249,7 @@ def main():
         "detail": {
             "enc_ms": round(enc_s * 1e3, 2),
             "dec_ms_per_token": round(dec_s * 1e3, 3),
-            "dec_mega_ms_per_token": round(mega_s * 1e3, 3),
+            "dec_mega_int8_ms_per_token": round(mega_s * 1e3, 3),
             "dec_int8_ms_per_token": round(dec8_s * 1e3, 3),
             "bch5_ms_per_token": round(bch5_s * 1e3, 3),
             "pp_ms_per_token": round(pp_s * 1e3, 4),

@@ -122,39 +122,59 @@ class WhisperContext:
         self._mega = None       # lazy MegaParams (single-kernel decoder)
         self._vad = None
 
+    _MEGA_WEIGHTS = ("qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w")
+
     def mega_params(self, p: FullParams):
         """MegaParams for the single-kernel per-token decoder
         (ops/decode_megakernel), or None when the configuration is not
-        eligible. Auto policy (p.megakernel=None): on for accelerators with
-        dense bf16 weights; p.megakernel=True additionally allows the CPU
-        interpret path (tests); False disables."""
-        # Auto policy: OFF for dense bf16 — the in-situ A/B measured the
-        # megakernel step at parity with the XLA step inside the fused
-        # segment loop (523 vs 528 us/token, large-v3-turbo v5e): XLA
-        # overlaps the logit rules with the next decode step, the opaque
-        # pallas call cannot. Opt in with megakernel=True. (The int8-plane
-        # variant is where the kernel wins; see ops/decode_megakernel.)
-        if p.megakernel is not True or not p.use_device_loops:
+        eligible. Mode policy (measured, docs/PERFORMANCE.md):
+
+        * megakernel=None (auto): ON with quant="all" when every decoder
+          matmul weight is already an int8 QuantLinear plane (quantized
+          ggml/gguf checkpoints, decoder_int8 scope="all") — numerically
+          the same dequant the XLA path does, 385 vs 466 us/token on v5e.
+          Otherwise OFF: for dense bf16 the kernel measured parity inside
+          the fused segment loop (XLA overlaps the logit rules with the
+          next step's weight prefetch; an opaque pallas call cannot).
+        * megakernel=True: also ON for dense weights (dense mode, or
+          quant="logits" when te_logits planes exist — identical numerics
+          to decoder_int8 scope="logits").
+        * megakernel="int8": force quant="all", runtime-quantizing dense
+          weights to int8 planes (q8_0-level error, ~0.4% relative — the
+          W8 serving mode; fastest: -26% vs dense bf16).
+        * megakernel=False: OFF.
+        """
+        if p.megakernel is False or not p.use_device_loops:
             return None
         cfg = self.cfg
         dec = self.params["decoder"]
-        from ..ops.quant_matmul import QuantLinear, QuantLinear4
+        from ..ops.quant_matmul import QuantLinear
+        blocks = dec["blocks"]
         structural = (
             self.dtype == jnp.bfloat16
             and not p.cross_kv_int8
-            and "qkv_w" in dec["blocks"]
+            and "qkv_w" in blocks
             and cfg.n_text_layer <= 8       # kernel is fully unrolled
-            and cfg.n_text_state % 128 == 0
-            and "te_logits" not in dec
-            and not any(isinstance(w, (QuantLinear, QuantLinear4))
-                        for w in dec["blocks"].values()))
+            and cfg.n_text_state % 128 == 0)
         on_accel = jax.devices()[0].platform != "cpu"
-        if not (structural and (on_accel or p.megakernel is True)):
+        if not structural or not (on_accel or p.megakernel in (True, "int8")):
             return None
-        if self._mega is None:
+        all_quant = all(isinstance(blocks[n], QuantLinear)
+                        for n in self._MEGA_WEIGHTS)
+        any_quant = any(isinstance(blocks[n], QuantLinear)
+                        for n in self._MEGA_WEIGHTS)
+        if p.megakernel == "int8" or all_quant:
+            mode = "all"
+        elif any_quant:
+            return None                     # mixed planes: unsupported
+        elif p.megakernel is True:
+            mode = "logits" if "te_logits" in dec else "none"
+        else:
+            return None                     # auto: dense stays on XLA
+        if self._mega is None or self._mega[0] != mode:
             from ..ops.decode_megakernel import prepare_mega
-            self._mega = prepare_mega(cfg, dec)
-        return self._mega
+            self._mega = (mode, prepare_mega(cfg, dec, quant=mode))
+        return self._mega[1]
 
     def get_vad(self, model_path: str | None):
         """Lazy-load the Silero VAD context (whisper.cpp:6656-6665)."""

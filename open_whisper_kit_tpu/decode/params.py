@@ -123,9 +123,13 @@ class FullParams:
     cross_kv_int8: bool = False
     # TPU-specific: single-kernel per-token decoder (ops/decode_megakernel):
     # the whole layer stack + vocab projection in one pallas_call with
-    # pipelined weight DMA. None = auto (on, when the greedy device loop
-    # runs on an accelerator with dense bf16 weights); False disables.
-    megakernel: bool | None = None
+    # pipelined weight DMA and inline int8 dequant. None = auto (on for
+    # quantized checkpoints whose decoder weights are int8 planes — same
+    # numerics as the XLA dequant path, 385 vs 466 us/token on v5e);
+    # True additionally enables it for dense bf16 weights (parity);
+    # "int8" runtime-quantizes every decoder weight to int8 planes
+    # (q8_0-level error, the fastest W8 serving mode); False disables.
+    megakernel: bool | str | None = None
 
     @classmethod
     def greedy_default(cls) -> "FullParams":

@@ -217,3 +217,44 @@ def test_megakernel_int8_logits_matches_decoder_int8_path():
         np.testing.assert_allclose(g / sc, r / sc, atol=2e-2,
                                    err_msg=f"step {i}")
         assert int(np.argmax(g)) == int(np.argmax(r)), f"argmax step {i}"
+
+
+def test_mega_params_mode_policy():
+    """WhisperContext.mega_params picks the measured-correct mode."""
+    from open_whisper_kit_tpu.decode import full as F
+    from open_whisper_kit_tpu.decode.params import FullParams
+    from open_whisper_kit_tpu.models.whisper.model import \
+        quantize_decoder_int8
+
+    ctx = F.WhisperContext.from_preset("tiny.en", dtype=jnp.bfloat16)
+
+    # auto + dense weights on CPU: off
+    assert ctx.mega_params(FullParams()) is None
+    # explicit False: off
+    assert ctx.mega_params(FullParams(megakernel=False)) is None
+    # True + dense: dense mode (CPU allowed for tests)
+    mp = ctx.mega_params(FullParams(megakernel=True))
+    assert mp is not None and not isinstance(mp.teT, MK.QPlanes)
+    # "int8": all planes
+    mp = ctx.mega_params(FullParams(megakernel="int8"))
+    assert isinstance(mp.qkv_w, MK.QPlanes)
+    assert isinstance(mp.teT, MK.QPlanes)
+
+    # int8-logits context + True: logits mode with the SAME planes
+    ctx2 = F.WhisperContext.from_preset("tiny.en", dtype=jnp.bfloat16)
+    ctx2.params["decoder"] = quantize_decoder_int8(ctx2.params["decoder"])
+    mp = ctx2.mega_params(FullParams(megakernel=True))
+    assert isinstance(mp.teT, MK.QPlanes)
+    assert not isinstance(mp.qkv_w, MK.QPlanes)
+    assert mp.teT.qs is ctx2.params["decoder"]["te_logits"].qs
+
+    # all-quant context (scope="all" planes): auto ON even with p=None
+    ctx3 = F.WhisperContext.from_preset("tiny.en", dtype=jnp.bfloat16)
+    ctx3.params["decoder"] = quantize_decoder_int8(
+        ctx3.params["decoder"], scope="all")
+    blocks = ctx3.params["decoder"]["blocks"]
+    from open_whisper_kit_tpu.ops.quant_matmul import QuantLinear
+    if all(isinstance(blocks[n], QuantLinear)
+           for n in F.WhisperContext._MEGA_WEIGHTS):
+        mp = ctx3.mega_params(FullParams(megakernel=True))
+        assert isinstance(mp.qkv_w, MK.QPlanes)
