@@ -655,6 +655,223 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
 
 
 
+def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
+                        base_mask, init_mask, seek, seek_end,
+                        no_timestamps, timings) -> float:
+    """One window through the fused on-device beam loop
+    (decode/device_beam.py); fills `decoders`, returns no_speech_prob."""
+    cfg, vocab = ctx.cfg, ctx.vocab
+    n_dec = len(decoders)
+    t0 = time.perf_counter()
+    kv_k, kv_v = M.init_kv_cache(cfg, n_dec, dtype=ctx.dtype)
+    xk_b = _repeat_kv(xk, n_dec)
+    xv_b = _repeat_kv(xv, n_dec)
+    toks, T_real = _pad_prompt(cfg, prompt)
+    from . import device_beam as DB
+    n_max = cfg.n_text_ctx // 2 - 4
+    scalars = jnp.asarray(np.array(
+        [T_real, vocab.token_nosp, seek, seek_end], np.int32))
+    res_dev = DB.decode_segment_beam(
+        cfg, rc, ctx.params["decoder"], toks,
+        kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
+        scalars, beam_size=n_dec, n_max=n_max,
+        max_tokens=p.max_tokens, single_segment=p.single_segment,
+        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+    r = DB.unpack_beam_result(DB.pack_beam_result(res_dev), n_dec, n_max)
+    n_tok = r["n_tokens"]
+    for j, d in enumerate(decoders):
+        _fill_decoder(d, r, n_tok, j)
+    timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+    timings.n_decode += n_tok + 1
+    timings.n_sample += n_tok
+    return r["no_speech_prob"]
+
+
+def _device_greedy_window(ctx, p, rc, decoders, prompt, xk, xv,
+                          base_mask, init_mask, seek, seek_end,
+                          no_timestamps, timings) -> float:
+    """One window through the fused on-device greedy loop
+    (decode/device_loop.py, optionally the megakernel step); fills
+    decoders[0], returns no_speech_prob."""
+    cfg, vocab = ctx.cfg, ctx.vocab
+    t0 = time.perf_counter()
+    mega = ctx.mega_params(p) if not isinstance(xk, M.QuantKV) else None
+    if mega is not None:   # natural-layout carry (decode_megakernel)
+        kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx,
+                          cfg.n_text_state), ctx.dtype)
+        kv_v = kv_k
+    else:
+        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
+    toks, T_real = _pad_prompt(cfg, prompt)
+    from . import device_loop as DL
+    n_max = cfg.n_text_ctx // 2 - 4
+    scalars = jnp.asarray(np.array(
+        [T_real, vocab.token_nosp, seek, seek_end], np.int32))
+    res_dev = DL.decode_segment(
+        cfg, rc, ctx.params["decoder"], toks,
+        kv_k, kv_v, xk, xv, base_mask, init_mask,
+        scalars, n_max=n_max,
+        max_tokens=p.max_tokens, single_segment=p.single_segment,
+        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega)
+    r = DL.unpack_segment_result(DL.pack_segment_result(res_dev), n_max)
+    n_tok = r["n_tokens"]
+    _fill_decoder(decoders[0], r, n_tok)
+    timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+    timings.n_decode += n_tok + 1
+    timings.n_sample += n_tok
+    return r["no_speech_prob"]
+
+
+def _host_stepped_window(ctx, p, rc, decoders, prompt, xk, xv,
+                         base_mask, init_mask, seek, seek_end,
+                         no_timestamps, t_cur, beam_mode, timings, rng_key):
+    """One window through the host-stepped reference-exact loop (grammar,
+    sampled/beam fallback, logits_filter callbacks). Fills `decoders`;
+    returns (no_speech_prob, rng_key, aborted)."""
+    cfg, vocab = ctx.cfg, ctx.vocab
+    dec_params = ctx.params["decoder"]
+    n_dec_cur = len(decoders)
+    # prompt decode, B=1
+    t0 = time.perf_counter()
+    kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
+    toks, T_real = _pad_prompt(cfg, prompt)
+    logits_all, kv_k, kv_v, _ = M.decode(
+        cfg, dec_params, toks, kv_k, kv_v,
+        jnp.int32(0), xk, xv, logits_pos=jnp.int32(T_real - 1))
+    last_logits = logits_all[:, 0]  # (1, V)
+    nsp = LR.compute_no_speech_prob(last_logits[0], jnp.int32(vocab.token_nosp))
+    no_speech_prob = float(nsp)
+    timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+    timings.n_decode += 1
+
+    if n_dec_cur > 1:
+        kv_k = jnp.repeat(kv_k, n_dec_cur, axis=1)
+        kv_v = jnp.repeat(kv_v, n_dec_cur, axis=1)
+        xk_b = _repeat_kv(xk, n_dec_cur)
+        xv_b = _repeat_kv(xv, n_dec_cur)
+        step_logits = jnp.repeat(last_logits, n_dec_cur, axis=0)
+    else:
+        xk_b, xv_b = xk, xv
+        step_logits = last_logits
+    kv_head = T_real
+
+    n_max = cfg.n_text_ctx // 2 - 4
+    for i in range(n_max):
+        # ---- rules + sampling (on device, batched over beams) ----
+        t0 = time.perf_counter()
+        st = _beam_state(decoders, vocab)
+        gmask = None
+        if p.grammar_rules is not None:
+            gmask = jnp.asarray(np.stack(
+                [d.grammar.penalty_mask(vocab, p.grammar_penalty)
+                 if d.grammar is not None and not (d.completed or d.failed)
+                 else np.zeros(cfg.n_vocab, np.float32)
+                 for d in decoders]))
+        f_logits, f_logprobs, f_probs = LR.apply_rules(
+            rc, step_logits, base_mask, init_mask, st,
+            jnp.float32(t_cur), gmask)
+
+        if beam_mode:
+            k = p.beam_search.beam_size
+            top_id, top_p, top_lp, pt, ptsum, tid = LR.sample_topk(
+                rc, k, f_logits, f_logprobs, f_probs)
+            _beam_expand_and_merge(
+                decoders, np.asarray(top_id), np.asarray(top_p),
+                np.asarray(top_lp), np.asarray(pt), np.asarray(ptsum),
+                np.asarray(tid), i, vocab.token_beg)
+            src = np.array([d._src for d in decoders], np.int32)
+            if not np.array_equal(src, np.arange(n_dec_cur)):
+                kv_k, kv_v = M.reorder_kv(kv_k, kv_v, jnp.asarray(src))
+            for d in decoders:
+                if (d.grammar is not None and d.tokens
+                        and not (d.completed or d.failed)):
+                    d.grammar.accept_token(
+                        vocab.id_to_token[d.tokens[-1].id])
+        else:
+            if t_cur < 1e-6:
+                out = LR.sample_greedy(rc, f_logits, f_logprobs, f_probs)
+            else:
+                rng_key, sub = jax.random.split(rng_key)
+                out = LR.sample_multinomial(rc, sub, f_logits,
+                                            f_logprobs, f_probs)
+            tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (np.asarray(x) for x in out)
+            for j, d in enumerate(decoders):
+                if d.completed or d.failed:
+                    continue
+                td = TokenData(int(tok_a[j]), int(tid_a[j]), float(p_a[j]),
+                               float(lp_a[j]), float(pt_a[j]), float(pts_a[j]))
+                if td.id >= vocab.token_beg:
+                    td.tid = td.id
+                    td.pt = td.p
+                d.tokens.append(td)
+                d.sum_logprobs_all += td.plog
+                if d.grammar is not None:
+                    d.grammar.accept_token(vocab.id_to_token[td.id])
+        timings.t_sample_ms += (time.perf_counter() - t0) * 1e3
+        timings.n_sample += 1
+
+        # ---- per-decoder state update (whisper.cpp:7355-7459) ----
+        for j, d in enumerate(decoders):
+            if d.completed or d.failed:
+                continue
+            token = d.tokens[-1]
+            if token.id > vocab.token_beg:
+                seek_delta_new = 2 * (token.id - vocab.token_beg)
+                if (d.has_ts and d.seek_delta > seek_delta_new
+                        and d.result_len < i):
+                    d.failed = True
+                    continue
+                d.seek_delta = seek_delta_new
+                d.result_len = i + 1
+                d.has_ts = True
+
+            if (token.id == vocab.token_eot
+                    or (p.max_tokens > 0 and i >= p.max_tokens)
+                    or (d.has_ts and seek + d.seek_delta + DELTA_MIN >= seek_end)):
+                if d.result_len == 0 and not no_timestamps:
+                    if seek + d.seek_delta + DELTA_MIN >= seek_end:
+                        d.result_len = i + 1
+                    else:
+                        d.failed = True
+                        continue
+                if p.single_segment or no_timestamps:
+                    d.result_len = i + 1
+                    d.seek_delta = 100 * CHUNK_SIZE
+                d.completed = True
+                continue
+
+            # stub-model short-circuit (tests; whisper.cpp:7426-7431)
+            if ctx.n_loaded == 0:
+                d.seek_delta = 100 * CHUNK_SIZE
+                d.completed = True
+                continue
+
+            # repetition-loop bail-out
+            if i == n_max - 1 and (d.result_len == 0
+                                   or d.seek_delta < 100 * CHUNK_SIZE // 2):
+                d.failed = True
+                continue
+
+        if all(d.completed or d.failed for d in decoders):
+            break
+
+        # ---- next decode step, all beams ----
+        t0 = time.perf_counter()
+        next_tok = np.array(
+            [[d.tokens[-1].id if d.tokens else vocab.token_eot]
+             for d in decoders], np.int32)
+        step_logits_all, kv_k, kv_v, _ = M.decode(
+            cfg, dec_params, jnp.asarray(next_tok), kv_k, kv_v,
+            jnp.int32(kv_head), xk_b, xv_b)
+        step_logits = step_logits_all[:, 0]
+        kv_head += 1
+        timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        timings.n_decode += 1
+
+
+    return no_speech_prob, rng_key, False
+
+
 def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
                         temperatures, seek: int, seek_end: int, xk, xv,
                         prompt_past0: list[int], prompt_past1: list[int],
@@ -668,7 +885,6 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
     aborted)."""
     cfg = ctx.cfg
     vocab = ctx.vocab
-    dec_params = ctx.params["decoder"]
     best_decoder_id = 0
     decoders: list[_DecoderState] = []
     no_speech_prob = 0.0
@@ -706,8 +922,6 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
                     prompt.extend(prompt_past1[-n_take1:])
         prompt.extend(prompt_init)
 
-        n_max = cfg.n_text_ctx // 2 - 4
-
         # fused on-device path for the common t=0 single-decoder case
         use_device_loop = (p.use_device_loops
                            and n_dec_cur == 1 and t_cur < 1e-6
@@ -719,210 +933,19 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
                            and p.grammar_rules is None
                            and p.logits_filter_callback is None)
         if use_device_beam:
-            t0 = time.perf_counter()
-            kv_k, kv_v = M.init_kv_cache(cfg, n_dec_cur, dtype=ctx.dtype)
-            xk_b = _repeat_kv(xk, n_dec_cur)
-            xv_b = _repeat_kv(xv, n_dec_cur)
-            toks, T_real = _pad_prompt(cfg, prompt)
-            from . import device_beam as DB
-            scalars = jnp.asarray(np.array(
-                [T_real, vocab.token_nosp, seek, seek_end], np.int32))
-            res_dev = DB.decode_segment_beam(
-                cfg, rc, dec_params, toks,
-                kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
-                scalars, beam_size=n_dec_cur,
-                n_max=cfg.n_text_ctx // 2 - 4,
-                max_tokens=p.max_tokens, single_segment=p.single_segment,
-                no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
-            r = DB.unpack_beam_result(
-                DB.pack_beam_result(res_dev), n_dec_cur,
-                cfg.n_text_ctx // 2 - 4)
-            n_tok = r["n_tokens"]
-            for j, d in enumerate(decoders):
-                _fill_decoder(d, r, n_tok, j)
-            no_speech_prob = r["no_speech_prob"]
-            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-            timings.n_decode += n_tok + 1
-            timings.n_sample += n_tok
-            best_decoder_id, success = _rank_decoders(
-                decoders, p, no_speech_prob,
-                it == len(temperatures) - 1)
-            if success:
-                break
-            continue
-        if use_device_loop:
-            t0 = time.perf_counter()
-            mega = ctx.mega_params(p) if not isinstance(xk, M.QuantKV) else None
-            if mega is not None:   # natural-layout carry (decode_megakernel)
-                kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx,
-                                  cfg.n_text_state), ctx.dtype)
-                kv_v = kv_k
-            else:
-                kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
-            toks, T_real = _pad_prompt(cfg, prompt)
-            from . import device_loop as DL
-            scalars = jnp.asarray(np.array(
-                [T_real, vocab.token_nosp, seek, seek_end], np.int32))
-            res_dev = DL.decode_segment(
-                cfg, rc, dec_params, toks,
-                kv_k, kv_v, xk, xv, base_mask, init_mask,
-                scalars, n_max=n_max,
-                max_tokens=p.max_tokens, single_segment=p.single_segment,
-                no_timestamps=no_timestamps, stub=ctx.n_loaded == 0,
-                mega=mega)
-            r = DL.unpack_segment_result(
-                DL.pack_segment_result(res_dev), n_max)
-            n_tok = r["n_tokens"]
-            _fill_decoder(decoders[0], r, n_tok)
-            no_speech_prob = r["no_speech_prob"]
-            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-            timings.n_decode += n_tok + 1
-            timings.n_sample += n_tok
-            best_decoder_id, success = _rank_decoders(
-                decoders, p, no_speech_prob,
-                it == len(temperatures) - 1)
-            if success:
-                break
-            continue
-
-        # prompt decode, B=1
-        t0 = time.perf_counter()
-        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
-        toks, T_real = _pad_prompt(cfg, prompt)
-        logits_all, kv_k, kv_v, _ = M.decode(
-            cfg, dec_params, toks, kv_k, kv_v,
-            jnp.int32(0), xk, xv, logits_pos=jnp.int32(T_real - 1))
-        last_logits = logits_all[:, 0]  # (1, V)
-        nsp = LR.compute_no_speech_prob(last_logits[0], jnp.int32(vocab.token_nosp))
-        no_speech_prob = float(nsp)
-        timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-        timings.n_decode += 1
-
-        if n_dec_cur > 1:
-            kv_k = jnp.repeat(kv_k, n_dec_cur, axis=1)
-            kv_v = jnp.repeat(kv_v, n_dec_cur, axis=1)
-            xk_b = _repeat_kv(xk, n_dec_cur)
-            xv_b = _repeat_kv(xv, n_dec_cur)
-            step_logits = jnp.repeat(last_logits, n_dec_cur, axis=0)
+            no_speech_prob = _device_beam_window(
+                ctx, p, rc, decoders, prompt, xk, xv, base_mask, init_mask,
+                seek, seek_end, no_timestamps, timings)
+        elif use_device_loop:
+            no_speech_prob = _device_greedy_window(
+                ctx, p, rc, decoders, prompt, xk, xv, base_mask, init_mask,
+                seek, seek_end, no_timestamps, timings)
         else:
-            xk_b, xv_b = xk, xv
-            step_logits = last_logits
-        kv_head = T_real
-
-        n_max = cfg.n_text_ctx // 2 - 4
-        for i in range(n_max):
-            # ---- rules + sampling (on device, batched over beams) ----
-            t0 = time.perf_counter()
-            st = _beam_state(decoders, vocab)
-            gmask = None
-            if p.grammar_rules is not None:
-                gmask = jnp.asarray(np.stack(
-                    [d.grammar.penalty_mask(vocab, p.grammar_penalty)
-                     if d.grammar is not None and not (d.completed or d.failed)
-                     else np.zeros(cfg.n_vocab, np.float32)
-                     for d in decoders]))
-            f_logits, f_logprobs, f_probs = LR.apply_rules(
-                rc, step_logits, base_mask, init_mask, st,
-                jnp.float32(t_cur), gmask)
-
-            if beam_mode:
-                k = p.beam_search.beam_size
-                top_id, top_p, top_lp, pt, ptsum, tid = LR.sample_topk(
-                    rc, k, f_logits, f_logprobs, f_probs)
-                _beam_expand_and_merge(
-                    decoders, np.asarray(top_id), np.asarray(top_p),
-                    np.asarray(top_lp), np.asarray(pt), np.asarray(ptsum),
-                    np.asarray(tid), i, vocab.token_beg)
-                src = np.array([d._src for d in decoders], np.int32)
-                if not np.array_equal(src, np.arange(n_dec_cur)):
-                    kv_k, kv_v = M.reorder_kv(kv_k, kv_v, jnp.asarray(src))
-                for d in decoders:
-                    if (d.grammar is not None and d.tokens
-                            and not (d.completed or d.failed)):
-                        d.grammar.accept_token(
-                            vocab.id_to_token[d.tokens[-1].id])
-            else:
-                if t_cur < 1e-6:
-                    out = LR.sample_greedy(rc, f_logits, f_logprobs, f_probs)
-                else:
-                    rng_key, sub = jax.random.split(rng_key)
-                    out = LR.sample_multinomial(rc, sub, f_logits,
-                                                f_logprobs, f_probs)
-                tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (np.asarray(x) for x in out)
-                for j, d in enumerate(decoders):
-                    if d.completed or d.failed:
-                        continue
-                    td = TokenData(int(tok_a[j]), int(tid_a[j]), float(p_a[j]),
-                                   float(lp_a[j]), float(pt_a[j]), float(pts_a[j]))
-                    if td.id >= vocab.token_beg:
-                        td.tid = td.id
-                        td.pt = td.p
-                    d.tokens.append(td)
-                    d.sum_logprobs_all += td.plog
-                    if d.grammar is not None:
-                        d.grammar.accept_token(vocab.id_to_token[td.id])
-            timings.t_sample_ms += (time.perf_counter() - t0) * 1e3
-            timings.n_sample += 1
-
-            # ---- per-decoder state update (whisper.cpp:7355-7459) ----
-            for j, d in enumerate(decoders):
-                if d.completed or d.failed:
-                    continue
-                token = d.tokens[-1]
-                if token.id > vocab.token_beg:
-                    seek_delta_new = 2 * (token.id - vocab.token_beg)
-                    if (d.has_ts and d.seek_delta > seek_delta_new
-                            and d.result_len < i):
-                        d.failed = True
-                        continue
-                    d.seek_delta = seek_delta_new
-                    d.result_len = i + 1
-                    d.has_ts = True
-
-                if (token.id == vocab.token_eot
-                        or (p.max_tokens > 0 and i >= p.max_tokens)
-                        or (d.has_ts and seek + d.seek_delta + DELTA_MIN >= seek_end)):
-                    if d.result_len == 0 and not no_timestamps:
-                        if seek + d.seek_delta + DELTA_MIN >= seek_end:
-                            d.result_len = i + 1
-                        else:
-                            d.failed = True
-                            continue
-                    if p.single_segment or no_timestamps:
-                        d.result_len = i + 1
-                        d.seek_delta = 100 * CHUNK_SIZE
-                    d.completed = True
-                    continue
-
-                # stub-model short-circuit (tests; whisper.cpp:7426-7431)
-                if ctx.n_loaded == 0:
-                    d.seek_delta = 100 * CHUNK_SIZE
-                    d.completed = True
-                    continue
-
-                # repetition-loop bail-out
-                if i == n_max - 1 and (d.result_len == 0
-                                       or d.seek_delta < 100 * CHUNK_SIZE // 2):
-                    d.failed = True
-                    continue
-
-            if all(d.completed or d.failed for d in decoders):
-                break
-
-            # ---- next decode step, all beams ----
-            t0 = time.perf_counter()
-            next_tok = np.array(
-                [[d.tokens[-1].id if d.tokens else vocab.token_eot]
-                 for d in decoders], np.int32)
-            step_logits_all, kv_k, kv_v, _ = M.decode(
-                cfg, dec_params, jnp.asarray(next_tok), kv_k, kv_v,
-                jnp.int32(kv_head), xk_b, xv_b)
-            step_logits = step_logits_all[:, 0]
-            kv_head += 1
-            timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-            timings.n_decode += 1
-
-            if p.abort_callback and p.abort_callback():
+            no_speech_prob, rng_key, aborted = _host_stepped_window(
+                ctx, p, rc, decoders, prompt, xk, xv, base_mask, init_mask,
+                seek, seek_end, no_timestamps, t_cur, beam_mode, timings,
+                rng_key)
+            if aborted:
                 return (best_decoder_id, decoders, no_speech_prob, prompt,
                         rng_key, True)
 
