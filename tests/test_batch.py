@@ -70,6 +70,27 @@ def test_quantized_cross_kv_attention_close():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.02)
 
 
+def test_cross_attention_q8_kernel_parity():
+    """ops.attention.cross_attention_q8 (fused decode-step kernel) matches
+    the XLA einsum path bit-for-bit (identical int8 math, f32 accums)."""
+    from open_whisper_kit_tpu.models.whisper import model as M
+    from open_whisper_kit_tpu.ops.attention import cross_attention_q8
+    rng = np.random.default_rng(7)
+    B, H, Ta, dh = 3, 4, 100, 64          # Ta not a multiple of 32: pad path
+    S = H * dh
+    xk = jnp.asarray(rng.standard_normal((1, B, H, Ta, dh)) * 0.3, jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((1, B, H, Ta, dh)) * 0.3, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, S)), jnp.bfloat16)
+    qk, qv = M.quantize_cross_kv(xk), M.quantize_cross_kv(xv)
+    ref, _ = M._attention_hm_q(q, qk.qs[0], qk.scale[0], qv.qs[0],
+                               qv.scale[0], H, 0.5)
+    got = cross_attention_q8(q, qk.qs[0], qk.scale[0], qv.qs[0],
+                             qv.scale[0], H, 0.5, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+
 def test_batched_with_int8_cross_kv(rand_ctx):
     rng = np.random.default_rng(21)
     audio = (rng.standard_normal(16000 * 3).astype(np.float32) * 0.1)
