@@ -238,6 +238,15 @@ def main():
     float(mega_loop(*args))
     mega_s = (time.perf_counter() - t0) / K
 
+    # int4 mode (FullParams.megakernel="int4" W4 serving path; -14% vs
+    # int8-all, interleaved in-situ A/B: 297 vs 344 us/token on v5e)
+    mp4 = MK.prepare_mega(cfg, dec_prepared, quant="int4")
+    args4 = (mp4, dec_prepared["te"], dec_prepared["pe"], xk_nat, xv_nat)
+    float(mega_loop(*args4))
+    t0 = time.perf_counter()
+    float(mega_loop(*args4))
+    mega4_s = (time.perf_counter() - t0) / K
+
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
     baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
 
@@ -250,6 +259,7 @@ def main():
             "enc_ms": round(enc_s * 1e3, 2),
             "dec_ms_per_token": round(dec_s * 1e3, 3),
             "dec_mega_int8_ms_per_token": round(mega_s * 1e3, 3),
+            "dec_mega_int4_ms_per_token": round(mega4_s * 1e3, 3),
             "dec_int8_ms_per_token": round(dec8_s * 1e3, 3),
             "bch5_ms_per_token": round(bch5_s * 1e3, 3),
             "pp_ms_per_token": round(pp_s * 1e3, 4),

@@ -142,6 +142,10 @@ class WhisperContext:
         * megakernel="int8": force quant="all", runtime-quantizing dense
           weights to int8 planes (q8_0-level error, ~0.4% relative — the
           W8 serving mode; fastest: -26% vs dense bf16).
+        * megakernel="int4": force quant="int4", runtime-quantizing every
+          weight to split-half int4 planes (q4_0-level error, ~2% relative
+          — the W4 serving mode; the decode step is DMA-floor-bound, so
+          halving the int8 byte stream buys time directly).
         * megakernel=False: OFF.
         """
         if p.megakernel is False or not p.use_device_loops:
@@ -157,13 +161,20 @@ class WhisperContext:
             and cfg.n_text_layer <= 8       # kernel is fully unrolled
             and cfg.n_text_state % 128 == 0)
         on_accel = jax.devices()[0].platform != "cpu"
-        if not structural or not (on_accel or p.megakernel in (True, "int8")):
+        if not structural or not (on_accel
+                                  or p.megakernel in (True, "int8", "int4")):
             return None
         all_quant = all(isinstance(blocks[n], QuantLinear)
                         for n in self._MEGA_WEIGHTS)
         any_quant = any(isinstance(blocks[n], QuantLinear)
                         for n in self._MEGA_WEIGHTS)
-        if p.megakernel == "int8" or all_quant:
+        if p.megakernel == "int4":
+            # split-half nibble planes slice activations at S/2 and 2S:
+            # Mosaic lane slices need 128 alignment (excludes tiny, S=384)
+            if cfg.n_text_state % 256 != 0:
+                return None
+            mode = "int4"
+        elif p.megakernel == "int8" or all_quant:
             mode = "all"
         elif any_quant:
             return None                     # mixed planes: unsupported

@@ -128,7 +128,9 @@ class FullParams:
     # numerics as the XLA dequant path, 385 vs 466 us/token on v5e);
     # True additionally enables it for dense bf16 weights (parity);
     # "int8" runtime-quantizes every decoder weight to int8 planes
-    # (q8_0-level error, the fastest W8 serving mode); False disables.
+    # (q8_0-level error, the W8 serving mode); "int4" to split-half int4
+    # planes (q4_0-level error, the fastest W4 serving mode); False
+    # disables.
     megakernel: bool | str | None = None
 
     @classmethod

@@ -65,6 +65,22 @@ class QPlanes:
 
 
 @functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("qs", "sc"), meta_fields=())
+@dataclasses.dataclass
+class Q4Planes:
+    """Int4 weight planes, SPLIT-HALF packed: qs (..., K//2, N) uint8 where
+    the low nibble holds rows [0, K/2) and the high nibble rows [K/2, K)
+    (each nibble is value+8, q4_0-style symmetric). sc (..., K//32, N) f32
+    per-32-row-block scales over the ORIGINAL row order.
+
+    Split-half (not the even/odd interleave of quant_matmul.QuantLinear4)
+    because in-kernel the activation then splits into two CONTIGUOUS lane
+    halves x[:, :K/2] / x[:, K/2:] - Mosaic can't lane-stride x[:, 0::2]."""
+    qs: jnp.ndarray
+    sc: jnp.ndarray
+
+
+@functools.partial(jax.tree_util.register_dataclass,
                    data_fields=("qkv_w", "qkv_b", "o_w", "o_b", "cq_w",
                                 "cq_b", "co_w", "co_b", "mlp0_w", "mlp0_b",
                                 "mlp1_w", "mlp1_b", "lnw", "lnb", "teT"),
@@ -97,13 +113,11 @@ class MegaParams:
 
     @property
     def n_layer(self) -> int:
-        w = self.qkv_w
-        return (w.qs if isinstance(w, QPlanes) else w).shape[0]
+        return getattr(self.qkv_w, "qs", self.qkv_w).shape[0]
 
     @property
     def vp(self) -> int:
-        w = self.teT
-        return (w.qs if isinstance(w, QPlanes) else w).shape[-1]
+        return getattr(self.teT, "qs", self.teT).shape[-1]
 
 
 def _to_planes(w) -> QPlanes:
@@ -116,6 +130,32 @@ def _to_planes(w) -> QPlanes:
     return QPlanes(qs=qs, sc=sc)
 
 
+@jax.jit
+def _quantize_planes4(w: jnp.ndarray):
+    """Dense (..., K, N) float -> split-half int4 planes (see Q4Planes)."""
+    *lead, K, N = w.shape
+    x32 = w.astype(jnp.float32).reshape(*lead, K // QK, QK, N)
+    amax = jnp.max(jnp.abs(x32), axis=-2)                    # (..., K/32, N)
+    scale = amax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    q = jnp.clip(jnp.round(x32 * inv[..., None, :]), -8, 7) + 8
+    q = q.reshape(*lead, K, N).astype(jnp.uint8)
+    lo = q[..., :K // 2, :]
+    hi = q[..., K // 2:, :]
+    return (lo | (hi << 4)), scale
+
+
+def _to_planes4(w) -> Q4Planes:
+    """Dense stacked weight OR QuantLinear/QuantLinear4 -> Q4Planes
+    (quantized checkpoints are dequantized first; for q4_0 sources the
+    int4 grid round-trips to within one re-rounding)."""
+    from .quant_matmul import QuantLinear, QuantLinear4, dequantize_dense
+    if isinstance(w, (QuantLinear, QuantLinear4)):
+        w = dequantize_dense(w, dtype=jnp.float32)
+    qs, sc = _quantize_planes4(w)
+    return Q4Planes(qs=qs, sc=sc)
+
+
 def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
     """Prepared decoder params (after model.prepare_decoder) -> MegaParams.
 
@@ -126,6 +166,10 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
            "all"   - every weight int8 (q8_0-level error, the W8 serving
              mode; reuses checkpoint QuantLinear planes where present,
              runtime-quantizes dense ones).
+           "int4" - every weight split-half int4 (q4_0-level error, the W4
+             serving mode; ~80 MB of weight stream per token instead of
+             159 int8 / 317 bf16 - the decode step is DMA-floor bound, so
+             bytes are time).
     """
     from .quant_matmul import QuantLinear
 
@@ -147,6 +191,8 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
         w = b[name]
         if quant == "all":
             return _to_planes(w)
+        if quant == "int4":
+            return _to_planes4(w)
         if isinstance(w, QuantLinear):   # quant checkpoint, dense-mode ask
             raise ValueError(f"{name} is quantized; use quant='all'")
         return w.astype(bf)
@@ -154,7 +200,10 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
     te = dec["te"]
     V = te.shape[0]
     Vp = -(-V // 512) * 512
-    if quant in ("logits", "all"):
+    if quant == "int4":
+        teT = _to_planes4(jnp.pad(te.T.astype(jnp.float32),
+                                  ((0, 0), (0, Vp - V))))
+    elif quant in ("logits", "all"):
         tl = dec.get("te_logits")
         if isinstance(tl, QuantLinear) and tl.qs.shape[-1] == Vp:
             teT = QPlanes(qs=tl.qs, sc=tl.scales)  # same planes as XLA path
@@ -193,11 +242,12 @@ _STAGES = (("qkv_w", 1, 3, "A"), ("o_w", 1, 1, "A"), ("cq_w", 1, 1, "A"),
 
 
 def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
-                 qmap: dict, ta_valid: int | None = None):
+                 qmap: dict, ta_valid: int | None = None,
+                 tile_boost: bool = True):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
-    padded vocab; qmap: field name -> bool (int8 planes?). ta_valid: real
-    cross length (pad rows masked)."""
+    padded vocab; qmap: field name -> None | "int8" | "int4" (plane kind).
+    ta_valid: real cross length (pad rows masked)."""
     if ta_valid is None:
         ta_valid = Ta
     from jax.experimental import pallas as pl
@@ -213,19 +263,33 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     LOOKAHEAD = 2                            # tiles in flight ahead of use
                                              # (A/B: NB=5/LA=4 measured the
                                              # same - depth 2 never drains)
-    TN = {"qkv_w": _pick_tn(3 * S), "o_w": _pick_tn(S), "cq_w": _pick_tn(S),
-          "co_w": _pick_tn(S), "mlp0_w": _pick_tn(4 * S),
-          "mlp1_w": _pick_tn(S, cap=256), "teT": _pick_tn(Vp, cap=1024)}
+    # int8 tiles carry half the bytes of bf16 ones, so per-tile fixed cost
+    # (semaphore waits, M=8 matvec issue) doubles as a fraction; double the
+    # tile caps for quantized fields to keep the tile count down
+    def cap2(base):
+        return lambda q: base * 2 if q else base
+    CAPS = {"qkv_w": cap2(1280), "o_w": cap2(1280), "cq_w": cap2(1280),
+            "co_w": cap2(1280), "mlp0_w": cap2(1280),
+            "mlp1_w": lambda q: 640 if q else 256, "teT": cap2(1024)}
+    NOUT = {"qkv_w": 3 * S, "o_w": S, "cq_w": S, "co_w": S,
+            "mlp0_w": 4 * S, "mlp1_w": S, "teT": Vp}
+    TN = {f: _pick_tn(NOUT[f], cap=CAPS[f](qmap[f] and tile_boost))
+          for f in NOUT}
     a_fields = ["qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "teT"]
     TN_A_D = max((TN[f] for f in a_fields if not qmap[f]), default=0)
-    TN_A_Q = max((TN[f] for f in a_fields if qmap[f]), default=0)
+    TN_A_Q = max((TN[f] for f in a_fields if qmap[f] == "int8"), default=0)
+    TN_A_Q4 = max((TN[f] for f in a_fields if qmap[f] == "int4"), default=0)
     Tcp = -(-Tc // 16) * 16                  # bf16 sublane padding
     Tap = -(-Ta // 16) * 16
-    pools = {                                # pool -> (used, K, TN_max)
+    # pool -> (used, K, TN_max); suffix D dense bf16 (K, TN) tiles,
+    # Q int8 (K, TN) + (K/32, TN) scales, Q4 packed int4 (K/2, TN) + scales
+    pools = {
         "AD": (TN_A_D > 0, S, TN_A_D),
         "AQ": (TN_A_Q > 0, S, TN_A_Q),
+        "AQ4": (TN_A_Q4 > 0, S, TN_A_Q4),
         "BD": (not qmap["mlp1_w"], 4 * S, TN["mlp1_w"]),
-        "BQ": (qmap["mlp1_w"], 4 * S, TN["mlp1_w"]),
+        "BQ": (qmap["mlp1_w"] == "int8", 4 * S, TN["mlp1_w"]),
+        "BQ4": (qmap["mlp1_w"] == "int4", 4 * S, TN["mlp1_w"]),
     }
     dims = dict(M=M, NB=NB, Tcp=Tcp, Tap=Tap, pools=pools)
 
@@ -274,7 +338,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             if not used:
                 continue
             pbuf[pname] = next(it)
-            if pname.endswith("Q"):
+            if not pname.endswith("D"):
                 psbuf[pname] = next(it)
         abuf = next(it)                        # (M, 4S) f32 matvec outputs
         kbuf, vbuf = next(it), next(it)        # (Tcp, S) self-cache tiles
@@ -283,7 +347,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             if not used:
                 continue
             psem[pname] = next(it)
-            if pname.endswith("Q"):
+            if not pname.endswith("D"):
                 pssem[pname] = next(it)
         ksem, csem, wrsem = next(it), next(it), next(it)
 
@@ -298,7 +362,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             s = None
             if qmap[field]:
                 s = sref[field] if field == "teT" else sref[field].at[il]
-            pool = (stream + "Q") if qmap[field] else (stream + "D")
+            pool = stream + {"int8": "Q", "int4": "Q4", None: "D"}[qmap[field]]
             tn = TN[field]
             for t in range(n_out // tn):
                 slot = pool_count[pool] % NB
@@ -312,9 +376,10 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
         def tile_dmas(stream, i):
             field, w, s, off, tn, nk, pool, slot = tiles[stream][i]
+            kr = nk // 2 if qmap[field] == "int4" else nk  # packed rows
             out = [pltpu.make_async_copy(
                 w.at[:, pl.ds(off, tn)],
-                pbuf[pool].at[slot, pl.ds(0, nk), pl.ds(0, tn)],
+                pbuf[pool].at[slot, pl.ds(0, kr), pl.ds(0, tn)],
                 psem[pool].at[slot])]
             if s is not None:
                 out.append(pltpu.make_async_copy(
@@ -340,6 +405,28 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 for d in tile_dmas(stream, i):
                     d.wait()
                 field, _w, _s, _off, _tn, nk, pool, slot = tiles[stream][i]
+                if qmap[field] == "int4":
+                    # split-half nibbles: lo = rows [0, nk/2), hi = rows
+                    # [nk/2, nk); both dequantized at f32, consumed by TWO
+                    # dots against the matching contiguous activation halves
+                    k2 = nk // 2
+                    nb2 = k2 // QK
+                    w32 = pbuf[pool][slot, pl.ds(0, k2),
+                                     pl.ds(0, tn)].astype(jnp.int32)
+                    sc = psbuf[pool][slot, pl.ds(0, nk // QK), pl.ds(0, tn)]
+                    lo = ((w32 & 0x0F) - 8).astype(jnp.float32)
+                    hi = ((w32 >> 4) - 8).astype(jnp.float32)
+                    sc2 = sc.reshape(2, nb2, 1, tn)  # sublane split, no
+                    wlo = ((lo.reshape(nb2, QK, tn)  # sliced-gather lowering
+                            * sc2[0]).reshape(k2, tn).astype(jnp.bfloat16))
+                    whi = ((hi.reshape(nb2, QK, tn)
+                            * sc2[1]).reshape(k2, tn).astype(jnp.bfloat16))
+                    out_ref[:, pl.ds(t * tn, tn)] = (
+                        jnp.dot(x16[:, :k2], wlo,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(x16[:, k2:], whi,
+                                  preferred_element_type=jnp.float32))
+                    continue
                 if qmap[field]:
                     q = pbuf[pool][slot, pl.ds(0, nk),
                                    pl.ds(0, tn)].astype(jnp.float32)
@@ -456,13 +543,13 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "interpret"),
+                   static_argnames=("cfg", "interpret", "tile_boost"),
                    donate_argnames=("kv_k", "kv_v"))
 def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
                      kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                      kv_head: jnp.ndarray,
                      xk: jnp.ndarray, xv: jnp.ndarray,
-                     interpret: bool = False):
+                     interpret: bool = False, tile_boost: bool = True):
     """One greedy decode step for ONE token (B=1).
 
     x0: (1, S) bf16 token embedding + positional embedding row.
@@ -481,7 +568,11 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     Vp = mp.vp
     eps = float(cfg.eps)
     wfields = ["qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w", "teT"]
-    qmap = {n: isinstance(getattr(mp, n), QPlanes) for n in wfields}
+    def _kind(w):
+        if isinstance(w, Q4Planes):
+            return "int4"
+        return "int8" if isinstance(w, QPlanes) else None
+    qmap = {n: _kind(getattr(mp, n)) for n in wfields}
 
     # Mosaic DMAs need 16-aligned slabs; the pad is loop-invariant, so XLA
     # hoists it out of any surrounding decode loop (one copy per window)
@@ -490,7 +581,8 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
         xk = jnp.pad(xk, ((0, 0), (0, Tap - Ta), (0, 0)))
         xv = jnp.pad(xv, ((0, 0), (0, Tap - Ta), (0, 0)))
 
-    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta)
+    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
+                                tile_boost=tile_boost)
     M = dims["M"]
     NB = dims["NB"]
     x = jnp.zeros((M, S), jnp.bfloat16).at[0:1].set(x0.astype(jnp.bfloat16))
@@ -522,7 +614,10 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     for pname, (used, K, TNmax) in dims["pools"].items():
         if not used:
             continue
-        if pname.endswith("Q"):
+        if pname.endswith("Q4"):
+            scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
+            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
+        elif pname.endswith("Q"):
             scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
             scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
         else:
@@ -538,7 +633,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
         if not used:
             continue
         scratch.append(pltpu.SemaphoreType.DMA((NB,)))
-        if pname.endswith("Q"):
+        if not pname.endswith("D"):
             scratch.append(pltpu.SemaphoreType.DMA((NB,)))
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),                   # ksem

@@ -187,6 +187,65 @@ def test_megakernel_int8_all_matches_dequantized_reference():
         assert int(np.argmax(g)) == int(np.argmax(r)), f"argmax step {i}"
 
 
+def _dequant_blocks4(dec):
+    """Dense dec whose weights equal the dequantized int4 planes."""
+    from open_whisper_kit_tpu.ops.decode_megakernel import _to_planes4
+    out = dict(dec)
+    blocks = dict(dec["blocks"])
+    for name in ("qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w"):
+        p4 = _to_planes4(blocks[name])
+        L, K2, N = p4.qs.shape
+        K = 2 * K2
+        lo = (p4.qs & 0x0F).astype(jnp.float32) - 8.0
+        hi = (p4.qs >> 4).astype(jnp.float32) - 8.0
+        q = jnp.concatenate([lo, hi], axis=1)              # (L, K, N)
+        wd = (q.reshape(L, K // 32, 32, N)
+              * p4.sc[:, :, None, :]).reshape(L, K, N)
+        blocks[name] = wd.astype(jnp.bfloat16)
+    out["blocks"] = blocks
+    return out
+
+
+def test_megakernel_int4_matches_dequantized_reference():
+    """quant='int4' (split-half nibble planes) must equal decode_impl run
+    on the int4-dequantized weights; the vocab projection differs only by
+    its own q4_0-level quant error."""
+    params, dec, _, xk, xv, toks = _setup(seed=31, n_steps=3)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    mp = MK.prepare_mega(CFG, dec, quant="int4")
+    assert isinstance(mp.qkv_w, MK.Q4Planes)
+    dec_ref = _dequant_blocks4(dec)
+    # the megakernel's vocab projection is the int4 planes of te.T; give
+    # the reference the SAME dequantized projection (and embed from it on
+    # both sides) so the comparison isolates kernel math, not te quant
+    K2, Vp = mp.teT.qs.shape
+    lo = (mp.teT.qs & 0x0F).astype(jnp.float32) - 8.0
+    hi = (mp.teT.qs >> 4).astype(jnp.float32) - 8.0
+    q4 = jnp.concatenate([lo, hi], axis=0)                 # (S, Vp)
+    te4 = ((q4.reshape(-1, 32, Vp) * mp.teT.sc[:, None, :])
+           .reshape(2 * K2, Vp)[:, :CFG.n_vocab].T).astype(jnp.bfloat16)
+    dec_ref["te"] = te4
+
+    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.bfloat16)
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    for i, t in enumerate(toks):
+        ref, kv_k, kv_v, _ = M.decode_impl(
+            CFG, dec_ref, jnp.asarray([[t]], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk, xv)
+        x0 = (te4[jnp.asarray([t])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        got, nk, nv = MK.mega_decode_step(CFG, mp, x0, nk, nv, jnp.int32(i),
+                                          xk_nat, xv_nat, interpret=True)
+        r = np.asarray(ref[0, 0])
+        g = np.asarray(got[0])
+        sc = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / sc, r / sc, atol=3e-2,
+                                   err_msg=f"step {i}")
+        assert int(np.argmax(g)) == int(np.argmax(r)), f"argmax step {i}"
+
+
 def test_megakernel_int8_logits_matches_decoder_int8_path():
     """quant='logits' uses the SAME planes as decoder_int8 scope='logits':
     logits must match the XLA qmatmul path closely."""
