@@ -197,6 +197,18 @@ def main():
         e2e_best = min(e2e_best, time.perf_counter() - t0)
     e2e_rtf = 30.0 / e2e_best
 
+    # same pipeline in the W4 serving mode (megakernel="int4")
+    fp4 = FullParams(print_progress=False, megakernel="int4")
+    fp4.greedy.best_of = 1
+    fp4.temperature_inc = 0
+    F.whisper_full(ctx, fp4, audio)         # warm
+    e2e4_best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        F.whisper_full(ctx, fp4, audio)
+        e2e4_best = min(e2e4_best, time.perf_counter() - t0)
+    e2e4_rtf = 30.0 / e2e4_best
+
     # ---- decoder with runtime int8 logits (decoder_int8 path) ----
     dec8_loop = make_dec_loop(1, K)
     float(dec8_loop(dec_int8_full, xk, xv))
@@ -269,6 +281,7 @@ def main():
             "batched16_audio_sec_per_sec": round(batched_sps, 1),
             "batched16_int8_audio_sec_per_sec": round(batched_q8_sps, 1),
             "e2e_whisper_full_rtf": round(e2e_rtf, 1),
+            "e2e_whisper_full_int4_rtf": round(e2e4_rtf, 1),
             "device": str(jax.devices()[0]),
         },
     }
