@@ -6,12 +6,20 @@ set by first-token probability, lsp.cpp:205-289), `registerCommandset`
 (lsp.cpp:291-330) and `seek` (unsupported, parity error -32601), framed as
 `Content-Length: N\\r\\n\\r\\n<json>` messages (lsp.cpp:391-412).
 
-One divergence by design: the reference records from an SDL microphone and
-gates on VAD (wait_for_vad); a TPU serving process has no mic, so requests
-carry their audio instead — `audio_path` (wav) or `audio_b64`
-(base64 float32 PCM @16 kHz) in params. Everything downstream (prompting,
-single_segment greedy decode, commandset scoring on the prompt logits) is
-faithful.
+Divergences by design:
+
+1. The reference records from an SDL microphone and gates on VAD
+   (wait_for_vad); a TPU serving process has no mic, so requests carry
+   their audio instead — `audio_path` (wav) or `audio_b64` (base64
+   float32 PCM @16 kHz) in params.
+2. registerCommandset joins the guided-prompt words with ", " and strips
+   the trailing ", " before appending ". Selected word:". The reference
+   (lsp.cpp:320-322) concatenates the words with NO separator and then
+   chops the last two characters of the final word via substr — an
+   apparent bug (the separator `k_prompt += s + ", "` was evidently
+   intended, matching the chop of exactly 2 chars). We implement the
+   intent; guided-mode prompt tokens therefore differ from the
+   reference's for multi-word commandsets.
 """
 
 from __future__ import annotations
@@ -167,6 +175,11 @@ class LspServer:
             return {"jsonrpc": "2.0", "result": res, "id": rid}
         except _JsonRpcError as ex:
             return {"jsonrpc": "2.0", "error": ex.error, "id": rid}
+        except Exception as ex:  # one bad request must not kill the server
+            return {"jsonrpc": "2.0",
+                    "error": {"code": WHISPER_FAILED,
+                              "message": f"{type(ex).__name__}: {ex}"},
+                    "id": rid}
 
 
 class _JsonRpcError(Exception):

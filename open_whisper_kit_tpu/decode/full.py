@@ -879,6 +879,10 @@ def _host_stepped_window(ctx, p, rc, decoders, prompt, xk, xv,
         timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
         timings.n_decode += 1
 
+        # per-step abort check (whisper.cpp: ggml_abort_callback polled per
+        # graph compute; here once per token step)
+        if p.abort_callback is not None and p.abort_callback():
+            return no_speech_prob, rng_key, True
 
     return no_speech_prob, rng_key, False
 
@@ -934,15 +938,20 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
         prompt.extend(prompt_init)
 
         # fused on-device path for the common t=0 single-decoder case
+        # abort_callback needs per-token polling, which only the
+        # host-stepped loop can do (the fused loops run a whole window in
+        # one dispatch) — route to host when it is set.
         use_device_loop = (p.use_device_loops
                            and n_dec_cur == 1 and t_cur < 1e-6
                            and p.grammar_rules is None
-                           and p.logits_filter_callback is None)
+                           and p.logits_filter_callback is None
+                           and p.abort_callback is None)
         use_device_beam = (p.use_device_loops
                            and beam_mode and n_dec_cur > 1
                            and t_cur < 1e-6
                            and p.grammar_rules is None
-                           and p.logits_filter_callback is None)
+                           and p.logits_filter_callback is None
+                           and p.abort_callback is None)
         if use_device_beam:
             no_speech_prob = _device_beam_window(
                 ctx, p, rc, decoders, prompt, xk, xv, base_mask, init_mask,

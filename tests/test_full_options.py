@@ -110,11 +110,38 @@ def test_callbacks_fire(ctx):
 
 
 def test_abort_callback_stops(ctx):
+    # abort fires on the first poll -> the token loop must terminate after
+    # at most the prompt decode + one token step per window attempt
+    calls = {"n": 0}
+
+    def abort():
+        calls["n"] += 1
+        return True
+
     p = _p()
-    p.abort_callback = lambda: True
-    p.use_device_loops = False   # abort is checked in the host loop
+    p.abort_callback = abort
     res = F.whisper_full(ctx, p, _audio(seed=10))
-    # aborts early without raising
+    assert calls["n"] >= 1, "abort_callback was never polled"
+    assert res.timings.n_decode <= 2, (
+        f"abort did not stop the loop early (n_decode={res.timings.n_decode})")
+
+
+def test_abort_callback_routes_to_host_loop(ctx):
+    # with device loops left at the default, setting abort_callback must
+    # still produce a per-token-pollable path (the fused loops cannot poll)
+    polls = {"n": 0}
+
+    def abort():
+        polls["n"] += 1
+        return False   # never cancel; just prove the poll happens
+
+    p = _p()
+    assert p.use_device_loops
+    p.abort_callback = abort
+    res = F.whisper_full(ctx, p, _audio(seed=10))
+    # polled at least once per token step of each window (the fused
+    # device loops never poll, so >=1 proves host routing)
+    assert polls["n"] >= 1
     assert isinstance(res.segments, list)
 
 

@@ -81,3 +81,16 @@ def test_framing_with_content_type_header():
            % len(body)) + body
     msg = L._read_message(io.BytesIO(raw))
     assert msg["method"] == "seek"
+
+
+def test_unexpected_exception_becomes_error_response(srv):
+    # out-of-range commandset_index raises IndexError internally; handle()
+    # must map it to a JSON-RPC error, not let it kill the server loop
+    r = srv.handle(_rpc("guided", {"commandset_index": 99,
+                                   "audio_b64": _audio_b64()}, rid=7))
+    assert "error" in r and r["id"] == 7
+    assert r["error"]["code"] == L.WHISPER_FAILED
+    # unreadable audio_path likewise
+    r2 = srv.handle(_rpc("unguided", {"audio_path": "/no/such/file.wav"},
+                         rid=8))
+    assert "error" in r2 and r2["error"]["code"] == L.WHISPER_FAILED
