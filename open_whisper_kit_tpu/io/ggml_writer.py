@@ -167,6 +167,66 @@ def write_checkpoint(path: str | Path, hparams: WhisperHParams,
             f.write(blob)
 
 
+def random_reference_tensors(hparams: WhisperHParams, seed: int = 0,
+                             scale: float = 0.05) -> dict[str, np.ndarray]:
+    """Complete random-weight tensor set in the reference's names/shapes
+    (src/whisper-arch.h:42-141, torch dim order; conv biases (n,1) as the
+    converter writes them). Used to author full checkpoints that BOTH this
+    framework and the reference C++ runtime can load — the basis of the
+    cross-implementation golden tests."""
+    rng = np.random.default_rng(seed)
+    s, v = hparams.n_audio_state, hparams.n_vocab
+    ts = hparams.n_text_state
+
+    def w(*shape, sc=scale):
+        return (rng.standard_normal(shape) * sc).astype(np.float32)
+
+    def ones(n):
+        return np.ones(n, np.float32) + w(n, sc=0.02)
+
+    t: dict[str, np.ndarray] = {
+        "encoder.positional_embedding": w(hparams.n_audio_ctx, s),
+        "encoder.conv1.weight": w(s, hparams.n_mels, 3),
+        "encoder.conv1.bias": w(s, 1),
+        "encoder.conv2.weight": w(s, s, 3),
+        "encoder.conv2.bias": w(s, 1),
+        "encoder.ln_post.weight": ones(s), "encoder.ln_post.bias": w(s),
+        "decoder.positional_embedding": w(hparams.n_text_ctx, ts),
+        "decoder.token_embedding.weight": w(v, ts),
+        "decoder.ln.weight": ones(ts), "decoder.ln.bias": w(ts),
+    }
+    for i in range(hparams.n_audio_layer):
+        p = f"encoder.blocks.{i}"
+        t.update({
+            f"{p}.attn_ln.weight": ones(s), f"{p}.attn_ln.bias": w(s),
+            f"{p}.attn.query.weight": w(s, s), f"{p}.attn.query.bias": w(s),
+            f"{p}.attn.key.weight": w(s, s),
+            f"{p}.attn.value.weight": w(s, s), f"{p}.attn.value.bias": w(s),
+            f"{p}.attn.out.weight": w(s, s), f"{p}.attn.out.bias": w(s),
+            f"{p}.mlp_ln.weight": ones(s), f"{p}.mlp_ln.bias": w(s),
+            f"{p}.mlp.0.weight": w(4 * s, s), f"{p}.mlp.0.bias": w(4 * s),
+            f"{p}.mlp.2.weight": w(s, 4 * s), f"{p}.mlp.2.bias": w(s),
+        })
+    for i in range(hparams.n_text_layer):
+        p = f"decoder.blocks.{i}"
+        t.update({
+            f"{p}.attn_ln.weight": ones(ts), f"{p}.attn_ln.bias": w(ts),
+            f"{p}.attn.query.weight": w(ts, ts), f"{p}.attn.query.bias": w(ts),
+            f"{p}.attn.key.weight": w(ts, ts),
+            f"{p}.attn.value.weight": w(ts, ts), f"{p}.attn.value.bias": w(ts),
+            f"{p}.attn.out.weight": w(ts, ts), f"{p}.attn.out.bias": w(ts),
+            f"{p}.cross_attn_ln.weight": ones(ts), f"{p}.cross_attn_ln.bias": w(ts),
+            f"{p}.cross_attn.query.weight": w(ts, ts), f"{p}.cross_attn.query.bias": w(ts),
+            f"{p}.cross_attn.key.weight": w(ts, ts),
+            f"{p}.cross_attn.value.weight": w(ts, ts), f"{p}.cross_attn.value.bias": w(ts),
+            f"{p}.cross_attn.out.weight": w(ts, ts), f"{p}.cross_attn.out.bias": w(ts),
+            f"{p}.mlp_ln.weight": ones(ts), f"{p}.mlp_ln.bias": w(ts),
+            f"{p}.mlp.0.weight": w(4 * ts, ts), f"{p}.mlp.0.bias": w(4 * ts),
+            f"{p}.mlp.2.weight": w(ts, 4 * ts), f"{p}.mlp.2.bias": w(ts),
+        })
+    return t
+
+
 def requantize(src_path: str | Path, dst_path: str | Path, type_name: str):
     """ggml-bin -> ggml-bin with re-quantized weights (the `quantize` tool)."""
     from .ggml_whisper import load_checkpoint
