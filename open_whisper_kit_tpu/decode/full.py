@@ -197,7 +197,13 @@ class WhisperContext:
         return self._vad
 
     @classmethod
-    def from_file(cls, path: str, dtype=jnp.bfloat16,
+    def from_buffer(cls, buf: bytes, dtype=jnp.bfloat16,
+                    decoder_int8: bool = False) -> "WhisperContext":
+        """whisper_init_from_buffer (include/whisper.h:133)."""
+        return cls.from_file(buf, dtype=dtype, decoder_int8=decoder_int8)
+
+    @classmethod
+    def from_file(cls, path: str | bytes, dtype=jnp.bfloat16,
                   decoder_int8: bool = False) -> "WhisperContext":
         ck = ggml_whisper.load_checkpoint(path)
         cfg = M.WhisperConfig.from_hparams(ck.hparams)

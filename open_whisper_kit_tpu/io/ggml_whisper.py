@@ -127,41 +127,53 @@ def _read_struct(f, fmt: str):
     return struct.unpack(fmt, buf)
 
 
-def load_checkpoint(path: str | Path, load_tensors: bool = True) -> WhisperCheckpoint:
+def load_checkpoint(path: str | Path | bytes,
+                    load_tensors: bool = True) -> WhisperCheckpoint:
+    """Parse a whisper ggml-bin from a file path or an in-memory buffer
+    (whisper_init_from_buffer, include/whisper.h:133)."""
+    if isinstance(path, (bytes, bytearray, memoryview)):
+        import io as _io
+        return _load_checkpoint_stream(_io.BytesIO(path), "<buffer>",
+                                       load_tensors)
     path = Path(path)
     with open(path, "rb") as f:
-        (magic,) = _read_struct(f, "<i")
-        if magic != GGML_MAGIC:
-            raise ValueError(f"{path}: bad magic {magic:#x} (expected ggml)")
-        vals = _read_struct(f, "<11i")
-        ftype_raw = vals[10]
-        hp = WhisperHParams(*vals[:10], ftype=ftype_raw % QNT_VERSION_FACTOR,
-                            qntvr=ftype_raw // QNT_VERSION_FACTOR)
+        return _load_checkpoint_stream(f, str(path), load_tensors)
 
-        n_mel, n_fft = _read_struct(f, "<2i")
-        filt = np.frombuffer(f.read(4 * n_mel * n_fft), dtype="<f4").reshape(n_mel, n_fft).copy()
 
-        (n_tok,) = _read_struct(f, "<i")
-        tokens: list[bytes] = []
-        for _ in range(n_tok):
-            (tl,) = _read_struct(f, "<i")
-            tokens.append(f.read(tl) if tl > 0 else b"")
+def _load_checkpoint_stream(f, path: str,
+                            load_tensors: bool = True) -> WhisperCheckpoint:
+    (magic,) = _read_struct(f, "<i")
+    if magic != GGML_MAGIC:
+        raise ValueError(f"{path}: bad magic {magic:#x} (expected ggml)")
+    vals = _read_struct(f, "<11i")
+    ftype_raw = vals[10]
+    hp = WhisperHParams(*vals[:10], ftype=ftype_raw % QNT_VERSION_FACTOR,
+                        qntvr=ftype_raw // QNT_VERSION_FACTOR)
 
-        tensors: dict[str, RawTensor] = {}
-        if load_tensors:
-            while True:
-                head = f.read(12)
-                if len(head) < 12:
-                    break
-                n_dims, name_len, ttype = struct.unpack("<3i", head)
-                dims = _read_struct(f, f"<{n_dims}i")
-                name = f.read(name_len).decode("utf-8")
-                shape = tuple(reversed(dims))  # ggml dims[0] is contiguous
-                n_elems = int(np.prod(shape))
-                nbytes = quant.nbytes_for(ttype, n_elems)
-                data = f.read(nbytes)
-                if len(data) != nbytes:
-                    raise EOFError(f"{path}: truncated tensor {name}")
-                tensors[name] = RawTensor(name, shape, ttype, data)
+    n_mel, n_fft = _read_struct(f, "<2i")
+    filt = np.frombuffer(f.read(4 * n_mel * n_fft), dtype="<f4").reshape(n_mel, n_fft).copy()
 
-    return WhisperCheckpoint(hp, filt, tokens, tensors, str(path))
+    (n_tok,) = _read_struct(f, "<i")
+    tokens: list[bytes] = []
+    for _ in range(n_tok):
+        (tl,) = _read_struct(f, "<i")
+        tokens.append(f.read(tl) if tl > 0 else b"")
+
+    tensors: dict[str, RawTensor] = {}
+    if load_tensors:
+        while True:
+            head = f.read(12)
+            if len(head) < 12:
+                break
+            n_dims, name_len, ttype = struct.unpack("<3i", head)
+            dims = _read_struct(f, f"<{n_dims}i")
+            name = f.read(name_len).decode("utf-8")
+            shape = tuple(reversed(dims))  # ggml dims[0] is contiguous
+            n_elems = int(np.prod(shape))
+            nbytes = quant.nbytes_for(ttype, n_elems)
+            data = f.read(nbytes)
+            if len(data) != nbytes:
+                raise EOFError(f"{path}: truncated tensor {name}")
+            tensors[name] = RawTensor(name, shape, ttype, data)
+
+    return WhisperCheckpoint(hp, filt, tokens, tensors, path)
