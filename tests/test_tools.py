@@ -122,3 +122,37 @@ def test_validate_gguf(tmp_path, capsys):
     assert rc == 0 and "OK" in out and "tensors      : 2" in out
     rc = VG.main([str(tmp_path / "does-not-exist.gguf")])
     assert rc == 1
+
+
+# -- faithful EnglishTextNormalizer (reference tests/librispeech/eval.py) -----
+
+def test_english_normalizer_goldens():
+    """Observed outputs of the faithful OpenAI normalization pipeline —
+    titles, contractions, spoken numbers, currency, annotations, spelling.
+    (The round-1 approximation got every one of these wrong.)"""
+    from tools.english_normalizer import build_normalizer
+    n = build_normalizer()
+    cases = {
+        "Mr. Brown's dog won't eat one hundred and twenty-three biscuits!":
+            "mister brown is dog will not eat 123 biscuits",
+        "It costs twenty dollars and fifty cents.": "it costs $20.50",
+        "[APPLAUSE] He said (quietly): let's go":
+            "he said let us go",
+        "I have 1,000 reasons; nineteen eighty-four was a year.":
+            "i have 1000 reasons 1984 was a year",
+        "three point one four one five nine": "3.14159",
+        "Dr. Smith lives on 5th Ave.": "doctor smith lives on 5th ave",
+        "a hundred percent": "a 100%",
+        "My favourite colour is grey": "my favorite color is gray",
+    }
+    for src, want in cases.items():
+        assert n(src) == want, f"{src!r}: {n(src)!r} != {want!r}"
+
+
+def test_wer_matches_jiwer_semantics():
+    from tools.eval_wer import wer
+    # substitution + deletion + insertion over 4 ref words
+    w, n = wer("a b c d", "a x c d e")
+    assert n == 4 and abs(w - 0.5) < 1e-9
+    w, n = wer("a b", "a b")
+    assert w == 0.0 and n == 2

@@ -15,34 +15,12 @@ Corpus layouts supported:
 from __future__ import annotations
 
 import argparse
-import re
 import sys
-import unicodedata
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-
-def normalize_text(s: str) -> str:
-    """English text normalization approximating the OpenAI normalizer used
-    by the reference harness (tests/librispeech/eval.py:30-46): lowercase,
-    strip bracketed annotations, expand a few contractions, drop
-    punctuation, collapse whitespace."""
-    s = s.lower()
-    s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)       # <...> / [...] annotations
-    s = re.sub(r"\(([^)]+?)\)", "", s)
-    contractions = {
-        "won't": "will not", "can't": "can not", "n't": " not",
-        "'re": " are", "'ve": " have", "'ll": " will", "'m": " am",
-        "'d": " would",
-    }
-    for k, v in contractions.items():
-        s = s.replace(k, v)
-    s = "".join(c for c in unicodedata.normalize("NFKD", s)
-                if not unicodedata.combining(c))
-    s = re.sub(r"[^a-z0-9' ]+", " ", s)
-    s = re.sub(r"\s+", " ", s).strip()
-    return s
+from tools.english_normalizer import normalize_english as normalize_text  # noqa: E402
 
 
 def wer(ref: str, hyp: str) -> tuple[float, int]:
