@@ -161,14 +161,93 @@ def dequantize(raw: bytes | np.ndarray, ggml_type: int, n_elems: int) -> np.ndar
         q = blocks[:, 2:].copy().view(np.int8).astype(np.float32)
         return (q * d).reshape(-1)
 
+    if t == GGML_TYPE_Q2_K:
+        return _dequant_q2_k(blocks)
+    if t == GGML_TYPE_Q3_K:
+        return _dequant_q3_k(blocks)
     if t == GGML_TYPE_Q4_K:
         return _dequant_q4_k(blocks)
     if t == GGML_TYPE_Q5_K:
         return _dequant_q5_k(blocks)
     if t == GGML_TYPE_Q6_K:
         return _dequant_q6_k(blocks)
+    if t == GGML_TYPE_Q8_K:
+        return _dequant_q8_k(blocks)
 
     raise NotImplementedError(f"dequantize: unsupported ggml type {type_name(t)}")
+
+
+def _dequant_q2_k(blocks: np.ndarray) -> np.ndarray:
+    """block_q2_K: u8 scales[16] (4-bit scale | 4-bit min per 16-elem
+    group), u8 qs[64] (2-bit), f16 d, f16 dmin
+    (dequantize_row_q2_K, ggml/src/ggml-quants.c)."""
+    nb = blocks.shape[0]
+    scales = blocks[:, :16]                       # (nb, 16)
+    qs = blocks[:, 16:80]                         # (nb, 64)
+    d = _f16(blocks[:, 80:82].copy().view(np.uint16))     # (nb, 1)
+    dmin = _f16(blocks[:, 82:84].copy().view(np.uint16))
+
+    out = np.empty((nb, 256), np.float32)
+    # two 128-halves; within each: shifts 0,2,4,6 over the same 32 q-bytes,
+    # two 16-element groups per shift, sequential scale bytes
+    for h in range(2):
+        qb = qs[:, 32 * h:32 * h + 32]
+        for j in range(4):
+            for g in range(2):
+                sc = scales[:, 8 * h + 2 * j + g]
+                dl = d[:, 0] * (sc & 0xF)
+                ml = dmin[:, 0] * (sc >> 4)
+                q2 = ((qb[:, 16 * g:16 * g + 16] >> (2 * j)) & 3
+                      ).astype(np.float32)
+                base = 128 * h + 32 * j + 16 * g
+                out[:, base:base + 16] = dl[:, None] * q2 - ml[:, None]
+    return out.reshape(-1)
+
+
+def _dequant_q3_k(blocks: np.ndarray) -> np.ndarray:
+    """block_q3_K: u8 hmask[32] (high bit, inverted), u8 qs[64] (2-bit),
+    u8 scales[12] (16 packed 6-bit signed-ish), f16 d
+    (dequantize_row_q3_K, ggml/src/ggml-quants.c)."""
+    nb = blocks.shape[0]
+    hmask = blocks[:, :32]
+    qs = blocks[:, 32:96]
+    packed = blocks[:, 96:108].copy().view(np.uint32)     # (nb, 3) LE words
+    d = _f16(blocks[:, 108:110].copy().view(np.uint16))
+
+    kmask1, kmask2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    a0, a1, tmp = packed[:, 0], packed[:, 1], packed[:, 2]
+    aux = np.empty((nb, 4), np.uint32)
+    aux[:, 0] = (a0 & kmask2) | (((tmp >> np.uint32(0)) & kmask1) << np.uint32(4))
+    aux[:, 1] = (a1 & kmask2) | (((tmp >> np.uint32(2)) & kmask1) << np.uint32(4))
+    aux[:, 2] = ((a0 >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(4)) & kmask1) << np.uint32(4))
+    aux[:, 3] = ((a1 >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(6)) & kmask1) << np.uint32(4))
+    scales = aux.view(np.int8).astype(np.int32) - 32      # (nb, 16)
+
+    out = np.empty((nb, 256), np.float32)
+    m = 1
+    idx = 0
+    for h in range(2):
+        qb = qs[:, 32 * h:32 * h + 32]
+        for j in range(4):
+            for g in range(2):
+                dl = d[:, 0] * scales[:, idx]
+                idx += 1
+                lo = ((qb[:, 16 * g:16 * g + 16] >> (2 * j)) & 3
+                      ).astype(np.int32)
+                hb = (hmask[:, 16 * g:16 * g + 16] & m) != 0
+                vals = lo - np.where(hb, 0, 4)
+                base = 128 * h + 32 * j + 16 * g
+                out[:, base:base + 16] = dl[:, None] * vals
+            m <<= 1
+    return out.reshape(-1)
+
+
+def _dequant_q8_k(blocks: np.ndarray) -> np.ndarray:
+    """block_q8_K: f32 d, i8 qs[256], i16 bsums[16] (dot-product helper,
+    ignored on decode)."""
+    d = blocks[:, :4].copy().view(np.float32)             # (nb, 1)
+    q = blocks[:, 4:260].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
 
 
 def _kquant_scales_mins(sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
