@@ -288,4 +288,174 @@ OWK_API void owk_high_pass(float * data, int64_t n, float cutoff,
     }
 }
 
-OWK_API int owk_version(void) { return 1; }
+// ---------------------------------------------------------------------------
+// Live capture (ALSA via dlopen) — the mic loop of the reference's
+// examples/common-sdl.cpp audio_async, feeding the same ring buffer.
+// libasound is loaded at runtime so the library keeps zero build-time
+// dependencies and degrades cleanly on capture-less hosts (this container
+// has no /dev/snd): owk_capture_start then reports OWK_CAP_ERR_*.
+// ---------------------------------------------------------------------------
+
+#include <dlfcn.h>
+#include <thread>
+
+namespace {
+
+// minimal ALSA surface (alsa/pcm.h), resolved at runtime
+typedef struct _snd_pcm snd_pcm_t;
+constexpr int SND_PCM_STREAM_CAPTURE_ = 1;
+constexpr int SND_PCM_FORMAT_S16_LE_ = 2;
+constexpr int SND_PCM_ACCESS_RW_INTERLEAVED_ = 3;
+
+struct AlsaApi {
+    int (*open_)(snd_pcm_t **, const char *, int, int) = nullptr;
+    int (*set_params)(snd_pcm_t *, int, int, unsigned, unsigned, int,
+                      unsigned) = nullptr;
+    long (*readi)(snd_pcm_t *, void *, unsigned long) = nullptr;
+    int (*recover)(snd_pcm_t *, int, int) = nullptr;
+    int (*close_)(snd_pcm_t *) = nullptr;
+    void * dl = nullptr;
+
+    bool load() {
+        if (dl) return true;
+        for (const char * name : {"libasound.so.2", "libasound.so"}) {
+            dl = dlopen(name, RTLD_NOW | RTLD_LOCAL);
+            if (dl) break;
+        }
+        if (!dl) return false;
+        open_ = reinterpret_cast<decltype(open_)>(dlsym(dl, "snd_pcm_open"));
+        set_params = reinterpret_cast<decltype(set_params)>(
+            dlsym(dl, "snd_pcm_set_params"));
+        readi = reinterpret_cast<decltype(readi)>(dlsym(dl, "snd_pcm_readi"));
+        recover = reinterpret_cast<decltype(recover)>(
+            dlsym(dl, "snd_pcm_recover"));
+        close_ = reinterpret_cast<decltype(close_)>(dlsym(dl, "snd_pcm_close"));
+        return open_ && set_params && readi && recover && close_;
+    }
+};
+
+struct Capture {
+    AlsaApi api;
+    snd_pcm_t * pcm = nullptr;
+    OwkRing * ring = nullptr;
+    std::thread worker;
+    std::atomic<bool> running{false};
+    int rate = kTargetRate;
+    std::mutex mu;
+};
+
+Capture g_capture;
+
+void capture_loop() {
+    constexpr unsigned long kChunk = 1024;
+    int16_t raw[kChunk];
+    float f32[kChunk];
+    while (g_capture.running.load(std::memory_order_relaxed)) {
+        long n = g_capture.api.readi(g_capture.pcm, raw, kChunk);
+        if (n < 0) {
+            if (g_capture.api.recover(g_capture.pcm, static_cast<int>(n), 1) < 0) {
+                break;
+            }
+            continue;
+        }
+        for (long i = 0; i < n; i++) {
+            f32[i] = static_cast<float>(raw[i]) / 32768.0f;
+        }
+        if (n > 0) owk_ring_write(g_capture.ring, f32, n);
+    }
+}
+
+} // namespace
+
+enum {
+    OWK_CAP_OK = 0,
+    OWK_CAP_ERR_NO_LIB = -1,     // libasound not found / incomplete
+    OWK_CAP_ERR_OPEN = -2,       // device open failed
+    OWK_CAP_ERR_PARAMS = -3,     // format negotiation failed
+    OWK_CAP_ERR_BUSY = -4,       // capture already running
+};
+
+// Start capturing `device` (e.g. "default") at `sample_rate` into an
+// internal ring of `buffer_ms` milliseconds. Returns OWK_CAP_OK or an error.
+OWK_API int owk_capture_start(const char * device, int sample_rate,
+                              int buffer_ms) {
+    std::lock_guard<std::mutex> lock(g_capture.mu);
+    if (g_capture.running.load()) return OWK_CAP_ERR_BUSY;
+    if (!g_capture.api.load()) return OWK_CAP_ERR_NO_LIB;
+    if (sample_rate <= 0) sample_rate = kTargetRate;
+    if (buffer_ms <= 0) buffer_ms = 30 * 1000;
+
+    snd_pcm_t * pcm = nullptr;
+    if (g_capture.api.open_(&pcm, device ? device : "default",
+                            SND_PCM_STREAM_CAPTURE_, 0) < 0) {
+        return OWK_CAP_ERR_OPEN;
+    }
+    // mono S16, soft resample to the requested rate, 100 ms latency
+    if (g_capture.api.set_params(pcm, SND_PCM_FORMAT_S16_LE_,
+                                 SND_PCM_ACCESS_RW_INTERLEAVED_, 1,
+                                 static_cast<unsigned>(sample_rate), 1,
+                                 100000) < 0) {
+        g_capture.api.close_(pcm);
+        return OWK_CAP_ERR_PARAMS;
+    }
+    g_capture.pcm = pcm;
+    g_capture.rate = sample_rate;
+    if (!g_capture.ring) {
+        g_capture.ring = owk_ring_new(
+            static_cast<int64_t>(sample_rate) * buffer_ms / 1000);
+    }
+    owk_ring_clear(g_capture.ring);
+    g_capture.running.store(true);
+    g_capture.worker = std::thread(capture_loop);
+    return OWK_CAP_OK;
+}
+
+// Most recent `ms` milliseconds (or all buffered if ms <= 0); returns the
+// sample count copied into `out` (caller sizes it for ms, or buffer_ms).
+OWK_API int64_t owk_capture_get(int ms, float * out, int64_t max_samples) {
+    std::lock_guard<std::mutex> lock(g_capture.mu);
+    if (!g_capture.ring) return 0;
+    int64_t want = ms > 0
+        ? static_cast<int64_t>(g_capture.rate) * ms / 1000
+        : owk_ring_len(g_capture.ring);
+    return owk_ring_get(g_capture.ring, std::min(want, max_samples), out);
+}
+
+OWK_API void owk_capture_clear(void) {
+    std::lock_guard<std::mutex> lock(g_capture.mu);
+    if (g_capture.ring) owk_ring_clear(g_capture.ring);
+}
+
+OWK_API int owk_capture_running(void) {
+    return g_capture.running.load() ? 1 : 0;
+}
+
+// Total samples captured since start (ring write counter) — lets pollers
+// fetch exactly the unseen tail: get(new = total - seen).
+OWK_API int64_t owk_capture_total(void) {
+    std::lock_guard<std::mutex> lock(g_capture.mu);
+    if (!g_capture.ring) return 0;
+    std::lock_guard<std::mutex> rlock(g_capture.ring->mu);
+    return static_cast<int64_t>(g_capture.ring->total);
+}
+
+// Most recent n samples variant (sample-exact polling).
+OWK_API int64_t owk_capture_get_n(int64_t n, float * out) {
+    std::lock_guard<std::mutex> lock(g_capture.mu);
+    if (!g_capture.ring) return 0;
+    return owk_ring_get(g_capture.ring, n, out);
+}
+
+OWK_API int owk_capture_stop(void) {
+    std::lock_guard<std::mutex> lock(g_capture.mu);
+    if (!g_capture.running.load()) return 0;
+    g_capture.running.store(false);
+    if (g_capture.worker.joinable()) g_capture.worker.join();
+    if (g_capture.pcm) {
+        g_capture.api.close_(g_capture.pcm);
+        g_capture.pcm = nullptr;
+    }
+    return 0;
+}
+
+OWK_API int owk_version(void) { return 2; }

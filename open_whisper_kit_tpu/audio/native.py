@@ -55,6 +55,16 @@ def _load():
     lib.owk_signal_energy.argtypes = [f32p, ctypes.c_int64, ctypes.c_int, f32p]
     lib.owk_high_pass.argtypes = [f32p, ctypes.c_int64, ctypes.c_float,
                                   ctypes.c_float]
+    lib.owk_capture_start.restype = ctypes.c_int
+    lib.owk_capture_start.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int]
+    lib.owk_capture_get.restype = ctypes.c_int64
+    lib.owk_capture_get.argtypes = [ctypes.c_int, f32p, ctypes.c_int64]
+    lib.owk_capture_stop.restype = ctypes.c_int
+    lib.owk_capture_running.restype = ctypes.c_int
+    lib.owk_capture_total.restype = ctypes.c_int64
+    lib.owk_capture_get_n.restype = ctypes.c_int64
+    lib.owk_capture_get_n.argtypes = [ctypes.c_int64, f32p]
     _lib = lib
     return _lib
 
@@ -143,3 +153,84 @@ class NativeRing:
         if getattr(self, "_ptr", None):
             self._lib.owk_ring_free(self._ptr)
             self._ptr = None
+
+
+# -- live capture (ALSA mic loop; examples/common-sdl.cpp analog) ------------
+
+CAPTURE_OK = 0
+CAPTURE_ERR_NO_LIB = -1     # libasound not present on the host
+CAPTURE_ERR_OPEN = -2       # device open failed
+CAPTURE_ERR_PARAMS = -3
+CAPTURE_ERR_BUSY = -4
+
+
+class CaptureUnavailable(RuntimeError):
+    def __init__(self, code: int):
+        names = {CAPTURE_ERR_NO_LIB: "libasound not found",
+                 CAPTURE_ERR_OPEN: "capture device open failed",
+                 CAPTURE_ERR_PARAMS: "format negotiation failed",
+                 CAPTURE_ERR_BUSY: "capture already running"}
+        super().__init__(names.get(code, f"capture error {code}"))
+        self.code = code
+
+
+class LiveCapture:
+    """Microphone capture into a native ring buffer (ALSA via dlopen).
+
+    Mirrors the reference's audio_async (examples/common-sdl.cpp:18-44):
+    a worker thread fills a `buffer_ms` ring; `get(ms)` returns the most
+    recent window. Raises CaptureUnavailable when the host has no ALSA or
+    no device — callers fall back to wav/stdin input.
+    """
+
+    def __init__(self, device: str = "default", rate: int = 16000,
+                 buffer_ms: int = 30_000):
+        lib = _load()
+        if lib is None:
+            raise CaptureUnavailable(CAPTURE_ERR_NO_LIB)
+        code = lib.owk_capture_start(device.encode(), rate, buffer_ms)
+        if code != CAPTURE_OK:
+            raise CaptureUnavailable(code)
+        self._lib = lib
+        self._rate = rate
+        self._max = rate * buffer_ms // 1000
+
+    def get(self, ms: int = 0) -> np.ndarray:
+        """Most recent `ms` milliseconds (0 = everything buffered)."""
+        out = np.empty(self._max, np.float32)
+        got = self._lib.owk_capture_get(int(ms), _f32p(out), self._max)
+        return out[:got].copy()
+
+    @property
+    def total(self) -> int:
+        """Samples captured since start (ring write counter)."""
+        return int(self._lib.owk_capture_total())
+
+    def get_new(self, seen: int) -> tuple[np.ndarray, int]:
+        """(samples captured after position `seen`, new total) — the
+        sequential-feed poller for StreamingTranscriber. Polling must
+        outpace the ring (buffer_ms); older samples are gone."""
+        total = self.total
+        n = min(total - seen, self._max)
+        if n <= 0:
+            return np.zeros(0, np.float32), total
+        out = np.empty(n, np.float32)
+        got = self._lib.owk_capture_get_n(n, _f32p(out))
+        return out[:got].copy(), total
+
+    def clear(self):
+        self._lib.owk_capture_clear()
+
+    @property
+    def running(self) -> bool:
+        return bool(self._lib.owk_capture_running())
+
+    def stop(self):
+        if getattr(self, "_lib", None) is not None:
+            self._lib.owk_capture_stop()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()

@@ -1,8 +1,10 @@
 """whisper-stream-compatible CLI.
 
-Reference: examples/stream/stream.cpp. Without SDL/mic in this environment,
-audio comes from a WAV file replayed at real-time pace (--file) or raw
-s16le PCM on stdin (e.g. piped from `arecord`/`sox`/`ffmpeg`).
+Reference: examples/stream/stream.cpp. Audio sources, in priority order:
+`--device <alsa-dev>` live microphone capture (native/owk_audio ALSA loop,
+the SDL audio_async analog), `--input-wav` replayed at real-time pace, or
+raw s16le PCM on stdin (e.g. piped from `arecord`/`sox`/`ffmpeg`).
+Capture degrades to stdin with a warning on hosts without ALSA.
 """
 
 from __future__ import annotations
@@ -39,6 +41,10 @@ def build_parser():
                    help="WAV to replay in simulated real time")
     p.add_argument("--realtime", action="store_true",
                    help="pace --input-wav playback at 1x")
+    p.add_argument("--device", default="",
+                   help="ALSA capture device (e.g. 'default'): live mic "
+                        "input via native/owk_audio; falls back to stdin "
+                        "with a warning if capture is unavailable")
     return p
 
 
@@ -76,7 +82,31 @@ def main(argv=None) -> int:
                 fout.flush()
 
     print("[Start speaking]", flush=True)
-    if args.input_wav:
+    capture = None
+    if args.device:
+        from ..audio.native import CaptureUnavailable, LiveCapture
+        try:
+            capture = LiveCapture(device=args.device,
+                                  buffer_ms=2 * args.length_ms + 2000)
+        except CaptureUnavailable as ex:
+            print(f"[capture unavailable: {ex}; reading stdin]",
+                  file=sys.stderr, flush=True)
+    if capture is not None:
+        # mic loop (examples/stream/stream.cpp:18-44): poll every step_ms,
+        # feed exactly the unseen tail so the step/length/keep engine sees
+        # a gapless stream
+        seen = 0
+        try:
+            while capture.running:
+                time.sleep(args.step_ms / 1000.0)
+                pcm, seen = capture.get_new(seen)
+                if len(pcm):
+                    emit(st.feed(pcm))
+        except KeyboardInterrupt:
+            pass
+        finally:
+            capture.stop()
+    elif args.input_wav:
         from ..audio.wav import load_wav
         audio = load_wav(args.input_wav)
         chunk = 16000 * max(args.step_ms, 500) // 1000

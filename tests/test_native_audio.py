@@ -95,3 +95,55 @@ class TestRing:
         r.clear()
         assert len(r) == 0
         assert r.get(4).size == 0
+
+
+class TestLiveCapture:
+    def test_unavailable_raises_cleanly(self):
+        """No ALSA in this container: constructor must raise the typed
+        error (code NO_LIB or OPEN), never crash; stop() is a no-op."""
+        from open_whisper_kit_tpu.audio import native as N
+        if not N.available():
+            pytest.skip("native lib unavailable")
+        with pytest.raises(N.CaptureUnavailable) as ex:
+            N.LiveCapture(device="default")
+        assert ex.value.code in (N.CAPTURE_ERR_NO_LIB, N.CAPTURE_ERR_OPEN,
+                                 N.CAPTURE_ERR_PARAMS)
+        assert not N._load().owk_capture_running()
+
+    def test_ring_with_synthetic_producer(self):
+        """The mic-loop contract on the same ring the capture thread uses:
+        a producer thread writes blocks concurrently; the consumer polls
+        the buffered tail and reconstructs a gapless in-order stream
+        (exactly LiveCapture.get_new's unseen-tail semantics)."""
+        import threading
+        import time
+        from open_whisper_kit_tpu.audio import native as N
+        if not N.available():
+            pytest.skip("native lib unavailable")
+        ring = N.NativeRing(capacity=16000)
+        src = np.arange(48000, dtype=np.float32)
+
+        def producer():
+            for i in range(0, len(src), 800):
+                ring.write(src[i:i + 800])
+                time.sleep(0.001)
+
+        t = threading.Thread(target=producer)
+        t.start()
+        got = []
+        seen = 0           # absolute sample position consumed so far
+        deadline = time.monotonic() + 10.0
+        while seen < len(src) and time.monotonic() < deadline:
+            time.sleep(0.002)
+            buf = ring.get(len(ring))          # everything buffered
+            if not len(buf):
+                continue
+            first = int(buf[0])                # values encode positions
+            fresh = buf[max(0, seen - first):]
+            if len(fresh):
+                got.append(fresh)
+                seen = int(fresh[-1]) + 1
+        t.join()
+        stream = np.concatenate(got)
+        assert seen == len(src), "producer data lost (poller outpaced?)"
+        assert np.all(np.diff(stream) == 1.0), "stream has gaps/reorders"
