@@ -81,10 +81,17 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                         *, beam_size: int, n_max: int, max_tokens: int = 0,
                         single_segment: bool = False,
                         no_timestamps: bool = False,
-                        stub: bool = False) -> BeamSegmentResult:
+                        stub: bool = False, mega=None) -> BeamSegmentResult:
     """Beam-search one window. prompt (1, Tp); kv caches sized for B beams;
     xk/xv (L, B, H, Ta, dh) with identical rows (broadcast cross-KV).
-    `scalars` packs (t_real, token_nosp, seek, seek_end) i32."""
+    `scalars` packs (t_real, token_nosp, seek, seek_end) i32.
+
+    `mega` (ops.decode_megakernel.MegaParams or None): when set, the
+    per-token step runs all B beams through ONE megakernel launch (one
+    weight stream for the whole beam set; cross-KV shared in-kernel, so
+    xk/xv beam broadcast is skipped). Prompt ingest stays on the XLA path;
+    kv_k/kv_v must then be natural-layout (L, B, n_ctx, S) carries whose
+    content is ignored."""
     t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
                                           scalars[2], scalars[3])
     B = beam_size
@@ -92,9 +99,27 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
 
     # ---- prompt ingest on all beams ----
     Tp = prompt.shape[1]
-    logits_all, kv_k, kv_v, _ = M.decode_impl(
-        cfg, dec, jnp.broadcast_to(prompt, (B, Tp)), kv_k, kv_v,
-        jnp.int32(0), xk, xv, logits_pos=t_real - 1)
+    if mega is not None:
+        from ..ops import decode_megakernel as MK
+        S = cfg.n_text_state
+        L = cfg.n_text_layer
+
+        def to_nat_b(a):      # (L, B, H, T, dh) head-major -> (L, B, T, S)
+            return jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(
+                L, a.shape[1], a.shape[3], S)
+
+        hm_k, hm_v = M.init_kv_cache(cfg, B, dtype=kv_k.dtype)
+        logits_all, hm_k, hm_v, _ = M.decode_impl(
+            cfg, dec, jnp.broadcast_to(prompt, (B, Tp)), hm_k, hm_v,
+            jnp.int32(0), xk, xv, logits_pos=t_real - 1)
+        kv_k, kv_v = to_nat_b(hm_k), to_nat_b(hm_v)
+        xk_nat = to_nat_b(xk[:, 0:1])[:, 0]     # shared cross (L, Ta, S)
+        xv_nat = to_nat_b(xv[:, 0:1])[:, 0]
+        mega_interpret = jax.devices()[0].platform == "cpu"
+    else:
+        logits_all, kv_k, kv_v, _ = M.decode_impl(
+            cfg, dec, jnp.broadcast_to(prompt, (B, Tp)), kv_k, kv_v,
+            jnp.int32(0), xk, xv, logits_pos=t_real - 1)
     last_logits = logits_all[:, 0]    # (B, V)
     nsp = LR.compute_no_speech_prob(last_logits[0], token_nosp)
 
@@ -257,11 +282,19 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                     & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
         failed = failed | rep_fail
 
-        step_logits, kv_k2, kv_v2, _ = M.decode_impl(
-            cfg, dec, new_tok[:, None], kv_k2, kv_v2, t_real + i, xk, xv)
+        if mega is not None:
+            x0 = (dec["te"][new_tok]
+                  + dec["pe"][t_real + i][None, :]).astype(jnp.bfloat16)
+            new_logits, kv_k2, kv_v2 = MK.mega_decode_step_beam(
+                cfg, mega, x0, kv_k2, kv_v2, t_real + i, xk_nat, xv_nat,
+                interpret=mega_interpret)
+        else:
+            step_logits, kv_k2, kv_v2, _ = M.decode_impl(
+                cfg, dec, new_tok[:, None], kv_k2, kv_v2, t_real + i, xk, xv)
+            new_logits = step_logits[:, 0]
 
         return _Carry(
-            kv_k=kv_k2, kv_v=kv_v2, i=i + 1, logits=step_logits[:, 0],
+            kv_k=kv_k2, kv_v=kv_v2, i=i + 1, logits=new_logits,
             tokens=tokens, p=p_buf, plog=plog_buf, pt=pt_buf, ptsum=pts_buf,
             tid=tid_buf, seq_hash1=h1, seq_hash2=h2, sum_lp=sum_lp,
             last_was_ts=jnp.where(wr, is_ts_tok, last_was),

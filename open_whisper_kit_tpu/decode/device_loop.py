@@ -25,6 +25,42 @@ from . import logit_rules as LR
 CHUNK_FRAMES = 3000  # 100 * WHISPER_CHUNK_SIZE
 
 
+class GrammarOps(NamedTuple):
+    """Device-side grammar automaton (grammar.GrammarDFA as jnp operands +
+    the penalty scalar); lets grammar-constrained decode stay in the fused
+    loop instead of dropping to the host-stepped path."""
+    allowed: jnp.ndarray   # (n_states, A) i32, pad = n_vocab
+    nxt: jnp.ndarray       # (n_states, A) i32
+    cand: jnp.ndarray      # (V,) f32
+    skip: jnp.ndarray      # (V,) bool
+    dead: jnp.ndarray      # i32 scalar
+    penalty: jnp.ndarray   # f32 scalar
+
+    @classmethod
+    def from_dfa(cls, dfa, penalty: float) -> "GrammarOps":
+        return cls(allowed=jnp.asarray(dfa.allowed),
+                   nxt=jnp.asarray(dfa.nxt),
+                   cand=jnp.asarray(dfa.cand),
+                   skip=jnp.asarray(dfa.skip),
+                   dead=jnp.int32(dfa.dead),
+                   penalty=jnp.float32(penalty))
+
+
+def grammar_mask_row(g: "GrammarOps", state: jnp.ndarray) -> jnp.ndarray:
+    """(V,) additive penalty row for automaton state `state`."""
+    row = g.cand * (-g.penalty)
+    return row.at[g.allowed[state]].set(0.0, mode="drop")
+
+
+def grammar_step(g: "GrammarOps", state: jnp.ndarray,
+                 tok: jnp.ndarray) -> jnp.ndarray:
+    """Next automaton state after sampling `tok` (see GrammarDFA.step)."""
+    arow = g.allowed[state]
+    hit = arow == tok
+    nxt = jnp.where(jnp.any(hit), g.nxt[state][jnp.argmax(hit)], g.dead)
+    return jnp.where(g.skip[tok], state, nxt).astype(jnp.int32)
+
+
 class SegmentResult(NamedTuple):
     tokens: jnp.ndarray      # (n_max,) i32
     p: jnp.ndarray           # (n_max,) f32
@@ -62,6 +98,7 @@ class _Carry(NamedTuple):
     result_len: jnp.ndarray
     completed: jnp.ndarray
     failed: jnp.ndarray
+    gstate: jnp.ndarray          # i32 grammar-automaton state (0 if unused)
 
 
 def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
@@ -73,7 +110,7 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                  max_tokens: int = 0, single_segment: bool = False,
                  no_timestamps: bool = False,
                  stub: bool = False,
-                 mega=None) -> tuple["_Carry", jnp.ndarray]:
+                 mega=None, grammar=None) -> tuple["_Carry", jnp.ndarray]:
     """Traceable greedy segment decode; returns (final carry, no_speech_prob).
 
     Shared by the one-window `decode_segment` jit below and the K-windows
@@ -124,7 +161,8 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         last_was_ts=jnp.bool_(False), penult_was_ts=jnp.bool_(True),
         has_ts=jnp.bool_(False), seek_delta=jnp.int32(CHUNK_FRAMES),
         result_len=jnp.int32(0),
-        completed=jnp.bool_(False), failed=jnp.bool_(False))
+        completed=jnp.bool_(False), failed=jnp.bool_(False),
+        gstate=jnp.int32(0))
 
     def cond(c: _Carry):
         return (~c.completed) & (~c.failed) & (c.i < n_max)
@@ -137,8 +175,10 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             penult_was_ts=c.penult_was_ts[None],
             has_ts=c.has_ts[None],
             ts_min=jnp.where(c.has_ts, token_beg + c.seek_delta // 2, 0)[None])
+        gmask = (grammar_mask_row(grammar, c.gstate)[None, :]
+                 if grammar is not None else None)
         f_logits, f_logprobs, f_probs = LR.apply_rules(
-            rc, c.logits, base_mask, init_mask, st, jnp.float32(0.0))
+            rc, c.logits, base_mask, init_mask, st, jnp.float32(0.0), gmask)
         tok, p, plog, pt, ptsum, tid = LR.sample_greedy(
             rc, f_logits, f_logprobs, f_probs)
         tok0 = tok[0]
@@ -146,6 +186,8 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         tid0 = jnp.where(is_ts_tok, tok0, tid[0])
         pt0 = jnp.where(is_ts_tok, p[0], pt[0])
 
+        gstate = (grammar_step(grammar, c.gstate, tok0)
+                  if grammar is not None else c.gstate)
         tokens = c.tokens.at[i].set(tok0)
         p_buf = c.p.at[i].set(p[0])
         plog_buf = c.plog.at[i].set(plog[0])
@@ -208,7 +250,7 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             last_was_ts=is_ts_tok,
             penult_was_ts=c.last_was_ts | (i == 0),
             has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
-            completed=completed, failed=failed)
+            completed=completed, failed=failed, gstate=gstate)
 
     c = jax.lax.while_loop(cond, body, carry)
     return c, no_speech_prob
@@ -227,7 +269,8 @@ def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    scalars: jnp.ndarray, *, n_max: int,
                    max_tokens: int = 0, single_segment: bool = False,
                    no_timestamps: bool = False,
-                   stub: bool = False, mega=None) -> SegmentResult:
+                   stub: bool = False, mega=None,
+                   grammar=None) -> SegmentResult:
     """Greedy-decode one window. prompt (1, T_pad) i32; `scalars` packs
     (t_real, token_nosp, seek, seek_end) into one i32 upload (each separate
     scalar transfer costs a full round-trip on relayed links). With `mega`,
@@ -236,7 +279,7 @@ def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         cfg, rc, dec, prompt, kv_k, kv_v, xk, xv, base_mask, init_mask,
         scalars[0], scalars[1], scalars[2], scalars[3], n_max=n_max,
         max_tokens=max_tokens, single_segment=single_segment,
-        no_timestamps=no_timestamps, stub=stub, mega=mega)
+        no_timestamps=no_timestamps, stub=stub, mega=mega, grammar=grammar)
 
     return SegmentResult(
         tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,

@@ -680,7 +680,14 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
     cfg, vocab = ctx.cfg, ctx.vocab
     n_dec = len(decoders)
     t0 = time.perf_counter()
-    kv_k, kv_v = M.init_kv_cache(cfg, n_dec, dtype=ctx.dtype)
+    mega = (ctx.mega_params(p)
+            if n_dec <= 8 and not isinstance(xk, M.QuantKV) else None)
+    if mega is not None:   # natural-layout per-beam carry (megakernel)
+        kv_k = jnp.zeros((cfg.n_text_layer, n_dec, cfg.n_text_ctx,
+                          cfg.n_text_state), ctx.dtype)
+        kv_v = kv_k
+    else:
+        kv_k, kv_v = M.init_kv_cache(cfg, n_dec, dtype=ctx.dtype)
     xk_b = _repeat_kv(xk, n_dec)
     xv_b = _repeat_kv(xv, n_dec)
     toks, T_real = _pad_prompt(cfg, prompt)
@@ -693,7 +700,7 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
         kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
         scalars, beam_size=n_dec, n_max=n_max,
         max_tokens=p.max_tokens, single_segment=p.single_segment,
-        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0)
+        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega)
     r = DB.unpack_beam_result(DB.pack_beam_result(res_dev), n_dec, n_max)
     n_tok = r["n_tokens"]
     for j, d in enumerate(decoders):
@@ -706,7 +713,7 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
 
 def _device_greedy_window(ctx, p, rc, decoders, prompt, xk, xv,
                           base_mask, init_mask, seek, seek_end,
-                          no_timestamps, timings) -> float:
+                          no_timestamps, timings, grammar=None) -> float:
     """One window through the fused on-device greedy loop
     (decode/device_loop.py, optionally the megakernel step); fills
     decoders[0], returns no_speech_prob."""
@@ -729,7 +736,8 @@ def _device_greedy_window(ctx, p, rc, decoders, prompt, xk, xv,
         kv_k, kv_v, xk, xv, base_mask, init_mask,
         scalars, n_max=n_max,
         max_tokens=p.max_tokens, single_segment=p.single_segment,
-        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega)
+        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega,
+        grammar=grammar)
     r = DL.unpack_segment_result(DL.pack_segment_result(res_dev), n_max)
     n_tok = r["n_tokens"]
     _fill_decoder(decoders[0], r, n_tok)
@@ -946,10 +954,12 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
         # fused on-device path for the common t=0 single-decoder case
         # abort_callback needs per-token polling, which only the
         # host-stepped loop can do (the fused loops run a whole window in
-        # one dispatch) — route to host when it is set.
+        # one dispatch) — route to host when it is set. Grammars run in
+        # the fused loop via their token DFA when small enough.
+        gops = _grammar_device_ops(ctx, p) if t_cur < 1e-6 else None
         use_device_loop = (p.use_device_loops
                            and n_dec_cur == 1 and t_cur < 1e-6
-                           and p.grammar_rules is None
+                           and (p.grammar_rules is None or gops is not None)
                            and p.logits_filter_callback is None
                            and p.abort_callback is None)
         use_device_beam = (p.use_device_loops
@@ -965,7 +975,7 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
         elif use_device_loop:
             no_speech_prob = _device_greedy_window(
                 ctx, p, rc, decoders, prompt, xk, xv, base_mask, init_mask,
-                seek, seek_end, no_timestamps, timings)
+                seek, seek_end, no_timestamps, timings, grammar=gops)
         else:
             no_speech_prob, rng_key, aborted = _host_stepped_window(
                 ctx, p, rc, decoders, prompt, xk, xv, base_mask, init_mask,
@@ -982,6 +992,36 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
             break
 
     return best_decoder_id, decoders, no_speech_prob, prompt, rng_key, False
+
+
+def _grammar_device_ops(ctx, p):
+    """GrammarOps (device_loop) for the fused greedy loop, or None when
+    there is no grammar / the automaton exceeds the DFA budget (then the
+    host-stepped path keeps exact parity). Cached on the Grammar object
+    (or on the context for gbnf-text rules)."""
+    if p.grammar_rules is None:
+        return None
+    from . import device_loop as DL
+    from . import grammar as G
+    key = float(p.grammar_penalty)
+    if isinstance(p.grammar_rules, G.Grammar):
+        cached = p.grammar_rules.__dict__.get("_device_ops_cache")
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        base = p.grammar_rules
+    else:
+        text_key = (str(p.grammar_rules), key)
+        cached = getattr(ctx, "_gdfa_cache", None)
+        if cached is not None and cached[0] == text_key:
+            return cached[1]
+        base = G.Grammar.from_gbnf(p.grammar_rules)
+    dfa = G.build_token_dfa(base.copy(), ctx.vocab)
+    ops = DL.GrammarOps.from_dfa(dfa, key) if dfa is not None else None
+    if isinstance(p.grammar_rules, G.Grammar):
+        p.grammar_rules.__dict__["_device_ops_cache"] = (key, ops)
+    else:
+        ctx._gdfa_cache = (text_key, ops)
+    return ops
 
 
 def _repeat_kv(x, n: int):

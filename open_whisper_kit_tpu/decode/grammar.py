@@ -490,3 +490,115 @@ class Grammar:
         for tid in self.rejected_tokens(vocab):
             mask[tid] = -penalty
         return mask
+
+
+# ---------------------------------------------------------------------------
+# Token-level DFA compilation (device-loop grammar masking)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GrammarDFA:
+    """The pushdown automaton flattened over the token vocabulary.
+
+    Grammar states (stack-sets + partial-utf8) are enumerated by BFS and
+    become rows of fixed-shape arrays, so the fused device decode loop can
+    apply the reference's grammar penalty (whisper.cpp:6365-6388) and step
+    the automaton entirely in-graph:
+
+      mask(s)     = -penalty at every candidate token not in allowed[s]
+      step(s, t)  = s            if skip[t]   ("[_" specials / empty text)
+                    nxt[s][j]    if allowed[s][j] == t
+                    dead         otherwise    (host analog: accept_token on
+                                  a non-matching token empties the stacks,
+                                  disabling the grammar from then on)
+
+    Built only when the grammar is small enough (see build_token_dfa);
+    otherwise decoding stays on the host-stepped path.
+    """
+    allowed: "np.ndarray"    # (n_states, A) i32 token ids, pad = n_vocab
+    nxt: "np.ndarray"        # (n_states, A) i32 successor state
+    cand: "np.ndarray"       # (V,) f32 1.0 where the token can be rejected
+    skip: "np.ndarray"       # (V,) bool no-state-change tokens
+    dead: int                # id of the empty-stacks state
+
+    @property
+    def n_states(self) -> int:
+        return self.allowed.shape[0]
+
+
+def build_token_dfa(grammar: "Grammar", vocab, max_states: int = 512,
+                    max_transitions: int = 100_000) -> "GrammarDFA | None":
+    """BFS-enumerate the grammar's token automaton; None if it exceeds the
+    state/transition budget (caller falls back to the host-stepped loop)."""
+
+
+    V = vocab.n_vocab
+    eot = vocab.token_eot
+    cand_ids = [tid for tid in range(eot) if vocab.id_to_token[tid]]
+    cand = np.zeros(V, np.float32)
+    cand[cand_ids] = 1.0
+    skip = np.zeros(V, bool)
+    for tid in range(V):
+        text = vocab.id_to_token[tid] if tid < len(vocab.id_to_token) else b""
+        if not text or text.startswith(b"[_"):
+            skip[tid] = True
+
+    def key(g):
+        return (frozenset(g.stacks),
+                (g.partial_utf8.value, g.partial_utf8.n_remain))
+
+    start = grammar.copy()
+    states: dict = {key(start): 0}
+    glist = [start]
+    rows_allowed: list[list[int]] = []
+    rows_nxt: list[list[int]] = []
+    dead_id = None
+    n_transitions = 0
+    i = 0
+    while i < len(glist):
+        g = glist[i]
+        i += 1
+        if not g.stacks:
+            dead_id = len(rows_allowed)
+            rows_allowed.append([])
+            rows_nxt.append([])
+            continue
+        rejected = set(g.rejected_tokens(vocab))
+        allowed = [t for t in cand_ids if t not in rejected]
+        n_transitions += len(allowed)
+        if n_transitions > max_transitions:
+            return None
+        nxt_row = []
+        for t in allowed:
+            g2 = g.copy()
+            g2.accept_token(vocab.id_to_token[t])
+            k2 = key(g2)
+            if k2 not in states:
+                if len(states) >= max_states:
+                    return None
+                states[k2] = len(glist)
+                glist.append(g2)
+            nxt_row.append(states[k2])
+        rows_allowed.append(allowed)
+        rows_nxt.append(nxt_row)
+
+    # rows are appended in BFS visit order == state-id order only when no
+    # dead row interleaves; rebuild positionally to be safe
+    n = len(glist)
+    if len(rows_allowed) != n:
+        return None
+    if dead_id is None:
+        # synthesize an explicit dead state
+        dead_id = n
+        rows_allowed.append([])
+        rows_nxt.append([])
+        n += 1
+    A = max(1, max(len(r) for r in rows_allowed))
+    allowed_arr = np.full((n, A), V, np.int32)
+    nxt_arr = np.full((n, A), dead_id, np.int32)
+    for s, (ra, rn) in enumerate(zip(rows_allowed, rows_nxt)):
+        if ra:
+            allowed_arr[s, :len(ra)] = ra
+            nxt_arr[s, :len(rn)] = rn
+    return GrammarDFA(allowed=allowed_arr, nxt=nxt_arr, cand=cand,
+                      skip=skip, dead=dead_id)

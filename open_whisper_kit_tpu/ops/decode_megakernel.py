@@ -248,11 +248,18 @@ _STAGES = (("qkv_w", 1, 3, "A"), ("o_w", 1, 1, "A"), ("cq_w", 1, 1, "A"),
 
 def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                  qmap: dict, ta_valid: int | None = None,
-                 tile_boost: bool = True):
+                 tile_boost: bool = True, n_beams: int = 1):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
     padded vocab; qmap: field name -> None | "int8" | "int4" (plane kind).
-    ta_valid: real cross length (pad rows masked)."""
+    ta_valid: real cross length (pad rows masked).
+
+    n_beams > 1 (beam mode, whisper.cpp:7301-7352's Bch5 analog): the
+    B <= 8 live beams ride the M=8 sublane rows, so every matvec and the
+    cross-attention (whose KV is SHARED across beams — the big
+    amortization vs the XLA batched step) are unchanged; only
+    self-attention splits per beam, against per-beam caches
+    kv (L, B, Tc, S) with a per-beam row patch + write-back."""
     if ta_valid is None:
         ta_valid = Ta
     from jax.experimental import pallas as pl
@@ -263,6 +270,8 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     H = cfg.n_text_head
     dh = S // H
     M = 8                                    # sublane-padded token rows
+    B = n_beams
+    assert 1 <= B <= M
     kqscale = float(dh) ** -0.25
     NB = 3                                   # tile buffer slots
     LOOKAHEAD = 2                            # tiles in flight ahead of use
@@ -296,7 +305,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
         "BQ": (qmap["mlp1_w"] == "int8", 4 * S, TN["mlp1_w"]),
         "BQ4": (qmap["mlp1_w"] == "int4", 4 * S, TN["mlp1_w"]),
     }
-    dims = dict(M=M, NB=NB, Tcp=Tcp, Tap=Tap, pools=pools)
+    dims = dict(M=M, NB=NB, Tcp=Tcp, Tap=Tap, pools=pools, B=B)
 
     def attend(q16, kbuf, vbuf, n_valid, scale):
         """Packed-slice attention: q16 (M, S) bf16, kbuf/vbuf (Tpad, S)
@@ -463,10 +472,20 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             slot, nslot = il % 2, (il + 1) % 2
 
             # self-cache read: overlaps the qkv matvec below
-            rk = pltpu.make_async_copy(kvk_ref.at[il],
-                                       kbuf.at[pl.ds(0, Tc), :], ksem.at[0])
-            rv = pltpu.make_async_copy(kvv_ref.at[il],
-                                       vbuf.at[pl.ds(0, Tc), :], ksem.at[1])
+            if B == 1:
+                rk = pltpu.make_async_copy(kvk_ref.at[il],
+                                           kbuf.at[pl.ds(0, Tc), :],
+                                           ksem.at[0])
+                rv = pltpu.make_async_copy(kvv_ref.at[il],
+                                           vbuf.at[pl.ds(0, Tc), :],
+                                           ksem.at[1])
+            else:
+                rk = pltpu.make_async_copy(kvk_ref.at[il],
+                                           kbuf.at[:, pl.ds(0, Tc), :],
+                                           ksem.at[0])
+                rv = pltpu.make_async_copy(kvv_ref.at[il],
+                                           vbuf.at[:, pl.ds(0, Tc), :],
+                                           ksem.at[1])
             rk.start()
             rv.start()
 
@@ -488,20 +507,46 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             # the HBM cache - 20 KB/layer instead of a cache copy
             blk0 = pl.multiple_of((head // 8) * 8, 8)
             rsel = jax.lax.broadcasted_iota(jnp.int32, (8, S), 0) == head - blk0
-            kbuf[pl.ds(blk0, 8), :] = jnp.where(
-                rsel, k[0:1, :], kbuf[pl.ds(blk0, 8), :])
-            vbuf[pl.ds(blk0, 8), :] = jnp.where(
-                rsel, v[0:1, :], vbuf[pl.ds(blk0, 8), :])
-            wk = pltpu.make_async_copy(kbuf.at[pl.ds(blk0, 8), :],
-                                       okvk_ref.at[il, pl.ds(blk0, 8), :],
-                                       wrsem.at[0])
-            wv = pltpu.make_async_copy(vbuf.at[pl.ds(blk0, 8), :],
-                                       okvv_ref.at[il, pl.ds(blk0, 8), :],
-                                       wrsem.at[1])
-            wk.start()
-            wv.start()
+            if B == 1:
+                kbuf[pl.ds(blk0, 8), :] = jnp.where(
+                    rsel, k[0:1, :], kbuf[pl.ds(blk0, 8), :])
+                vbuf[pl.ds(blk0, 8), :] = jnp.where(
+                    rsel, v[0:1, :], vbuf[pl.ds(blk0, 8), :])
+                wk = [pltpu.make_async_copy(kbuf.at[pl.ds(blk0, 8), :],
+                                            okvk_ref.at[il, pl.ds(blk0, 8), :],
+                                            wrsem.at[0, 0])]
+                wv = [pltpu.make_async_copy(vbuf.at[pl.ds(blk0, 8), :],
+                                            okvv_ref.at[il, pl.ds(blk0, 8), :],
+                                            wrsem.at[1, 0])]
+            else:
+                wk, wv = [], []
+                for bb in range(B):        # beam bb's new K/V row = row bb
+                    kbuf[bb, pl.ds(blk0, 8), :] = jnp.where(
+                        rsel, k[bb:bb + 1, :], kbuf[bb, pl.ds(blk0, 8), :])
+                    vbuf[bb, pl.ds(blk0, 8), :] = jnp.where(
+                        rsel, v[bb:bb + 1, :], vbuf[bb, pl.ds(blk0, 8), :])
+                    wk.append(pltpu.make_async_copy(
+                        kbuf.at[bb, pl.ds(blk0, 8), :],
+                        okvk_ref.at[il, bb, pl.ds(blk0, 8), :],
+                        wrsem.at[0, bb]))
+                    wv.append(pltpu.make_async_copy(
+                        vbuf.at[bb, pl.ds(blk0, 8), :],
+                        okvv_ref.at[il, bb, pl.ds(blk0, 8), :],
+                        wrsem.at[1, bb]))
+            for d in wk + wv:
+                d.start()
 
-            a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0)
+            if B == 1:
+                a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0)
+            else:
+                # per-beam attention against that beam's cache; keep row b
+                # of each result (rows are beams)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (M, S), 0)
+                a16 = None
+                for bb in range(B):
+                    a_b = attend(q, kbuf[bb], vbuf[bb], head + 1, 1.0)
+                    a16 = a_b if a16 is None else jnp.where(
+                        rows == bb, a_b, a16)
             consume("A", a16, abuf, S, TN["o_w"])
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
@@ -540,8 +585,8 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
                       + biases["mlp1_b"][il][None, :])).astype(jnp.float32)
 
-            wk.wait()                          # kbuf/vbuf reused next layer
-            wv.wait()
+            for d in wk + wv:                  # kbuf/vbuf reused next layer
+                d.wait()
 
         # ---- final LN + vocab projection ----
         xf = _ln_rows(x32, lnw_ref[3 * L], lnb_ref[3 * L],
@@ -647,7 +692,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),                   # ksem
         pltpu.SemaphoreType.DMA((4,)),                   # csem
-        pltpu.SemaphoreType.DMA((2,)),                   # wrsem
+        pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
     ]
 
     logits, kv_k, kv_v = pl.pallas_call(
@@ -670,3 +715,131 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     )(*operands)
 
     return logits[0:1, :V], kv_k, kv_v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "tile_boost"),
+                   donate_argnames=("kv_k", "kv_v"))
+def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
+                          kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                          kv_head: jnp.ndarray,
+                          xk: jnp.ndarray, xv: jnp.ndarray,
+                          interpret: bool = False, tile_boost: bool = True):
+    """One beam-search decode step for B <= 8 beams in ONE kernel launch.
+
+    The beams ride the M=8 sublane rows through a SINGLE weight stream
+    (same per-token weight traffic as greedy — the amortization the XLA
+    batched step can't get) and share the cross-KV; each beam attends its
+    own self-cache. Beam reorder between steps is a host-side gather on
+    axis 1 (reorder_kv analog).
+
+    x0: (B, S) bf16 per-beam token+pos embedding rows.
+    kv_k/kv_v: (L, B, Tc, S) natural-layout per-beam self-KV (donated).
+    xk/xv: (L, Ta, S) shared cross KV (xk pre-scaled d**-0.25).
+    Returns (logits (B, V) f32, kv_k, kv_v).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = cfg.n_text_state
+    Bm = x0.shape[0]
+    if Bm == 1:   # degenerate beam: the greedy kernel expects (L, Tc, S)
+        logits, kv_k1, kv_v1 = mega_decode_step(
+            cfg, mp, x0, kv_k[:, 0], kv_v[:, 0], kv_head, xk, xv,
+            interpret=interpret, tile_boost=tile_boost)
+        return logits, kv_k1[:, None], kv_v1[:, None]
+    Tc = kv_k.shape[2]
+    Ta = xk.shape[1]
+    V = cfg.n_vocab
+    Vp = mp.vp
+    eps = float(cfg.eps)
+    wfields = ["qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w", "teT"]
+
+    def _kind(w):
+        if isinstance(w, Q4Planes):
+            return "int4"
+        return "int8" if isinstance(w, QPlanes) else None
+    qmap = {n: _kind(getattr(mp, n)) for n in wfields}
+
+    Tap = -(-Ta // 16) * 16
+    if Tap != Ta:
+        xk = jnp.pad(xk, ((0, 0), (0, Tap - Ta), (0, 0)))
+        xv = jnp.pad(xv, ((0, 0), (0, Tap - Ta), (0, 0)))
+
+    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
+                                tile_boost=tile_boost, n_beams=Bm)
+    M = dims["M"]
+    NB = dims["NB"]
+    x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
+    head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    bf = jnp.bfloat16
+
+    operands = [head2d, x, mp.lnw, mp.lnb,
+                mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
+    for name in wfields:
+        w = getattr(mp, name)
+        if qmap[name]:
+            operands += [w.qs, w.sc]
+            in_specs += [hbm(), hbm()]
+        else:
+            operands.append(w)
+            in_specs.append(hbm())
+    kv_idx = len(operands)
+    operands += [kv_k, kv_v, xk, xv]
+    in_specs += [hbm()] * 4
+
+    scratch = []
+    for pname, (used, K, TNmax) in dims["pools"].items():
+        if not used:
+            continue
+        if pname.endswith("Q4"):
+            scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
+            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), bf))
+        elif pname.endswith("Q"):
+            scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
+            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
+        else:
+            scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
+    scratch += [
+        pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
+        pltpu.VMEM((Bm, dims["Tcp"], S), bf),            # kbuf (per-beam)
+        pltpu.VMEM((Bm, dims["Tcp"], S), bf),            # vbuf
+        pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf (shared)
+        pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
+    ]
+    for pname, (used, _k, _tn) in dims["pools"].items():
+        if not used:
+            continue
+        scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+        if not pname.endswith("D"):
+            scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),                   # ksem
+        pltpu.SemaphoreType.DMA((4,)),                   # csem
+        pltpu.SemaphoreType.DMA((2, Bm)),                # wrsem
+    ]
+
+    logits, kv_k, kv_v = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(vmem(), hbm(), hbm()),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, Vp), jnp.float32),
+            jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
+            jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
+        ),
+        input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # per-beam self-KV tiles add B * Tcp * S * 2 * 2 bytes (~12 MB
+            # at turbo B=5) on top of the ~15 MB cross double buffers
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+    return logits[0:Bm, :V], kv_k, kv_v

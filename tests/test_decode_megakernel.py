@@ -317,3 +317,62 @@ def test_mega_params_mode_policy():
            for n in F.WhisperContext._MEGA_WEIGHTS):
         mp = ctx3.mega_params(FullParams(megakernel=True))
         assert isinstance(mp.qkv_w, MK.QPlanes)
+
+
+def test_megakernel_beam_matches_decode_impl():
+    """Beam mode: B beams in one kernel vs the batched decode_impl step,
+    including a mid-sequence beam reorder (the kv gather between steps)."""
+    B, n_steps = 3, 4
+    rng = np.random.default_rng(11)
+    params, dec, mp, xk, xv, _ = _setup(seed=11)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    H, dh = CFG.n_text_head, CFG.d_text_head
+
+    xk_b = jnp.repeat(xk, B, axis=1)
+    xv_b = jnp.repeat(xv, B, axis=1)
+    toks = rng.integers(0, CFG.n_vocab, size=(n_steps, B))
+    srcs = [None, np.array([1, 0, 1]), None, np.array([2, 2, 0])]
+
+    # reference: batched head-major decode_impl with jnp.take reorders
+    kv_k, kv_v = M.init_kv_cache(CFG, B, dtype=jnp.bfloat16)
+    ref_logits = []
+    for i in range(n_steps):
+        if srcs[i] is not None:
+            kv_k = jnp.take(kv_k, jnp.asarray(srcs[i]), axis=1)
+            kv_v = jnp.take(kv_v, jnp.asarray(srcs[i]), axis=1)
+        logits, kv_k, kv_v, _ = M.decode_impl(
+            CFG, dec, jnp.asarray(toks[i][:, None], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk_b, xv_b)
+        ref_logits.append(np.asarray(logits[:, 0]))
+
+    # beam megakernel: natural per-beam caches, shared cross
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+    got_logits = []
+    for i in range(n_steps):
+        if srcs[i] is not None:
+            nk = jnp.take(nk, jnp.asarray(srcs[i]), axis=1)
+            nv = jnp.take(nv, jnp.asarray(srcs[i]), axis=1)
+        x0 = (dec["te"][jnp.asarray(toks[i])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        logits, nk, nv = MK.mega_decode_step_beam(
+            CFG, mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            interpret=True)
+        got_logits.append(np.asarray(logits))
+
+    for i, (r, g) in enumerate(zip(ref_logits, got_logits)):
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / scale, r / scale, atol=2e-2,
+                                   err_msg=f"step {i}")
+        for b in range(B):
+            assert int(np.argmax(g[b])) == int(np.argmax(r[b])), (i, b)
+
+    # per-beam cache rows must match the head-major reference content
+    nat_ref_k = np.asarray(jnp.transpose(kv_k, (0, 1, 3, 2, 4)).reshape(
+        L, B, Tc, S))
+    got_k = np.asarray(nk)
+    np.testing.assert_allclose(
+        got_k[:, :, :n_steps].astype(np.float32),
+        nat_ref_k[:, :, :n_steps].astype(np.float32), atol=2e-2)
+    assert np.all(got_k[:, :, n_steps:] == 0)

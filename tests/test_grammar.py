@@ -158,3 +158,83 @@ def test_pipeline_with_grammar():
              .astype(np.float32) * 0.1)
     res = F.whisper_full(ctx, p, audio)
     assert res.timings.n_encode >= 1
+
+
+# -- device-loop grammar (token DFA) ------------------------------------------
+
+class TestGrammarDeviceLoop:
+    def test_dfa_masks_match_host_rejection(self):
+        """Every DFA state's penalty row equals the host penalty_mask of
+        the grammar object that state was built from."""
+        from open_whisper_kit_tpu.decode.full import WhisperContext
+        import jax.numpy as jnp
+        import pathlib
+        stub = pathlib.Path("/root/reference/models/for-tests-ggml-tiny.en.bin")
+        if not stub.exists():
+            pytest.skip("reference stub model not available")
+        ctx = WhisperContext.from_file(str(stub), dtype=jnp.float32)
+        g = G.Grammar.from_gbnf('root ::= "<" move ">"\nmove ::= [a-h] [1-8]')
+        dfa = G.build_token_dfa(g.copy(), ctx.vocab)
+        assert dfa is not None and dfa.n_states >= 3
+
+        # walk the host grammar along an accepted path, comparing masks
+        from open_whisper_kit_tpu.decode.device_loop import (
+            GrammarOps, grammar_mask_row, grammar_step)
+        ops = GrammarOps.from_dfa(dfa, 100.0)
+        host = g.copy()
+        state = jnp.int32(0)
+        vocab = ctx.vocab
+        for step_tok in [b"<", b"a", b"4", b">"]:
+            want = host.penalty_mask(vocab, 100.0)
+            got = np.asarray(grammar_mask_row(ops, state))
+            np.testing.assert_array_equal(got, want)
+            # find the token id for this byte string and advance both
+            tid = next(t for t in range(vocab.token_eot)
+                       if vocab.id_to_token[t] == step_tok)
+            host.accept_token(step_tok)
+            state = grammar_step(ops, state, jnp.int32(tid))
+        # completed grammar: host stacks empty-equivalent; both allow all
+        np.testing.assert_array_equal(
+            np.asarray(grammar_mask_row(ops, state)),
+            host.penalty_mask(vocab, 100.0))
+
+    def test_device_grammar_decode_matches_host(self):
+        """whisper_full with a grammar: fused-loop (DFA) tokens must equal
+        the host-stepped loop's token-for-token."""
+        from open_whisper_kit_tpu.decode.full import WhisperContext, whisper_full
+        from open_whisper_kit_tpu.decode.params import FullParams
+        import jax.numpy as jnp
+        ctx = WhisperContext.from_preset("tiny.en", dtype=jnp.float32)
+        audio = (np.random.default_rng(5).standard_normal(16000 * 2)
+                 .astype(np.float32) * 0.1)
+        # from_preset's synthetic vocab is b"<0>".."<51863>" single tokens
+        gbnf = 'root ::= "<14444>" | "<2>" | "<777>" "<8>"'
+
+        def run(device):
+            p = FullParams(print_progress=False, grammar_rules=gbnf,
+                           grammar_penalty=100.0,
+                           use_device_loops=device)
+            p.greedy.best_of = 1
+            p.temperature_inc = 0
+            return whisper_full(ctx, p, audio)
+
+        res_dev = run(True)
+        res_host = run(False)
+        toks_dev = [[t.id for t in s.tokens] for s in res_dev.segments]
+        toks_host = [[t.id for t in s.tokens] for s in res_host.segments]
+        assert toks_dev == toks_host
+        assert [s.text for s in res_dev.segments] == \
+               [s.text for s in res_host.segments]
+
+    def test_oversized_grammar_falls_back(self):
+        """A grammar over the state/transition budget returns None."""
+        from open_whisper_kit_tpu.decode.full import WhisperContext
+        import jax.numpy as jnp
+        import pathlib
+        stub = pathlib.Path("/root/reference/models/for-tests-ggml-tiny.en.bin")
+        if not stub.exists():
+            pytest.skip("reference stub model not available")
+        ctx = WhisperContext.from_file(str(stub), dtype=jnp.float32)
+        g = G.Grammar.from_gbnf('root ::= [a-z]*')
+        assert G.build_token_dfa(g, ctx.vocab, max_states=4,
+                                 max_transitions=100) is None
