@@ -114,6 +114,23 @@ class GGUFWriter:
     def add_string(self, key: str, v: str):
         self._kv.append((key, _T_STR, v))
 
+    def add_bool(self, key: str, v: bool):
+        self._kv.append((key, _T_BOOL, bool(v)))
+
+    def add_array(self, key: str, vals, etype: int | None = None):
+        """Array KV: list of str, or a numeric list/ndarray (f32/i32/u32)."""
+        vals = list(vals) if not isinstance(vals, np.ndarray) else vals
+        if etype is None:
+            if len(vals) and isinstance(vals[0], str):
+                etype = _T_STR
+            elif isinstance(vals, np.ndarray) and vals.dtype.kind == "f":
+                etype = _T_F32
+            elif len(vals) and isinstance(vals[0], float):
+                etype = _T_F32
+            else:
+                etype = _T_I32
+        self._kv.append((key, _T_ARR, (etype, list(vals))))
+
     def add_tensor(self, name: str, data: np.ndarray, ggml_type: int | None = None):
         data = np.ascontiguousarray(data)
         if ggml_type is None:
@@ -146,6 +163,16 @@ class GGUFWriter:
                 out += struct.pack("<f", v)
             elif vtype == _T_STR:
                 out += s(v)
+            elif vtype == _T_BOOL:
+                out += struct.pack("<B", 1 if v else 0)
+            elif vtype == _T_ARR:
+                etype, vals = v
+                out += struct.pack("<I", etype) + struct.pack("<Q", len(vals))
+                for x in vals:
+                    if etype == _T_STR:
+                        out += s(x)
+                    else:
+                        out += struct.pack(_SCALAR_FMT[etype], x)
             else:
                 raise ValueError(f"unsupported kv type {vtype}")
 
