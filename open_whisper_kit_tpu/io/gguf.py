@@ -91,6 +91,14 @@ def _read_value(f, vtype: int):
     raise ValueError(f"GGUF: unknown value type {vtype}")
 
 
+class _RawTensor:
+    """Pre-encoded payload + logical shape for GGUFWriter.add_tensor_raw."""
+
+    def __init__(self, raw: np.ndarray, logical_shape: tuple[int, ...]):
+        self.raw = raw
+        self.logical_shape = logical_shape
+
+
 class GGUFWriter:
     """Minimal GGUF v3 writer (converter tooling + test fixtures).
 
@@ -130,6 +138,15 @@ class GGUFWriter:
             else:
                 etype = _T_I32
         self._kv.append((key, _T_ARR, (etype, list(vals))))
+
+    def add_tensor_raw(self, name: str, raw: bytes, shape: tuple[int, ...],
+                       ggml_type: int):
+        """Pre-encoded tensor payload (e.g. quantized blocks) with its
+        LOGICAL element shape; raw length must match the block format."""
+        arr = np.frombuffer(raw, np.uint8)
+        arr = arr.copy()
+        arr.shape = (len(raw),)
+        self._tensors.append((name, _RawTensor(arr, tuple(shape)), ggml_type))
 
     def add_tensor(self, name: str, data: np.ndarray, ggml_type: int | None = None):
         data = np.ascontiguousarray(data)
@@ -179,7 +196,11 @@ class GGUFWriter:
         offset = 0
         blobs = []
         for name, data, ttype in self._tensors:
-            dims = list(reversed(data.shape))  # gguf dims: fastest first
+            shape = data.shape if not isinstance(data, _RawTensor) \
+                else data.logical_shape
+            if isinstance(data, _RawTensor):
+                data = data.raw
+            dims = list(reversed(shape))       # gguf dims: fastest first
             out += s(name)
             out += struct.pack("<I", len(dims))
             for d in dims:

@@ -129,6 +129,99 @@ class TestLoader:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+class TestQuantizedGGUF:
+    """A quantized llama GGUF (mixed q4_0 / q8_0 / q4_K / q6_K tensors,
+    written via GGUFWriter.add_tensor_raw) loads through the same
+    params_from_gguf path: every weight must equal the host-side
+    dequantization of the exact raw blocks (llama.cpp loads such files
+    via ggml dequant; reference examples/talk-llama runs q4/q8 models)."""
+
+    def test_quantized_tensors_roundtrip(self, tmp_path):
+        from open_whisper_kit_tpu.io import quant as Q
+        from open_whisper_kit_tpu.io.ggml_writer import _encode_tensor
+
+        t = TINY
+        S, F, V = t["embd"], t["ff"], t["vocab"]
+        kvd = t["heads_kv"] * (S // t["heads"])
+        rng = np.random.default_rng(7)
+        r = lambda *sh: (rng.standard_normal(sh)
+                         / np.sqrt(sh[-1])).astype(np.float32)
+
+        path = tmp_path / "tiny-q.gguf"
+        w = GGUFWriter(path)
+        w.add_string("general.architecture", "llama")
+        w.add_uint32("llama.embedding_length", S)
+        w.add_uint32("llama.block_count", 1)
+        w.add_uint32("llama.attention.head_count", t["heads"])
+        w.add_uint32("llama.attention.head_count_kv", t["heads_kv"])
+        w.add_uint32("llama.feed_forward_length", F)
+        w.add_uint32("llama.context_length", t["ctx"])
+        w.add_uint32("llama.vocab_size", V)
+        w.add_float32("llama.rope.freq_base", 10000.0)
+        w.add_float32("llama.attention.layer_norm_rms_epsilon", 1e-5)
+        tokens, scores, ttype = _spm_vocab_lists()
+        pad = V - len(tokens)
+        w.add_string("tokenizer.ggml.model", "llama")
+        w.add_array("tokenizer.ggml.tokens",
+                    tokens + [f"<extra{i}>" for i in range(pad)])
+        w.add_array("tokenizer.ggml.scores",
+                    np.asarray(scores + [0.0] * pad, np.float32))
+        w.add_array("tokenizer.ggml.token_type",
+                    np.asarray(ttype + [1] * pad, np.int32))
+
+        # per-tensor ggml type, mirroring a llama.cpp Q4_K_M-style mix
+        plan = {
+            "token_embd.weight": (r(V, S), Q.GGML_TYPE_Q8_0),
+            "output_norm.weight": (np.abs(r(S)) + 0.5, Q.GGML_TYPE_F32),
+            "output.weight": (r(V, S), Q.GGML_TYPE_Q6_K),
+            "blk.0.attn_norm.weight": (np.abs(r(S)) + 0.5, Q.GGML_TYPE_F32),
+            "blk.0.attn_q.weight": (r(S, S), Q.GGML_TYPE_Q4_0),
+            "blk.0.attn_k.weight": (r(kvd, S), Q.GGML_TYPE_Q4_K),
+            "blk.0.attn_v.weight": (r(kvd, S), Q.GGML_TYPE_Q8_0),
+            "blk.0.attn_output.weight": (r(S, S), Q.GGML_TYPE_Q4_0),
+            "blk.0.ffn_norm.weight": (np.abs(r(S)) + 0.5, Q.GGML_TYPE_F32),
+            "blk.0.ffn_gate.weight": (r(F, S), Q.GGML_TYPE_Q4_K),
+            "blk.0.ffn_up.weight": (r(F, S), Q.GGML_TYPE_Q8_0),
+            "blk.0.ffn_down.weight": (r(S, F), Q.GGML_TYPE_Q6_K),
+        }
+        raws = {}
+        for name, (data, ttyp) in plan.items():
+            if ttyp == Q.GGML_TYPE_F32:
+                w.add_tensor(name, data)
+            else:
+                raw = _encode_tensor(data, ttyp)
+                raws[name] = (raw, ttyp, data.shape)
+                w.add_tensor_raw(name, raw, data.shape, ttyp)
+        w.write()
+
+        gf = load_gguf(path)
+        # every quantized tensor dequantizes to exactly the host dequant
+        # of the raw blocks we wrote (same code path llama.cpp validates
+        # block-by-block)
+        for name, (raw, ttyp, shape) in raws.items():
+            got = gf.tensors[name].to_float()
+            want = Q.dequantize(raw, ttyp, int(np.prod(shape)))
+            np.testing.assert_array_equal(
+                got.reshape(-1), want, err_msg=name)
+            assert gf.tensors[name].ggml_type == ttyp
+
+        # and the model builds + runs from it
+        cfg, params = LM.params_from_gguf(gf, dtype=jnp.float32)
+        assert cfg.n_layer == 1
+        kk, kv = LM.init_kv_cache(cfg, 1, 16, jnp.float32)
+        logits, _, _ = LM.forward(
+            cfg, params, jnp.asarray([[1, 5, 9]], jnp.int32), kk, kv,
+            jnp.asarray(0, jnp.int32))
+        assert np.isfinite(np.asarray(logits)).all()
+
+        # quant error itself is bounded: q4_0 worst grid step ~ amax/7
+        wq = np.asarray(params["blocks"]["wq"][0]).T      # (out, in) back
+        orig = LM._unpermute_rope(
+            Q.dequantize(*raws["blk.0.attn_q.weight"][:2],
+                         S * S).reshape(S, S), cfg.n_head)
+        np.testing.assert_allclose(wq, orig, atol=1e-6)
+
+
 class TestHFOracle:
     """Independent numerics check: the same random weights through
     HuggingFace transformers' LlamaForCausalLM must produce the same
