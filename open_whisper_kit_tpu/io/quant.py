@@ -29,12 +29,17 @@ GGML_TYPE_Q4_K = 12
 GGML_TYPE_Q5_K = 13
 GGML_TYPE_Q6_K = 14
 GGML_TYPE_Q8_K = 15
+GGML_TYPE_IQ4_NL = 20
+GGML_TYPE_IQ4_XS = 23
 GGML_TYPE_I8 = 24
 GGML_TYPE_I16 = 25
 GGML_TYPE_I32 = 26
 GGML_TYPE_I64 = 27
 GGML_TYPE_F64 = 28
 GGML_TYPE_BF16 = 30
+GGML_TYPE_TQ1_0 = 34
+GGML_TYPE_TQ2_0 = 35
+GGML_TYPE_MXFP4 = 39
 
 QK = 32       # simple-quant block size
 QK_K = 256    # K-quant super-block size
@@ -45,6 +50,9 @@ TYPE_NAMES = {
     GGML_TYPE_Q5_1: "q5_1", GGML_TYPE_Q8_0: "q8_0",
     GGML_TYPE_Q2_K: "q2_K", GGML_TYPE_Q3_K: "q3_K", GGML_TYPE_Q4_K: "q4_K",
     GGML_TYPE_Q5_K: "q5_K", GGML_TYPE_Q6_K: "q6_K", GGML_TYPE_Q8_K: "q8_K",
+    GGML_TYPE_IQ4_NL: "iq4_nl", GGML_TYPE_IQ4_XS: "iq4_xs",
+    GGML_TYPE_TQ1_0: "tq1_0", GGML_TYPE_TQ2_0: "tq2_0",
+    GGML_TYPE_MXFP4: "mxfp4",
     GGML_TYPE_I8: "i8", GGML_TYPE_I16: "i16", GGML_TYPE_I32: "i32",
     GGML_TYPE_I64: "i64", GGML_TYPE_F64: "f64",
 }
@@ -70,6 +78,11 @@ _BLOCK_INFO = {
     GGML_TYPE_Q5_K: (QK_K, 4 + 12 + QK_K // 8 + QK_K // 2),
     GGML_TYPE_Q6_K: (QK_K, QK_K // 2 + QK_K // 4 + QK_K // 16 + 2),
     GGML_TYPE_Q8_K: (QK_K, 4 + QK_K + QK_K // 16 * 2),
+    GGML_TYPE_IQ4_NL: (QK, 2 + QK // 2),          # fp16 d + 16B nl nibbles
+    GGML_TYPE_IQ4_XS: (QK_K, 2 + 2 + QK_K // 64 + QK_K // 2),
+    GGML_TYPE_TQ1_0: (QK_K, 2 + QK_K // 64 + (QK_K - 4 * QK_K // 64) // 5),
+    GGML_TYPE_TQ2_0: (QK_K, 2 + QK_K // 4),
+    GGML_TYPE_MXFP4: (QK, 1 + QK // 2),           # u8 e8m0 + 16B e2m1
 }
 
 QUANTIZED_TYPES = frozenset(
@@ -173,6 +186,16 @@ def dequantize(raw: bytes | np.ndarray, ggml_type: int, n_elems: int) -> np.ndar
         return _dequant_q6_k(blocks)
     if t == GGML_TYPE_Q8_K:
         return _dequant_q8_k(blocks)
+    if t == GGML_TYPE_IQ4_NL:
+        return _dequant_iq4_nl(blocks)
+    if t == GGML_TYPE_IQ4_XS:
+        return _dequant_iq4_xs(blocks)
+    if t == GGML_TYPE_TQ1_0:
+        return _dequant_tq1_0(blocks)
+    if t == GGML_TYPE_TQ2_0:
+        return _dequant_tq2_0(blocks)
+    if t == GGML_TYPE_MXFP4:
+        return _dequant_mxfp4(blocks)
 
     raise NotImplementedError(f"dequantize: unsupported ggml type {type_name(t)}")
 
@@ -248,6 +271,97 @@ def _dequant_q8_k(blocks: np.ndarray) -> np.ndarray:
     d = blocks[:, :4].copy().view(np.float32)             # (nb, 1)
     q = blocks[:, 4:260].copy().view(np.int8).astype(np.float32)
     return (q * d).reshape(-1)
+
+
+# IQ4 non-linear 4-bit grid and MXFP4 e2m1 value table (doubled), both
+# fixed by the formats (ggml/src/ggml-common.h kvalues_iq4nl/kvalues_mxfp4)
+_KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89,
+     113], np.float32)
+_KVALUES_MXFP4 = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12], np.float32)
+
+
+def _dequant_iq4_nl(blocks: np.ndarray) -> np.ndarray:
+    """block_iq4_nl: f16 d + u8 qs[16]; nibble indexes the fixed non-linear
+    16-value grid (dequantize_row_iq4_nl, ggml/src/ggml-quants.c:2512)."""
+    d = _f16(blocks[:, :2].copy().view(np.uint16))        # (nb, 1)
+    q = blocks[:, 2:]
+    vals = _KVALUES_IQ4NL[
+        np.concatenate([q & 0x0F, q >> 4], axis=1)]       # (nb, 32)
+    return (vals * d).reshape(-1)
+
+
+def _dequant_iq4_xs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq4_xs: f16 d, u16 scales_h, u8 scales_l[4], u8 qs[128];
+    per-32 sub-block 6-bit scale (4 low bits from scales_l nibbles, 2 high
+    from scales_h), values on the iq4_nl grid
+    (dequantize_row_iq4_xs, ggml/src/ggml-quants.c:2530)."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))[:, 0]     # (nb,)
+    scales_h = blocks[:, 2:4].copy().view(np.uint16)[:, 0].astype(np.uint32)
+    scales_l = blocks[:, 4:8]                                  # (nb, 4)
+    qs = blocks[:, 8:]                                         # (nb, 128)
+    out = np.empty((nb, 256), np.float32)
+    for ib in range(8):
+        ls = (((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0xF).astype(
+            np.uint32) | (((scales_h >> (2 * ib)) & 3) << 4))
+        dl = d * (ls.astype(np.float32) - 32.0)
+        qb = qs[:, 16 * ib:16 * ib + 16]
+        vals = _KVALUES_IQ4NL[np.concatenate([qb & 0x0F, qb >> 4], axis=1)]
+        out[:, 32 * ib:32 * ib + 32] = vals * dl[:, None]
+    return out.reshape(-1)
+
+
+def _dequant_tq1_0(blocks: np.ndarray) -> np.ndarray:
+    """block_tq1_0: u8 qs[48] (5 ternary digits per byte, base-3 packed),
+    u8 qh[4] (4 digits per byte), f16 d; digit extraction is the
+    fixed-point trick ((q * 3) >> 8 over q pre-multiplied by 3^n)
+    (dequantize_row_tq1_0, ggml/src/ggml-quants.c:2215)."""
+    nb = blocks.shape[0]
+    qs = blocks[:, :48]
+    qh = blocks[:, 48:52]
+    d = _f16(blocks[:, 52:54].copy().view(np.uint16))[:, 0]   # (nb,)
+    pow3 = np.array([1, 3, 9, 27, 81], np.uint8)
+    out = np.empty((nb, 256), np.float32)
+
+    def digits(qbytes, n_digits):
+        # (nb, W) bytes -> (nb, n_digits, W) ternary digits - 1
+        q = (qbytes[:, None, :] * pow3[None, :n_digits, None])  # u8 wraps
+        return (((q.astype(np.uint16) * 3) >> 8).astype(np.int8) - 1)
+
+    out[:, :160] = digits(qs[:, :32], 5).reshape(nb, 160)
+    out[:, 160:240] = digits(qs[:, 32:48], 5).reshape(nb, 80)
+    out[:, 240:256] = digits(qh, 4).reshape(nb, 16)
+    return (out * d[:, None]).reshape(-1)
+
+
+def _dequant_tq2_0(blocks: np.ndarray) -> np.ndarray:
+    """block_tq2_0: u8 qs[64] (2 bits per element), f16 d; element order is
+    [32-byte group][bit-pair plane][byte]
+    (dequantize_row_tq2_0, ggml/src/ggml-quants.c:2254)."""
+    nb = blocks.shape[0]
+    qs = blocks[:, :64]
+    d = _f16(blocks[:, 64:66].copy().view(np.uint16))[:, 0]
+    out = np.empty((nb, 256), np.float32)
+    for half, j in enumerate((0, 32)):
+        qb = qs[:, j:j + 32]
+        for l in range(4):
+            q2 = ((qb >> (2 * l)) & 3).astype(np.float32) - 1.0
+            base = 128 * half + 32 * l
+            out[:, base:base + 32] = q2
+    return (out * d[:, None]).reshape(-1)
+
+
+def _dequant_mxfp4(blocks: np.ndarray) -> np.ndarray:
+    """block_mxfp4: u8 e (E8M0 shared scale), u8 qs[16] (e2m1 nibbles on
+    the doubled-value table, so the effective scale is 2^(e-128))
+    (dequantize_row_mxfp4, ggml/src/ggml-quants.c:417)."""
+    e = blocks[:, 0].astype(np.int32)
+    q = blocks[:, 1:]
+    d = np.ldexp(1.0, e - 128).astype(np.float32)         # (nb,)
+    vals = _KVALUES_MXFP4[np.concatenate([q & 0x0F, q >> 4], axis=1)]
+    return (vals * d[:, None]).reshape(-1)
 
 
 def _kquant_scales_mins(sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -62,6 +62,8 @@ TYPES = [
     quant.GGML_TYPE_Q5_1, quant.GGML_TYPE_Q8_0, quant.GGML_TYPE_Q2_K,
     quant.GGML_TYPE_Q3_K, quant.GGML_TYPE_Q4_K, quant.GGML_TYPE_Q5_K,
     quant.GGML_TYPE_Q6_K, quant.GGML_TYPE_Q8_K,
+    quant.GGML_TYPE_IQ4_NL, quant.GGML_TYPE_IQ4_XS,
+    quant.GGML_TYPE_TQ1_0, quant.GGML_TYPE_TQ2_0, quant.GGML_TYPE_MXFP4,
 ]
 
 
