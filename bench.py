@@ -209,6 +209,21 @@ def main():
         e2e4_best = min(e2e4_best, time.perf_counter() - t0)
     e2e4_rtf = 30.0 / e2e4_best
 
+    # beam-5 quality mode end-to-end, through the beam megakernel
+    # (origin-table lineage, int4 planes — the Bch5 serving path)
+    from open_whisper_kit_tpu.decode.params import SamplingStrategy
+    fpb = FullParams(print_progress=False, megakernel="int4",
+                     strategy=SamplingStrategy.BEAM_SEARCH)
+    fpb.beam_search.beam_size = 5
+    fpb.temperature_inc = 0
+    F.whisper_full(ctx, fpb, audio)         # warm
+    e2eb_best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        F.whisper_full(ctx, fpb, audio)
+        e2eb_best = min(e2eb_best, time.perf_counter() - t0)
+    e2eb_rtf = 30.0 / e2eb_best
+
     # ---- decoder with runtime int8 logits (decoder_int8 path) ----
     dec8_loop = make_dec_loop(1, K)
     float(dec8_loop(dec_int8_full, xk, xv))
@@ -259,6 +274,44 @@ def main():
     float(mega_loop(*args4))
     mega4_s = (time.perf_counter() - t0) / K
 
+    # ---- beam-5 megakernel: all beams in one kernel launch through one
+    # weight stream; per-step beam reorder is an origin-table update
+    # (lineage masking — NO physical KV gather; see
+    # ops/decode_megakernel.beam_attn_bias). tools/bench_beam_ab.py is
+    # the A/B harness — the XLA batched step pays a physical reorder and
+    # measures ~2.0 ms/token on the same workload. ----
+    BB = 5
+    src = jnp.asarray((np.arange(BB) + 1) % BB, jnp.int32)
+
+    @jax.jit
+    def mega_beam_loop(mp, te, pe, xkn, xvn):
+        nk = jnp.zeros((L, BB, Tc, S), jnp.bfloat16)
+        nv = jnp.zeros((L, BB, Tc, S), jnp.bfloat16)
+        origin = jnp.broadcast_to(
+            jnp.arange(BB, dtype=jnp.int32)[:, None], (BB, Tc))
+
+        def body(carry, i):
+            toks, nk, nv, origin = carry
+            origin = jnp.take(origin, src, axis=0).at[:, i].set(
+                jnp.arange(BB, dtype=jnp.int32))
+            bias = MK.beam_attn_bias(origin, i, Tc)
+            x0 = (te[toks] + pe[i][None]).astype(jnp.bfloat16)
+            logits, nk, nv = MK.mega_decode_step_beam(
+                cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), nk, nv,
+                    origin), ()
+
+        (toks, _, _, _), _ = jax.lax.scan(
+            body, (jnp.zeros((BB,), jnp.int32), nk, nv, origin),
+            jnp.arange(K))
+        return jnp.sum(toks)
+
+    argsb = (mp4, dec_prepared["te"], dec_prepared["pe"], xk_nat, xv_nat)
+    float(mega_beam_loop(*argsb))
+    t0 = time.perf_counter()
+    float(mega_beam_loop(*argsb))
+    mega_b5_s = (time.perf_counter() - t0) / K
+
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
     baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
 
@@ -274,6 +327,7 @@ def main():
             "dec_mega_int4_ms_per_token": round(mega4_s * 1e3, 3),
             "dec_int8_ms_per_token": round(dec8_s * 1e3, 3),
             "bch5_ms_per_token": round(bch5_s * 1e3, 3),
+            "dec_mega_beam5_ms_per_token": round(mega_b5_s * 1e3, 3),
             "pp_ms_per_token": round(pp_s * 1e3, 4),
             "baseline_enc_ms": BASELINE_ENC_MS,
             "baseline_dec_ms": BASELINE_DEC_MS,
@@ -282,6 +336,7 @@ def main():
             "batched16_int8_audio_sec_per_sec": round(batched_q8_sps, 1),
             "e2e_whisper_full_rtf": round(e2e_rtf, 1),
             "e2e_whisper_full_int4_rtf": round(e2e4_rtf, 1),
+            "e2e_whisper_full_beam5_int4_rtf": round(e2eb_rtf, 1),
             "device": str(jax.devices()[0]),
         },
     }

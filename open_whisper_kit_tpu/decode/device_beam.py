@@ -49,6 +49,7 @@ class BeamSegmentResult(NamedTuple):
 class _Carry(NamedTuple):
     kv_k: jnp.ndarray
     kv_v: jnp.ndarray
+    origin: jnp.ndarray       # (B, n_ctx) KV lineage table (mega path)
     i: jnp.ndarray
     logits: jnp.ndarray       # (B, V)
     tokens: jnp.ndarray       # (B, n_max)
@@ -97,22 +98,33 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     B = beam_size
     token_beg, token_eot = rc.token_beg, rc.token_eot
 
-    # ---- prompt ingest on all beams ----
+    # ---- prompt ingest ----
     Tp = prompt.shape[1]
     if mega is not None:
         from ..ops import decode_megakernel as MK
         S = cfg.n_text_state
         L = cfg.n_text_layer
+        n_ctx = cfg.n_text_ctx
 
         def to_nat_b(a):      # (L, B, H, T, dh) head-major -> (L, B, T, S)
             return jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(
                 L, a.shape[1], a.shape[3], S)
 
-        hm_k, hm_v = M.init_kv_cache(cfg, B, dtype=kv_k.dtype)
-        logits_all, hm_k, hm_v, _ = M.decode_impl(
-            cfg, dec, jnp.broadcast_to(prompt, (B, Tp)), hm_k, hm_v,
-            jnp.int32(0), xk, xv, logits_pos=t_real - 1)
-        kv_k, kv_v = to_nat_b(hm_k), to_nat_b(hm_v)
+        # The origin table lets every beam attend cache SLOT 0's prompt
+        # rows, so the prompt is ingested ONCE (B=1), not per beam, and
+        # the per-beam caches start as zero-filled slots 1..B-1
+        hm_k, hm_v = M.init_kv_cache(cfg, 1, dtype=kv_k.dtype)
+        logits1, hm_k, hm_v, _ = M.decode_impl(
+            cfg, dec, prompt, hm_k, hm_v,
+            jnp.int32(0), xk[:, :1], xv[:, :1], logits_pos=t_real - 1)
+        nat1_k, nat1_v = to_nat_b(hm_k), to_nat_b(hm_v)
+        kv_k = jnp.pad(nat1_k, ((0, 0), (0, B - 1), (0, 0), (0, 0)))
+        kv_v = jnp.pad(nat1_v, ((0, 0), (0, B - 1), (0, 0), (0, 0)))
+        origin0 = jnp.where(
+            jnp.arange(n_ctx)[None, :] < t_real, jnp.int32(0),
+            jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                             (B, n_ctx)))
+        logits_all = jnp.broadcast_to(logits1, (B,) + logits1.shape[1:])
         xk_nat = to_nat_b(xk[:, 0:1])[:, 0]     # shared cross (L, Ta, S)
         xv_nat = to_nat_b(xv[:, 0:1])[:, 0]
         mega_interpret = jax.devices()[0].platform == "cpu"
@@ -120,11 +132,13 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         logits_all, kv_k, kv_v, _ = M.decode_impl(
             cfg, dec, jnp.broadcast_to(prompt, (B, Tp)), kv_k, kv_v,
             jnp.int32(0), xk, xv, logits_pos=t_real - 1)
+        origin0 = jnp.zeros((1, 1), jnp.int32)  # unused off the mega path
     last_logits = logits_all[:, 0]    # (B, V)
     nsp = LR.compute_no_speech_prob(last_logits[0], token_nosp)
 
     carry = _Carry(
-        kv_k=kv_k, kv_v=kv_v, i=jnp.int32(0), logits=last_logits,
+        kv_k=kv_k, kv_v=kv_v, origin=origin0, i=jnp.int32(0),
+        logits=last_logits,
         tokens=jnp.zeros((B, n_max), jnp.int32),
         p=jnp.zeros((B, n_max), jnp.float32),
         plog=jnp.zeros((B, n_max), jnp.float32),
@@ -212,8 +226,16 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         def g(x):
             return x[new_src]
 
-        kv_k2 = jnp.take(c.kv_k, new_src, axis=1)
-        kv_v2 = jnp.take(c.kv_v, new_src, axis=1)
+        if mega is not None:
+            # NO physical KV reorder: inherit lineage rows, claim slot b
+            # for this step's write (beam_attn_bias docstring)
+            kv_k2, kv_v2 = c.kv_k, c.kv_v
+            origin2 = jnp.take(c.origin, new_src, axis=0).at[
+                :, t_real + i].set(jnp.arange(B, dtype=jnp.int32))
+        else:
+            kv_k2 = jnp.take(c.kv_k, new_src, axis=1)
+            kv_v2 = jnp.take(c.kv_v, new_src, axis=1)
+            origin2 = c.origin
         tokens = g(c.tokens)
         p_buf = g(c.p)
         plog_buf = g(c.plog)
@@ -285,16 +307,18 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         if mega is not None:
             x0 = (dec["te"][new_tok]
                   + dec["pe"][t_real + i][None, :]).astype(jnp.bfloat16)
+            bias = MK.beam_attn_bias(origin2, t_real + i, cfg.n_text_ctx)
             new_logits, kv_k2, kv_v2 = MK.mega_decode_step_beam(
                 cfg, mega, x0, kv_k2, kv_v2, t_real + i, xk_nat, xv_nat,
-                interpret=mega_interpret)
+                attn_bias=bias, interpret=mega_interpret)
         else:
             step_logits, kv_k2, kv_v2, _ = M.decode_impl(
                 cfg, dec, new_tok[:, None], kv_k2, kv_v2, t_real + i, xk, xv)
             new_logits = step_logits[:, 0]
 
         return _Carry(
-            kv_k=kv_k2, kv_v=kv_v2, i=i + 1, logits=new_logits,
+            kv_k=kv_k2, kv_v=kv_v2, origin=origin2, i=i + 1,
+            logits=new_logits,
             tokens=tokens, p=p_buf, plog=plog_buf, pt=pt_buf, ptsum=pts_buf,
             tid=tid_buf, seq_hash1=h1, seq_hash2=h2, sum_lp=sum_lp,
             last_was_ts=jnp.where(wr, is_ts_tok, last_was),

@@ -686,10 +686,14 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
         kv_k = jnp.zeros((cfg.n_text_layer, n_dec, cfg.n_text_ctx,
                           cfg.n_text_state), ctx.dtype)
         kv_v = kv_k
+        # prompt ingest is single-slot (origin table shares slot 0's
+        # prompt rows across beams) and cross-KV is shared in-kernel:
+        # no beam broadcast needed
+        xk_b, xv_b = xk, xv
     else:
         kv_k, kv_v = M.init_kv_cache(cfg, n_dec, dtype=ctx.dtype)
-    xk_b = _repeat_kv(xk, n_dec)
-    xv_b = _repeat_kv(xv, n_dec)
+        xk_b = _repeat_kv(xk, n_dec)
+        xv_b = _repeat_kv(xv, n_dec)
     toks, T_real = _pad_prompt(cfg, prompt)
     from . import device_beam as DB
     n_max = cfg.n_text_ctx // 2 - 4

@@ -233,6 +233,35 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
         teT=teT)
 
 
+def beam_attn_bias(origin: jnp.ndarray, head, Tc: int,
+                   M: int = 8) -> jnp.ndarray:
+    """Origin (lineage) table -> additive attention bias for the beam
+    megakernel's time-concatenated self-attention.
+
+    origin: (B, Tc) int32; origin[b, t] = index of the CACHE SLOT that
+    holds beam b's K/V row for decode position t. Maintained by the beam
+    loop instead of physically gathering the (L, B, Tc, S) caches on
+    every reorder (the reference's whisper_kv_cache_seq_cp /
+    reorder_kv): after a reorder with source map src,
+        origin = origin[src] ;  origin = origin.at[:, head].set(arange(B))
+    — an O(B*Tc) int32 shuffle instead of O(L*B*Tc*S) bf16 traffic.
+
+    head: current decode row (this step attends t <= head).
+    Returns (M, B*Tcp) f32 of 0 / -inf where Tcp = 16-aligned Tc; rows
+    b >= B (sublane padding) reuse beam B-1's lineage so their softmax
+    stays finite (outputs discarded).
+    """
+    B, Tc0 = origin.shape
+    assert Tc0 == Tc
+    Tcp = -(-Tc // 16) * 16
+    org = jnp.pad(origin, ((0, M - B), (0, Tcp - Tc)), constant_values=-1)
+    org = jnp.where(jnp.arange(M)[:, None] >= B, org[B - 1][None, :], org)
+    ok = ((org[:, None, :] == jnp.arange(B)[None, :, None])
+          & (jnp.arange(Tcp)[None, None, :] <= head))       # (M, B, Tcp)
+    return jnp.where(ok.reshape(M, B * Tcp), 0.0, NEG_INF).astype(
+        jnp.float32)
+
+
 def _ln_rows(x32, w, b, eps):
     """f32 layernorm over the last axis (ggml_norm's f32 stats)."""
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -248,7 +277,8 @@ _STAGES = (("qkv_w", 1, 3, "A"), ("o_w", 1, 1, "A"), ("cq_w", 1, 1, "A"),
 
 def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                  qmap: dict, ta_valid: int | None = None,
-                 tile_boost: bool = True, n_beams: int = 1):
+                 tile_boost: bool = True, n_beams: int = 1,
+                 use_bias: bool = False, per_row_cross: bool = False):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
     padded vocab; qmap: field name -> None | "int8" | "int4" (plane kind).
@@ -259,7 +289,17 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     cross-attention (whose KV is SHARED across beams — the big
     amortization vs the XLA batched step) are unchanged; only
     self-attention splits per beam, against per-beam caches
-    kv (L, B, Tc, S) with a per-beam row patch + write-back."""
+    kv (L, B, Tc, S) with a per-beam row patch + write-back.
+
+    per_row_cross (batched-serving mode): the M rows are B INDEPENDENT
+    audio streams, so each row has its OWN cross-KV (L, B, Ta, S). The
+    full per-stream cross set (~63 MB/layer at turbo B=8) cannot be
+    VMEM-resident, so cross-attention goes BLOCKED: (B, Tac)-row time
+    chunks stream through a double buffer and a flash-style online
+    softmax (running max / sum / output per head, register-resident)
+    accumulates across chunks. Ta must be a multiple of Tac (wrapper
+    pads). This is the whisper_full_parallel serving analog: one weight
+    stream feeds B streams (decode/batch.py wires it)."""
     if ta_valid is None:
         ta_valid = Ta
     from jax.experimental import pallas as pl
@@ -295,6 +335,11 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     TN_A_Q4 = max((TN[f] for f in a_fields if qmap[f] == "int4"), default=0)
     Tcp = -(-Tc // 16) * 16                  # bf16 sublane padding
     Tap = -(-Ta // 16) * 16
+    TAC = 128                                # cross chunk rows (per stream)
+    if per_row_cross:
+        assert B > 1 and not use_bias
+        assert Tap % TAC == 0, (Tap, TAC)    # wrapper pads Ta to TAC
+        NCC = Tap // TAC                     # chunks per layer
     # pool -> (used, K, TN_max); suffix D dense bf16 (K, TN) tiles,
     # Q int8 (K, TN) + (K/32, TN) scales, Q4 packed int4 (K/2, TN) + scales
     pools = {
@@ -305,7 +350,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
         "BQ": (qmap["mlp1_w"] == "int8", 4 * S, TN["mlp1_w"]),
         "BQ4": (qmap["mlp1_w"] == "int4", 4 * S, TN["mlp1_w"]),
     }
-    dims = dict(M=M, NB=NB, Tcp=Tcp, Tap=Tap, pools=pools, B=B)
+    dims = dict(M=M, NB=NB, Tcp=Tcp, Tap=Tap, pools=pools, B=B, TAC=TAC)
 
     def attend(q16, kbuf, vbuf, n_valid, scale):
         """Packed-slice attention: q16 (M, S) bf16, kbuf/vbuf (Tpad, S)
@@ -327,10 +372,50 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             outs.append(jnp.dot(p, va, preferred_element_type=jnp.float32))
         return jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
 
+    def attend_beams(q16, kbuf, vbuf, n_valid, scale, bias=None):
+        """Per-beam self-attention in ONE dot per head: the B per-beam
+        caches live time-concatenated in a FLAT (B*Tcp, S) VMEM buffer
+        (beam b's rows at [b*Tcp, b*Tcp+Tc)), so head slices are plain
+        2D strided slices exactly like the greedy attend — a (B, Tcp, S)
+        scratch would force a per-head relayout copy at the
+        slice+reshape. Row b of the M=8 sublane block masks to its own
+        beam's window [b*Tcp, b*Tcp + n_valid). Replaces B separate
+        attend() calls (B*H latency-bound small dots + B full softmaxes,
+        of which only one row each survived) with the greedy kernel's
+        dot count.
+
+        bias (M, B*Tcp) f32 (0 / -inf), when given, REPLACES the window
+        mask: element [b, j*Tcp + t] == 0 means beam row b may attend
+        cache slot j's row at time t. Built from an origin (lineage)
+        table by beam_attn_bias — this is what makes the per-step
+        physical KV reorder unnecessary (the kernel already scores every
+        beam against ALL slots; lineage is just masking)."""
+        Tcat = B * Tcp
+        if bias is None:
+            row = jax.lax.broadcasted_iota(jnp.int32, (M, Tcat), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (M, Tcat), 1)
+            base = jnp.minimum(row, B - 1) * Tcp  # pad rows reuse beam B-1
+            valid = (col >= base) & (col < base + n_valid)
+        outs = []
+        for h in range(H):
+            qa = q16[:, h * dh:(h + 1) * dh]
+            ka = kbuf[:, h * dh:(h + 1) * dh]                    # (Tcat, dh)
+            va = vbuf[:, h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(
+                qa, ka, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale      # (M, Tcat)
+            s = s + bias if bias is not None else jnp.where(valid, s, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(jnp.bfloat16)
+            outs.append(jnp.dot(p, va, preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
+
     def kernel(*refs):
         it = iter(refs)
         head_ref = next(it)                    # SMEM (1,1) i32
         x_ref = next(it)                       # VMEM (M, S) bf16
+        bias_ref = next(it) if use_bias else None  # VMEM (M, B*Tcp) f32
         lnw_ref, lnb_ref = next(it), next(it)  # VMEM (3L+1, S) bf16
         biases = {n: next(it) for n in ("qkv_b", "o_b", "cq_b", "co_b",
                                         "mlp0_b", "mlp1_b")}
@@ -426,6 +511,11 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                     # halves. Bitwise i32 unpack: an arithmetic variant
                     # (floor(q/16) etc.) measured 349 vs 297 us/token -
                     # Mosaic's f32 floor chain costs more than shift/mask.
+                    # A zero-point fold (unsigned nibbles, -8 moved into a
+                    # per-32-block correction dot) was also tried and
+                    # rejected: beam A/B null, and the big-minus-big
+                    # cancellation amplifies bf16 rounding ~2x
+                    # (docs/ROADMAP.md).
                     k2 = nk // 2
                     nb2 = k2 // QK
                     w32 = pbuf[pool][slot, pl.ds(0, k2),
@@ -462,8 +552,45 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                     pltpu.make_async_copy(xv_ref.at[il], cvbuf.at[slot],
                                           csem.at[2 * slot + 1]))
 
-        for d in cross_dma(0, 0):
-            d.start()
+        if per_row_cross:
+            # (B, TAC)-row cross chunks stream in (il, c) order through the
+            # 2-slot double buffer; chunk g+1 is in flight while g computes
+            cross_sched = [(il_, c_) for il_ in range(L)
+                           for c_ in range(NCC)]
+            cross_state = {"started": 0, "pending": {}}
+
+            def cross_chunk_dmas(il_, c_, slot):
+                out = []
+                for bb in range(B):
+                    out.append(pltpu.make_async_copy(
+                        xk_ref.at[il_, bb, pl.ds(c_ * TAC, TAC), :],
+                        ckbuf.at[slot, pl.ds(bb * TAC, TAC), :],
+                        csem.at[2 * slot]))
+                    out.append(pltpu.make_async_copy(
+                        xv_ref.at[il_, bb, pl.ds(c_ * TAC, TAC), :],
+                        cvbuf.at[slot, pl.ds(bb * TAC, TAC), :],
+                        csem.at[2 * slot + 1]))
+                return out
+
+            def cross_ensure(n):
+                while cross_state["started"] < min(n, len(cross_sched)):
+                    g = cross_state["started"]
+                    il_, c_ = cross_sched[g]
+                    dmas = cross_chunk_dmas(il_, c_, g % 2)
+                    for d in dmas:
+                        d.start()
+                    cross_state["pending"][g] = dmas
+                    cross_state["started"] += 1
+
+            def cross_wait(g):
+                cross_ensure(g + 2)
+                for d in cross_state["pending"].pop(g):
+                    d.wait()
+
+            cross_ensure(2)
+        else:
+            for d in cross_dma(0, 0):
+                d.start()
         ensure("A", 1 + LOOKAHEAD)
 
         x32 = x_ref[:].astype(jnp.float32)     # (M, S) residual stream
@@ -471,23 +598,27 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
         for il in range(L):                    # static unroll
             slot, nslot = il % 2, (il + 1) % 2
 
-            # self-cache read: overlaps the qkv matvec below
+            # self-cache read: overlaps the qkv matvec below. Beam mode
+            # copies each beam's (Tc, S) slab to rows [b*Tcp, b*Tcp+Tc)
+            # of the FLAT concat buffer (attend_beams layout note).
             if B == 1:
-                rk = pltpu.make_async_copy(kvk_ref.at[il],
-                                           kbuf.at[pl.ds(0, Tc), :],
-                                           ksem.at[0])
-                rv = pltpu.make_async_copy(kvv_ref.at[il],
-                                           vbuf.at[pl.ds(0, Tc), :],
-                                           ksem.at[1])
+                rks = [pltpu.make_async_copy(kvk_ref.at[il],
+                                             kbuf.at[pl.ds(0, Tc), :],
+                                             ksem.at[0])]
+                rvs = [pltpu.make_async_copy(kvv_ref.at[il],
+                                             vbuf.at[pl.ds(0, Tc), :],
+                                             ksem.at[1])]
             else:
-                rk = pltpu.make_async_copy(kvk_ref.at[il],
-                                           kbuf.at[:, pl.ds(0, Tc), :],
-                                           ksem.at[0])
-                rv = pltpu.make_async_copy(kvv_ref.at[il],
-                                           vbuf.at[:, pl.ds(0, Tc), :],
-                                           ksem.at[1])
-            rk.start()
-            rv.start()
+                rks = [pltpu.make_async_copy(
+                    kvk_ref.at[il, bb],
+                    kbuf.at[pl.ds(bb * Tcp, Tc), :], ksem.at[0])
+                    for bb in range(B)]
+                rvs = [pltpu.make_async_copy(
+                    kvv_ref.at[il, bb],
+                    vbuf.at[pl.ds(bb * Tcp, Tc), :], ksem.at[1])
+                    for bb in range(B)]
+            for d in rks + rvs:
+                d.start()
 
             # ---- self-attention ----
             h16 = _ln_rows(x32, lnw_ref[3 * il], lnb_ref[3 * il],
@@ -499,8 +630,8 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             k = qkv[:, S:2 * S] * jnp.bfloat16(kqscale)
             v = qkv[:, 2 * S:]
 
-            rk.wait()
-            rv.wait()
+            for d in rks + rvs:
+                d.wait()
             # Mosaic requires sublane-aligned stores and DMA slices: patch
             # row `head` via an aligned 8-row read-modify-write in VMEM,
             # then write that same (already-consistent) 8-row block back to
@@ -521,16 +652,19 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             else:
                 wk, wv = [], []
                 for bb in range(B):        # beam bb's new K/V row = row bb
-                    kbuf[bb, pl.ds(blk0, 8), :] = jnp.where(
-                        rsel, k[bb:bb + 1, :], kbuf[bb, pl.ds(blk0, 8), :])
-                    vbuf[bb, pl.ds(blk0, 8), :] = jnp.where(
-                        rsel, v[bb:bb + 1, :], vbuf[bb, pl.ds(blk0, 8), :])
+                    # flat offset: Tcp is 16-aligned so bb*Tcp+blk0 stays
+                    # 8-row aligned
+                    o = pl.multiple_of(bb * Tcp + blk0, 8)
+                    kbuf[pl.ds(o, 8), :] = jnp.where(
+                        rsel, k[bb:bb + 1, :], kbuf[pl.ds(o, 8), :])
+                    vbuf[pl.ds(o, 8), :] = jnp.where(
+                        rsel, v[bb:bb + 1, :], vbuf[pl.ds(o, 8), :])
                     wk.append(pltpu.make_async_copy(
-                        kbuf.at[bb, pl.ds(blk0, 8), :],
+                        kbuf.at[pl.ds(o, 8), :],
                         okvk_ref.at[il, bb, pl.ds(blk0, 8), :],
                         wrsem.at[0, bb]))
                     wv.append(pltpu.make_async_copy(
-                        vbuf.at[bb, pl.ds(blk0, 8), :],
+                        vbuf.at[pl.ds(o, 8), :],
                         okvv_ref.at[il, bb, pl.ds(blk0, 8), :],
                         wrsem.at[1, bb]))
             for d in wk + wv:
@@ -539,21 +673,17 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             if B == 1:
                 a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0)
             else:
-                # per-beam attention against that beam's cache; keep row b
-                # of each result (rows are beams)
-                rows = jax.lax.broadcasted_iota(jnp.int32, (M, S), 0)
-                a16 = None
-                for bb in range(B):
-                    a_b = attend(q, kbuf[bb], vbuf[bb], head + 1, 1.0)
-                    a16 = a_b if a16 is None else jnp.where(
-                        rows == bb, a_b, a16)
+                # row b attends its lineage (time-concat trick above)
+                a16 = attend_beams(
+                    q, kbuf, vbuf, head + 1, 1.0,
+                    bias=bias_ref[:] if use_bias else None)
             consume("A", a16, abuf, S, TN["o_w"])
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
                       + biases["o_b"][il][None, :])).astype(jnp.float32)
 
             # ---- cross-attention ----
-            if il + 1 < L:                     # prefetch next layer's cross
+            if not per_row_cross and il + 1 < L:   # prefetch next layer's
                 for d in cross_dma(il + 1, nslot):
                     d.start()
 
@@ -563,9 +693,50 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             cq = (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
                   + biases["cq_b"][il][None, :])
 
-            for d in cross_dma(il, slot):
-                d.wait()
-            ca16 = attend(cq, ckbuf[slot], cvbuf[slot], ta_valid, kqscale)
+            if per_row_cross:
+                # flash-style online softmax over (B, TAC)-row chunks;
+                # running (m, l, o) per head stay register-resident —
+                # ~(M, S) f32 of live state total.
+                BIG_NEG = jnp.float32(-1e30)   # not -inf: m starts here and
+                                               # exp(s - m) must stay finite
+                mrun = [jnp.full((M, 1), BIG_NEG) for _ in range(H)]
+                lrun = [jnp.zeros((M, 1), jnp.float32) for _ in range(H)]
+                orun = [jnp.zeros((M, dh), jnp.float32) for _ in range(H)]
+                rowb = jnp.minimum(jax.lax.broadcasted_iota(
+                    jnp.int32, (M, B * TAC), 0), B - 1)  # pad rows -> B-1
+                col = jax.lax.broadcasted_iota(jnp.int32, (M, B * TAC), 1)
+                t_in = col & (TAC - 1)                   # TAC power of 2
+                b_of = col >> (TAC.bit_length() - 1)     # col // TAC
+                for c in range(NCC):
+                    g = il * NCC + c
+                    cross_wait(g)
+                    cslot = g % 2
+                    valid = (b_of == rowb) & (c * TAC + t_in < ta_valid)
+                    for h in range(H):
+                        hs = slice(h * dh, (h + 1) * dh)
+                        s = jax.lax.dot_general(
+                            cq[:, hs], ckbuf[cslot][:, hs],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * kqscale
+                        s = jnp.where(valid, s, BIG_NEG)
+                        m_new = jnp.maximum(mrun[h],
+                                            jnp.max(s, axis=1, keepdims=True))
+                        alpha = jnp.exp(mrun[h] - m_new)
+                        e = jnp.exp(s - m_new)
+                        lrun[h] = lrun[h] * alpha + jnp.sum(
+                            e, axis=1, keepdims=True)
+                        orun[h] = orun[h] * alpha + jnp.dot(
+                            e.astype(jnp.bfloat16), cvbuf[cslot][:, hs],
+                            preferred_element_type=jnp.float32)
+                        mrun[h] = m_new
+                ca16 = jnp.concatenate(
+                    [orun[h] / lrun[h] for h in range(H)],
+                    axis=1).astype(jnp.bfloat16)
+            else:
+                for d in cross_dma(il, slot):
+                    d.wait()
+                ca16 = attend(cq, ckbuf[slot], cvbuf[slot], ta_valid,
+                              kqscale)
             consume("A", ca16, abuf, S, TN["co_w"])
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
@@ -724,14 +895,23 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                           kv_head: jnp.ndarray,
                           xk: jnp.ndarray, xv: jnp.ndarray,
+                          attn_bias: jnp.ndarray | None = None,
                           interpret: bool = False, tile_boost: bool = True):
     """One beam-search decode step for B <= 8 beams in ONE kernel launch.
 
     The beams ride the M=8 sublane rows through a SINGLE weight stream
     (same per-token weight traffic as greedy — the amortization the XLA
     batched step can't get) and share the cross-KV; each beam attends its
-    own self-cache. Beam reorder between steps is a host-side gather on
-    axis 1 (reorder_kv analog).
+    own self-cache.
+
+    Beam reorder between steps: either a host-side gather on axis 1
+    (reorder_kv analog; attn_bias=None, beam b == cache slot b), or —
+    the fast path — NO physical movement at all: pass
+    attn_bias=beam_attn_bias(origin, head, Tc) built from an origin
+    table (see beam_attn_bias) and the new K/V rows keep landing at
+    slot b while lineage is pure masking. This removes ~2*L*B*Tc*S
+    bytes/step of gather traffic (~92 MB at turbo B=5), the dominant
+    beam-step cost.
 
     x0: (B, S) bf16 per-beam token+pos embedding rows.
     kv_k/kv_v: (L, B, Tc, S) natural-layout per-beam self-KV (donated).
@@ -743,7 +923,8 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
 
     S = cfg.n_text_state
     Bm = x0.shape[0]
-    if Bm == 1:   # degenerate beam: the greedy kernel expects (L, Tc, S)
+    if Bm == 1:   # degenerate beam: the greedy kernel expects (L, Tc, S);
+        # a single slot has trivial lineage, so attn_bias is ignored
         logits, kv_k1, kv_v1 = mega_decode_step(
             cfg, mp, x0, kv_k[:, 0], kv_v[:, 0], kv_head, xk, xv,
             interpret=interpret, tile_boost=tile_boost)
@@ -767,9 +948,150 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
         xv = jnp.pad(xv, ((0, 0), (0, Tap - Ta), (0, 0)))
 
     kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
-                                tile_boost=tile_boost, n_beams=Bm)
+                                tile_boost=tile_boost, n_beams=Bm,
+                                use_bias=attn_bias is not None)
     M = dims["M"]
     NB = dims["NB"]
+    x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
+    head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    bf = jnp.bfloat16
+
+    operands = [head2d, x, mp.lnw, mp.lnb,
+                mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
+    if attn_bias is not None:
+        assert attn_bias.shape == (M, Bm * dims["Tcp"]), attn_bias.shape
+        operands.insert(2, attn_bias.astype(jnp.float32))
+        in_specs.insert(2, vmem())
+    for name in wfields:
+        w = getattr(mp, name)
+        if qmap[name]:
+            operands += [w.qs, w.sc]
+            in_specs += [hbm(), hbm()]
+        else:
+            operands.append(w)
+            in_specs.append(hbm())
+    kv_idx = len(operands)
+    operands += [kv_k, kv_v, xk, xv]
+    in_specs += [hbm()] * 4
+
+    scratch = []
+    for pname, (used, K, TNmax) in dims["pools"].items():
+        if not used:
+            continue
+        if pname.endswith("Q4"):
+            scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
+            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), bf))
+        elif pname.endswith("Q"):
+            scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
+            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
+        else:
+            scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
+    scratch += [
+        pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
+        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # kbuf (flat beams)
+        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # vbuf
+        pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf (shared)
+        pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
+    ]
+    for pname, (used, _k, _tn) in dims["pools"].items():
+        if not used:
+            continue
+        scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+        if not pname.endswith("D"):
+            scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),                   # ksem
+        pltpu.SemaphoreType.DMA((4,)),                   # csem
+        pltpu.SemaphoreType.DMA((2, Bm)),                # wrsem
+    ]
+
+    logits, kv_k, kv_v = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(vmem(), hbm(), hbm()),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, Vp), jnp.float32),
+            jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
+            jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
+        ),
+        input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # per-beam self-KV tiles add B * Tcp * S * 2 * 2 bytes (~12 MB
+            # at turbo B=5) on top of the ~15 MB cross double buffers
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+    return logits[0:Bm, :V], kv_k, kv_v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "tile_boost"),
+                   donate_argnames=("kv_k", "kv_v"))
+def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
+                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                           kv_head: jnp.ndarray,
+                           xk: jnp.ndarray, xv: jnp.ndarray,
+                           interpret: bool = False,
+                           tile_boost: bool = True):
+    """One greedy decode step for B <= 8 INDEPENDENT streams in ONE
+    kernel launch (the batched-serving analog of whisper_full_parallel,
+    reference src/whisper.cpp:7801-7929 — but one weight stream feeds
+    all B decoders instead of one graph launch per stream per token).
+
+    Differences from the beam kernel: every row has its OWN cross-KV
+    (different audio windows), so cross-attention runs BLOCKED — (B,
+    128)-row time chunks through a double buffer with a flash-style
+    online softmax (_make_kernel per_row_cross). Self-KV is the flat
+    per-slot concat with fixed block-diagonal masking (no lineage).
+
+    x0: (B, S) bf16 per-stream token+pos embedding rows.
+    kv_k/kv_v: (L, B, Tc, S) natural-layout per-stream self-KV (donated).
+    xk/xv: (L, B, Ta, S) PER-STREAM cross KV (xk pre-scaled d**-0.25).
+    kv_head: scalar decode position (streams advance in lockstep).
+    Returns (logits (B, V) f32, kv_k, kv_v).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = cfg.n_text_state
+    Bm = x0.shape[0]
+    if Bm == 1:
+        logits, kv_k1, kv_v1 = mega_decode_step(
+            cfg, mp, x0, kv_k[:, 0], kv_v[:, 0], kv_head, xk[:, 0],
+            xv[:, 0], interpret=interpret, tile_boost=tile_boost)
+        return logits, kv_k1[:, None], kv_v1[:, None]
+    Tc = kv_k.shape[2]
+    Ta = xk.shape[2]
+    V = cfg.n_vocab
+    Vp = mp.vp
+    eps = float(cfg.eps)
+    wfields = ["qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w", "teT"]
+
+    def _kind(w):
+        if isinstance(w, Q4Planes):
+            return "int4"
+        return "int8" if isinstance(w, QPlanes) else None
+    qmap = {n: _kind(getattr(mp, n)) for n in wfields}
+
+    TAC = 128                                 # _make_kernel chunk rows
+    Tap = -(-Ta // TAC) * TAC
+    if Tap != Ta:
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, Tap - Ta), (0, 0)))
+        xv = jnp.pad(xv, ((0, 0), (0, 0), (0, Tap - Ta), (0, 0)))
+
+    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
+                                tile_boost=tile_boost, n_beams=Bm,
+                                per_row_cross=True)
+    M = dims["M"]
+    NB = dims["NB"]
+    assert dims["TAC"] == TAC
     x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
     head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
 
@@ -806,10 +1128,10 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
             scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
     scratch += [
         pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
-        pltpu.VMEM((Bm, dims["Tcp"], S), bf),            # kbuf (per-beam)
-        pltpu.VMEM((Bm, dims["Tcp"], S), bf),            # vbuf
-        pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf (shared)
-        pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
+        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # kbuf (flat slots)
+        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # vbuf
+        pltpu.VMEM((2, Bm * TAC, S), bf),                # ckbuf (chunks)
+        pltpu.VMEM((2, Bm * TAC, S), bf),                # cvbuf
     ]
     for pname, (used, _k, _tn) in dims["pools"].items():
         if not used:
@@ -836,8 +1158,8 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # per-beam self-KV tiles add B * Tcp * S * 2 * 2 bytes (~12 MB
-            # at turbo B=5) on top of the ~15 MB cross double buffers
+            # flat self-KV concat (~18 MB at turbo B=8) + chunked cross
+            # double buffers (~10 MB) + weight pools
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*operands)

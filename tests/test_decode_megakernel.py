@@ -376,3 +376,103 @@ def test_megakernel_beam_matches_decode_impl():
         got_k[:, :, :n_steps].astype(np.float32),
         nat_ref_k[:, :, :n_steps].astype(np.float32), atol=2e-2)
     assert np.all(got_k[:, :, n_steps:] == 0)
+
+
+def test_megakernel_beam_origin_bias_matches_physical_reorder():
+    """The origin-table path (attn_bias from beam_attn_bias, NO physical
+    KV gather) must reproduce the physically-reordered beam kernel and
+    the batched decode_impl reference, including multi-step lineage
+    (reorders composing across steps) and a shared slot-0 prompt row."""
+    B, n_steps = 3, 5
+    rng = np.random.default_rng(23)
+    params, dec, mp, xk, xv, _ = _setup(seed=23)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+
+    xk_b = jnp.repeat(xk, B, axis=1)
+    xv_b = jnp.repeat(xv, B, axis=1)
+    toks = rng.integers(0, CFG.n_vocab, size=(n_steps, B))
+    srcs = [None, np.array([1, 0, 1]), np.array([2, 0, 0]), None,
+            np.array([1, 1, 2])]
+
+    # reference: batched head-major decode_impl with physical reorders
+    kv_k, kv_v = M.init_kv_cache(CFG, B, dtype=jnp.bfloat16)
+    ref_logits = []
+    for i in range(n_steps):
+        if srcs[i] is not None:
+            kv_k = jnp.take(kv_k, jnp.asarray(srcs[i]), axis=1)
+            kv_v = jnp.take(kv_v, jnp.asarray(srcs[i]), axis=1)
+        logits, kv_k, kv_v, _ = M.decode_impl(
+            CFG, dec, jnp.asarray(toks[i][:, None], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk_b, xv_b)
+        ref_logits.append(np.asarray(logits[:, 0]))
+
+    # origin path: caches NEVER move; lineage lives in the origin table
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+    origin = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
+    for i in range(n_steps):
+        if srcs[i] is not None:
+            origin = jnp.take(origin, jnp.asarray(srcs[i]), axis=0)
+        origin = origin.at[:, i].set(jnp.arange(B, dtype=jnp.int32))
+        bias = MK.beam_attn_bias(origin, jnp.int32(i), Tc)
+        x0 = (dec["te"][jnp.asarray(toks[i])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        logits, nk, nv = MK.mega_decode_step_beam(
+            CFG, mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            attn_bias=bias, interpret=True)
+        g = np.asarray(logits)
+        r = ref_logits[i]
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / scale, r / scale, atol=2e-2,
+                                   err_msg=f"step {i}")
+        for b in range(B):
+            assert int(np.argmax(g[b])) == int(np.argmax(r[b])), (i, b)
+
+
+def test_megakernel_batch_matches_decode_impl():
+    """Batched-stream mode (per-row cross-KV, blocked online-softmax
+    cross-attention) vs the batched decode_impl step: B independent
+    streams with DIFFERENT encoder outputs must match per stream."""
+    B, n_steps = 3, 4
+    rng = np.random.default_rng(31)
+    params, dec, mp, _, _, _ = _setup(seed=31)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    Ta = CFG.n_audio_ctx
+
+    # per-stream encoder outputs -> per-stream cross KV
+    enc_outs = jnp.asarray(
+        rng.standard_normal((B, Ta, CFG.n_audio_state)), jnp.bfloat16)
+    xk_b, xv_b = M.cross_kv(CFG, dec, enc_outs)      # (L, B, H, Ta, dh)
+
+    toks = rng.integers(0, CFG.n_vocab, size=(n_steps, B))
+
+    kv_k, kv_v = M.init_kv_cache(CFG, B, dtype=jnp.bfloat16)
+    ref_logits = []
+    for i in range(n_steps):
+        logits, kv_k, kv_v, _ = M.decode_impl(
+            CFG, dec, jnp.asarray(toks[i][:, None], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk_b, xv_b)
+        ref_logits.append(np.asarray(logits[:, 0]))
+
+    def to_nat_b(a):       # (L, B, H, T, dh) -> (L, B, T, S)
+        return jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(
+            L, B, a.shape[3], S)
+
+    xk_nat, xv_nat = to_nat_b(xk_b), to_nat_b(xv_b)
+    nk = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+    for i in range(n_steps):
+        x0 = (dec["te"][jnp.asarray(toks[i])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        logits, nk, nv = MK.mega_decode_step_batch(
+            CFG, mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            interpret=True)
+        g = np.asarray(logits)
+        r = ref_logits[i]
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / scale, r / scale, atol=2e-2,
+                                   err_msg=f"step {i}")
+        for b in range(B):
+            assert int(np.argmax(g[b])) == int(np.argmax(r[b])), (i, b)

@@ -113,3 +113,32 @@ def test_tokenizer_multilingual_ids():
     assert v.token_beg == 50364
     assert v.token_lang(T.lang_id("en")) == 50259
     assert v.token_lang(T.lang_id("es")) == 50262
+
+
+def test_stub_pipeline_beam_megakernel(stub_ctx, jfk):
+    """Beam search through the megakernel step (origin-table lineage, no
+    physical KV reorder): wiring check through whisper_full — single-slot
+    prompt ingest, per-step beam_attn_bias, origin carry."""
+    p = FullParams(strategy=SamplingStrategy.BEAM_SEARCH,
+                   print_progress=False, megakernel=True)
+    p.beam_search.beam_size = 2
+    res = F.whisper_full(stub_ctx, p, jfk[:16000 * 3])
+    assert res.segments == []
+    assert res.timings.n_encode >= 1
+    assert res.timings.n_decode >= 1
+
+
+def test_rand_pipeline_beam_megakernel(rand_ctx, jfk):
+    """Non-degenerate logits through the beam megakernel: the decode must
+    produce finite, in-vocab tokens (numerical parity of the kernel is
+    gated by tests/test_decode_megakernel.py; this checks the fused-loop
+    integration end-to-end)."""
+    p = FullParams(strategy=SamplingStrategy.BEAM_SEARCH,
+                   print_progress=False, megakernel=True,
+                   single_segment=True, max_tokens=6)
+    p.beam_search.beam_size = 2
+    res = F.whisper_full(rand_ctx, p, jfk[:16000 * 2])
+    assert res.timings.n_decode >= 1
+    for seg in res.segments:
+        for t in seg.tokens:
+            assert 0 <= t.id < rand_ctx.cfg.n_vocab

@@ -11,6 +11,7 @@ plus a 4-step logits parity check of the kernel against the XLA step.
 Run alone on the TPU (one job at a time; docs/PERFORMANCE.md discipline).
 """
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -67,28 +68,39 @@ def main():
             body, (toks, kv_k, kv_v), jnp.arange(K))
         return toks
 
-    def make_mega_loop(mp):
-        @jax.jit
-        def loop(mp, te, pe, xkn, xvn):
+    def make_mega_loop(mp, reord=False):
+        """reord=True: physical per-step KV gather (the round-2 initial
+        wiring); reord=False: origin-table lineage, caches never move."""
+        @functools.partial(jax.jit, static_argnames=("reord",))
+        def loop(mp, te, pe, xkn, xvn, reord=False):
             nk = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
             nv = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
             toks = jnp.zeros((B,), jnp.int32)
+            origin = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
 
             def body(carry, i):
-                toks, nk, nv = carry
-                nk = jnp.take(nk, src, axis=1)
-                nv = jnp.take(nv, src, axis=1)
+                toks, nk, nv, origin = carry
                 x0 = (te[toks] + pe[i][None, :]).astype(jnp.bfloat16)
-                logits, nk, nv = MK.mega_decode_step_beam(
-                    cfg, mp, x0, nk, nv, i, xkn, xvn)
+                if reord:
+                    nk = jnp.take(nk, src, axis=1)
+                    nv = jnp.take(nv, src, axis=1)
+                    logits, nk, nv = MK.mega_decode_step_beam(
+                        cfg, mp, x0, nk, nv, i, xkn, xvn)
+                else:
+                    origin = jnp.take(origin, src, axis=0).at[:, i].set(
+                        jnp.arange(B, dtype=jnp.int32))
+                    bias = MK.beam_attn_bias(origin, i, Tc)
+                    logits, nk, nv = MK.mega_decode_step_beam(
+                        cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias)
                 return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
-                        nk, nv), ()
+                        nk, nv, origin), ()
 
-            (toks, _, _), _ = jax.lax.scan(
-                body, (toks, nk, nv), jnp.arange(K))
+            (toks, _, _, _), _ = jax.lax.scan(
+                body, (toks, nk, nv, origin), jnp.arange(K))
             return toks
 
-        return lambda mp_: loop(mp_, te, pe, xk_nat, xv_nat)
+        return lambda mp_: loop(mp_, te, pe, xk_nat, xv_nat, reord=reord)
 
     # ---- parity (4 steps, bf16 weights, dense planes vs XLA) ----
     print("parity check...", flush=True)
@@ -102,8 +114,12 @@ def main():
             cfg, dec, jnp.asarray(toks[:, None]), kv_k, kv_v,
             jnp.int32(i), xk_b, xv_b)
         x0 = (te[jnp.asarray(toks)] + pe[i][None, :]).astype(jnp.bfloat16)
+        origin_p = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
+        bias_p = MK.beam_attn_bias(origin_p, jnp.int32(i), Tc)
         logits_m, nk, nv = MK.mega_decode_step_beam(
-            cfg, mp_dense, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat)
+            cfg, mp_dense, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            attn_bias=bias_p)
         rx = np.asarray(logits_x[:, 0], np.float32)
         rm = np.asarray(logits_m, np.float32)
         scale = np.abs(rx).max() + 1e-6
@@ -126,6 +142,8 @@ def main():
         "xla_bch5": lambda: xla_loop(dec, xk_b, xv_b),
         "mega_beam5_int8": (lambda f=make_mega_loop(mp8): f(mp8)),
         "mega_beam5_int4": (lambda f=make_mega_loop(mp4): f(mp4)),
+        "mega_beam5_int4_reord": (
+            lambda f=make_mega_loop(mp4, reord=True): f(mp4)),
     }
 
     print("warmup/compile...", flush=True)
