@@ -97,7 +97,7 @@ def _make_batch_step(sa: _StaticArgs):
 
     @jax.jit
     def run(dec, mel_data, seeks, active, prompt, kv_k, kv_v,
-            base_mask, init_mask, token_nosp, seek_end):
+            base_mask, init_mask, token_nosp, seek_end, mega=None):
         B = seeks.shape[0]
         windows = _gather_windows(mel_data, seeks, cfg.n_audio_ctx)
         enc_out = M.encode(cfg, dec["encoder"], windows)
@@ -108,10 +108,36 @@ def _make_batch_step(sa: _StaticArgs):
             xv = M.quantize_cross_kv(xv)
 
         t_prompt = prompt.shape[1]
-        logits_all, kv_k, kv_v, _ = M.decode_impl(
-            cfg, dec["decoder"], jnp.broadcast_to(prompt, (B, t_prompt)),
-            kv_k, kv_v, jnp.int32(0), xk, xv,
-            logits_pos=jnp.int32(t_prompt - 1))
+        if mega is not None:
+            # batched-stream megakernel step: one weight stream for all B
+            # decoders, per-stream cross chunked in-kernel
+            # (ops/decode_megakernel.mega_decode_step_batch). Prompt
+            # ingest stays on the XLA path; kv carries are natural-layout.
+            from ..ops import decode_megakernel as MK
+            S = cfg.n_text_state
+            L = cfg.n_text_layer
+
+            def to_nat_b(a):  # (L, B, H, T, dh) head-major -> (L, B, T, S)
+                return jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(
+                    L, a.shape[1], a.shape[3], S)
+
+            def to_tm(a):     # (L, B, H, T, dh) -> TIME-MAJOR (L, T, B, S)
+                return jnp.transpose(a, (0, 3, 1, 2, 4)).reshape(
+                    L, a.shape[3], a.shape[1], S)
+
+            hm_k, hm_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16)
+            logits_all, hm_k, hm_v, _ = M.decode_impl(
+                cfg, dec["decoder"], jnp.broadcast_to(prompt, (B, t_prompt)),
+                hm_k, hm_v, jnp.int32(0), xk, xv,
+                logits_pos=jnp.int32(t_prompt - 1))
+            kv_k, kv_v = to_tm(hm_k), to_tm(hm_v)
+            xk_nat, xv_nat = to_nat_b(xk), to_nat_b(xv)
+            mega_interpret = jax.devices()[0].platform == "cpu"
+        else:
+            logits_all, kv_k, kv_v, _ = M.decode_impl(
+                cfg, dec["decoder"], jnp.broadcast_to(prompt, (B, t_prompt)),
+                kv_k, kv_v, jnp.int32(0), xk, xv,
+                logits_pos=jnp.int32(t_prompt - 1))
         last_logits = logits_all[:, 0]                        # (B, V)
         nsp = jax.vmap(lambda row: LR.compute_no_speech_prob(row, token_nosp))(
             last_logits)
@@ -196,9 +222,18 @@ def _make_batch_step(sa: _StaticArgs):
                         & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
             failed = failed | rep_fail
 
-            step_logits, kv_k, kv_v, _ = M.decode_impl(
-                cfg, dec["decoder"], tok[:, None], c.kv_k, c.kv_v,
-                c.kv_head, xk, xv)
+            if mega is not None:
+                x0 = (dec["decoder"]["te"][tok]
+                      + dec["decoder"]["pe"][c.kv_head][None, :]).astype(
+                          jnp.bfloat16)
+                step_logits1, kv_k, kv_v = MK.mega_decode_step_batch(
+                    cfg, mega, x0, c.kv_k, c.kv_v, c.kv_head,
+                    xk_nat, xv_nat, interpret=mega_interpret)
+                step_logits = step_logits1[:, None]
+            else:
+                step_logits, kv_k, kv_v, _ = M.decode_impl(
+                    cfg, dec["decoder"], tok[:, None], c.kv_k, c.kv_v,
+                    c.kv_head, xk, xv)
 
             return _BatchCarry(
                 kv_k=kv_k, kv_v=kv_v, kv_head=c.kv_head + 1, i=i + 1,
@@ -267,6 +302,15 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
                      no_timestamps=no_timestamps, stub=ctx.n_loaded == 0,
                      cross_kv_int8=cross_kv_int8)
     step = _make_batch_step(sa)
+    # one-weight-stream batched megakernel (B <= 8 sublane rows); the
+    # int8 cross-KV path keeps the XLA step (QuantKV not in-kernel).
+    # EXPLICIT opt-in only: the first-cut kernel measured 1.93 vs 1.52
+    # ms/token against the XLA batch step (per-stream cross-attend is
+    # MXU-utilization-bound at M=8 rows; docs/ROADMAP.md), so the
+    # auto-on-for-quantized-checkpoints policy must not select it
+    mega = (ctx.mega_params(p)
+            if p.megakernel in (True, "int8", "int4")
+            and n_chunks <= 8 and not cross_kv_int8 else None)
 
     B = n_chunks
     seeks = np.array([b[0] for b in chunk_bounds], np.int32)
@@ -280,11 +324,16 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
             np.arange(B), list(failed_chunks))
         if not active_np.any():
             break
-        kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=ctx.dtype)
+        if mega is not None:   # time-major carry (megakernel step)
+            kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx, B,
+                              cfg.n_text_state), jnp.bfloat16)
+            kv_v = kv_k
+        else:
+            kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=ctx.dtype)
         res = step(ctx.params, mel.data, jnp.asarray(seeks),
                    jnp.asarray(active_np), prompt, kv_k, kv_v,
                    base_mask, init_mask, jnp.int32(vocab.token_nosp),
-                   jnp.asarray(ends))
+                   jnp.asarray(ends), mega=mega)
         res = jax.tree.map(np.asarray, res)
 
         for b in range(B):

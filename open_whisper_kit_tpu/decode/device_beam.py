@@ -91,7 +91,7 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     per-token step runs all B beams through ONE megakernel launch (one
     weight stream for the whole beam set; cross-KV shared in-kernel, so
     xk/xv beam broadcast is skipped). Prompt ingest stays on the XLA path;
-    kv_k/kv_v must then be natural-layout (L, B, n_ctx, S) carries whose
+    kv_k/kv_v must then be TIME-MAJOR (L, n_ctx, B, S) carries whose
     content is ignored."""
     t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
                                           scalars[2], scalars[3])
@@ -110,6 +110,10 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             return jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(
                 L, a.shape[1], a.shape[3], S)
 
+        def to_tm(a):         # (L, B, H, T, dh) -> TIME-MAJOR (L, T, B, S)
+            return jnp.transpose(a, (0, 3, 1, 2, 4)).reshape(
+                L, a.shape[3], a.shape[1], S)
+
         # The origin table lets every beam attend cache SLOT 0's prompt
         # rows, so the prompt is ingested ONCE (B=1), not per beam, and
         # the per-beam caches start as zero-filled slots 1..B-1
@@ -117,9 +121,9 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         logits1, hm_k, hm_v, _ = M.decode_impl(
             cfg, dec, prompt, hm_k, hm_v,
             jnp.int32(0), xk[:, :1], xv[:, :1], logits_pos=t_real - 1)
-        nat1_k, nat1_v = to_nat_b(hm_k), to_nat_b(hm_v)
-        kv_k = jnp.pad(nat1_k, ((0, 0), (0, B - 1), (0, 0), (0, 0)))
-        kv_v = jnp.pad(nat1_v, ((0, 0), (0, B - 1), (0, 0), (0, 0)))
+        tm1_k, tm1_v = to_tm(hm_k), to_tm(hm_v)       # (L, n_ctx, 1, S)
+        kv_k = jnp.pad(tm1_k, ((0, 0), (0, 0), (0, B - 1), (0, 0)))
+        kv_v = jnp.pad(tm1_v, ((0, 0), (0, 0), (0, B - 1), (0, 0)))
         origin0 = jnp.where(
             jnp.arange(n_ctx)[None, :] < t_real, jnp.int32(0),
             jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],

@@ -31,6 +31,16 @@ Measured (single-process A/B, large-v3-turbo on v5e, docs/PERFORMANCE.md):
 dense mode 510 vs 606 us/token against the isolated XLA step, parity
 inside the fused segment loop (XLA overlaps the logit rules); the int8
 modes are where the kernel wins outright.
+
+Beyond greedy (B=1), the same weight stream carries up to 8 rows:
+* mega_decode_step_beam — B beams (whisper.cpp Bch5 analog) with
+  origin-table lineage instead of physical KV reorder (beam_attn_bias).
+* mega_decode_step_batch — B INDEPENDENT streams (whisper_full_parallel
+  analog) with per-stream cross-KV streamed through a chunked
+  flash-style online softmax.
+Both use a TIME-MAJOR (L, Tc, B, S) self-cache so the blocked self-
+attend (lax.fori_loop over 128-row time blocks) touches only the
+decoded prefix, and one (B, S) slab write appends all rows per layer.
 """
 
 from __future__ import annotations
@@ -192,12 +202,25 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
     lnw_rows.append(dec["ln_w"])
     lnb_rows.append(dec["ln_b"])
 
+    def _pad_sc(planes):
+        # Mosaic HBM DMA slices need 8-aligned sublane extents; scale
+        # planes have K//32 rows, which is NOT a multiple of 8 for
+        # S=384 models (tiny) — pad rows once here, the kernel copies
+        # the padded slab and dequantizes only the real rows
+        r = planes.sc.shape[-2]
+        rp = -(-r // 8) * 8
+        if rp == r:
+            return planes
+        pad = [(0, 0)] * planes.sc.ndim
+        pad[-2] = (0, rp - r)
+        return type(planes)(qs=planes.qs, sc=jnp.pad(planes.sc, pad))
+
     def weight(name):
         w = b[name]
         if quant == "all":
-            return _to_planes(w)
+            return _pad_sc(_to_planes(w))
         if quant == "int4":
-            return _to_planes4(w)
+            return _pad_sc(_to_planes4(w))
         if isinstance(w, QuantLinear):   # quant checkpoint, dense-mode ask
             raise ValueError(f"{name} is quantized; use quant='all'")
         return w.astype(bf)
@@ -206,15 +229,15 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
     V = te.shape[0]
     Vp = -(-V // 512) * 512
     if quant == "int4":
-        teT = _to_planes4(jnp.pad(te.T.astype(jnp.float32),
-                                  ((0, 0), (0, Vp - V))))
+        teT = _pad_sc(_to_planes4(jnp.pad(te.T.astype(jnp.float32),
+                                          ((0, 0), (0, Vp - V)))))
     elif quant in ("logits", "all"):
         tl = dec.get("te_logits")
         if isinstance(tl, QuantLinear) and tl.qs.shape[-1] == Vp:
-            teT = QPlanes(qs=tl.qs, sc=tl.scales)  # same planes as XLA path
+            teT = _pad_sc(QPlanes(qs=tl.qs, sc=tl.scales))  # XLA-path planes
         else:
-            teT = _to_planes(jnp.pad(te.T.astype(jnp.float32),
-                                     ((0, 0), (0, Vp - V))))
+            teT = _pad_sc(_to_planes(jnp.pad(te.T.astype(jnp.float32),
+                                             ((0, 0), (0, Vp - V)))))
     else:
         teT = jnp.pad(te.T.astype(bf), ((0, 0), (0, Vp - V)))
 
@@ -233,32 +256,40 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
         teT=teT)
 
 
+BT = 128           # self-attention time-block rows (beam/batch modes)
+
+
 def beam_attn_bias(origin: jnp.ndarray, head, Tc: int,
                    M: int = 8) -> jnp.ndarray:
     """Origin (lineage) table -> additive attention bias for the beam
-    megakernel's time-concatenated self-attention.
+    megakernel's blocked, time-major self-attention.
 
     origin: (B, Tc) int32; origin[b, t] = index of the CACHE SLOT that
     holds beam b's K/V row for decode position t. Maintained by the beam
-    loop instead of physically gathering the (L, B, Tc, S) caches on
-    every reorder (the reference's whisper_kv_cache_seq_cp /
-    reorder_kv): after a reorder with source map src,
+    loop instead of physically gathering the per-beam caches on every
+    reorder (the reference's whisper_kv_cache_seq_cp / reorder_kv):
         origin = origin[src] ;  origin = origin.at[:, head].set(arange(B))
     — an O(B*Tc) int32 shuffle instead of O(L*B*Tc*S) bf16 traffic.
+    For INDEPENDENT streams (batch mode) pass the identity origin
+    (broadcast arange(B)): each row owns its slot.
 
     head: current decode row (this step attends t <= head).
-    Returns (M, B*Tcp) f32 of 0 / -inf where Tcp = 16-aligned Tc; rows
-    b >= B (sublane padding) reuse beam B-1's lineage so their softmax
-    stays finite (outputs discarded).
+    Returns (nblk*M, BT*B) f32 of 0 / -inf, block-major to match the
+    kernel's per-block slices: element [t*M + row, tl*B + j] gates row
+    `row` attending slot j at time t*BT + tl. Rows >= B (sublane
+    padding) reuse beam B-1's lineage so their softmax stays finite
+    (outputs discarded).
     """
     B, Tc0 = origin.shape
     assert Tc0 == Tc
-    Tcp = -(-Tc // 16) * 16
+    Tcp = -(-Tc // BT) * BT
+    nblk = Tcp // BT
     org = jnp.pad(origin, ((0, M - B), (0, Tcp - Tc)), constant_values=-1)
     org = jnp.where(jnp.arange(M)[:, None] >= B, org[B - 1][None, :], org)
-    ok = ((org[:, None, :] == jnp.arange(B)[None, :, None])
-          & (jnp.arange(Tcp)[None, None, :] <= head))       # (M, B, Tcp)
-    return jnp.where(ok.reshape(M, B * Tcp), 0.0, NEG_INF).astype(
+    ok = ((org[:, :, None] == jnp.arange(B)[None, None, :])
+          & (jnp.arange(Tcp)[None, :, None] <= head))       # (M, Tcp, B)
+    ok = ok.reshape(M, nblk, BT, B).transpose(1, 0, 2, 3)
+    return jnp.where(ok.reshape(nblk * M, BT * B), 0.0, NEG_INF).astype(
         jnp.float32)
 
 
@@ -333,11 +364,18 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     TN_A_D = max((TN[f] for f in a_fields if not qmap[f]), default=0)
     TN_A_Q = max((TN[f] for f in a_fields if qmap[f] == "int8"), default=0)
     TN_A_Q4 = max((TN[f] for f in a_fields if qmap[f] == "int4"), default=0)
-    Tcp = -(-Tc // 16) * 16                  # bf16 sublane padding
+    if B > 1:
+        # time-major blocked self-attention: pad the cache to whole
+        # BT-row time blocks; lineage masking REQUIRES the bias operand
+        assert use_bias
+        Tcp = -(-Tc // BT) * BT
+        NBK = Tcp // BT                      # max valid time blocks
+    else:
+        Tcp = -(-Tc // 16) * 16              # bf16 sublane padding
     Tap = -(-Ta // 16) * 16
     TAC = 128                                # cross chunk rows (per stream)
     if per_row_cross:
-        assert B > 1 and not use_bias
+        assert B > 1
         assert Tap % TAC == 0, (Tap, TAC)    # wrapper pads Ta to TAC
         NCC = Tap // TAC                     # chunks per layer
     # pool -> (used, K, TN_max); suffix D dense bf16 (K, TN) tiles,
@@ -372,50 +410,72 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             outs.append(jnp.dot(p, va, preferred_element_type=jnp.float32))
         return jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
 
-    def attend_beams(q16, kbuf, vbuf, n_valid, scale, bias=None):
-        """Per-beam self-attention in ONE dot per head: the B per-beam
-        caches live time-concatenated in a FLAT (B*Tcp, S) VMEM buffer
-        (beam b's rows at [b*Tcp, b*Tcp+Tc)), so head slices are plain
-        2D strided slices exactly like the greedy attend — a (B, Tcp, S)
-        scratch would force a per-head relayout copy at the
-        slice+reshape. Row b of the M=8 sublane block masks to its own
-        beam's window [b*Tcp, b*Tcp + n_valid). Replaces B separate
-        attend() calls (B*H latency-bound small dots + B full softmaxes,
-        of which only one row each survived) with the greedy kernel's
-        dot count.
+    def attend_beams(q16, kbuf, vbuf, nblk, scale, bias_ref):
+        """Per-beam/per-stream self-attention, blocked over TIME: the
+        caches live time-major in (Tcp, B, S) VMEM (time t's rows for
+        ALL slots are contiguous), so a BT-row time block spans every
+        slot and a flash-style online softmax runs ONLY over the `nblk`
+        = ceil((head+1)/BT) valid blocks — compute and score width are
+        proportional to the actual decode depth instead of the static
+        B*Tc concat (which cost ~400 us of M=8 dots at turbo B=5).
 
-        bias (M, B*Tcp) f32 (0 / -inf), when given, REPLACES the window
-        mask: element [b, j*Tcp + t] == 0 means beam row b may attend
-        cache slot j's row at time t. Built from an origin (lineage)
-        table by beam_attn_bias — this is what makes the per-step
-        physical KV reorder unnecessary (the kernel already scores every
-        beam against ALL slots; lineage is just masking)."""
-        Tcat = B * Tcp
-        if bias is None:
-            row = jax.lax.broadcasted_iota(jnp.int32, (M, Tcat), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (M, Tcat), 1)
-            base = jnp.minimum(row, B - 1) * Tcp  # pad rows reuse beam B-1
-            valid = (col >= base) & (col < base + n_valid)
-        outs = []
+        bias_ref (NBK*M, BT*B) f32 (0 / -inf), block-major
+        (beam_attn_bias): element [t*M + row, tl*B + j] gates row `row`
+        attending cache slot j at time t*BT + tl — this both applies
+        the origin-table lineage (beam mode) / block-diagonal ownership
+        (batch mode) and masks the head+1 tail inside the last block."""
+        # kbuf/vbuf are ROW-FLAT time-major 2D refs (Tcp*B, S): row
+        # r = t*B + b holds slot b's K/V at time t, so a BT-row time
+        # block is rows [t*BT*B, (t+1)*BT*B) — plain 2D dynamic slices
+        # (Mosaic rejects dynamic-offset loads on 3D refs).
+        outs_t = []                      # per-head o^T (dh, M) accumulators
         for h in range(H):
             qa = q16[:, h * dh:(h + 1) * dh]
-            ka = kbuf[:, h * dh:(h + 1) * dh]                    # (Tcat, dh)
-            va = vbuf[:, h * dh:(h + 1) * dh]
-            s = jax.lax.dot_general(
-                qa, ka, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale      # (M, Tcat)
-            s = s + bias if bias is not None else jnp.where(valid, s, NEG_INF)
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(jnp.bfloat16)
-            outs.append(jnp.dot(p, va, preferred_element_type=jnp.float32))
-        return jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
+
+            def body(t, carry, h=h, qa=qa):
+                m, l, ot = carry
+                kb = kbuf[pl.ds(t * (BT * B), BT * B),
+                          h * dh:(h + 1) * dh]               # (BT*B, dh)
+                vb = vbuf[pl.ds(t * (BT * B), BT * B),
+                          h * dh:(h + 1) * dh]
+                bb = bias_ref[pl.ds(t * M, M), :]            # (M, BT*B)
+                s = jax.lax.dot_general(
+                    qa, kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                # where, not add: masked cols may hit UNINITIALIZED VMEM
+                # rows (Tc..Tcp pad) whose garbage can be NaN — NaN + -inf
+                # stays NaN, where() discards it
+                s = jnp.where(bb < 0, NEG_INF, s)
+                mn = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                a = jnp.exp(m - mn)
+                e = jnp.exp(s - mn).astype(jnp.bfloat16)     # (M, BT*B)
+                l2 = l * a + jnp.sum(e.astype(jnp.float32), axis=1,
+                                     keepdims=True)
+                # PV with the LONG dim as the MXU contraction: V^T @ e^T
+                # -> (dh, M). The standard (M, BT*B)@(BT*B, dh) form runs
+                # the MXU at M/128 row utilization; transposed it runs at
+                # dh/128 — 8x fewer passes at dh=64. o stays (dh, M)
+                # until the per-head epilogue.
+                pv = jax.lax.dot_general(
+                    vb, e, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (dh, M)
+                o2 = ot * jnp.transpose(a) + pv
+                return mn, l2, o2
+
+            m0 = jnp.full((M, 1), jnp.float32(-1e30))
+            l0 = jnp.zeros((M, 1), jnp.float32)
+            o0 = jnp.zeros((dh, M), jnp.float32)
+            m, l, ot = jax.lax.fori_loop(0, nblk, body, (m0, l0, o0))
+            outs_t.append(ot / jnp.transpose(l))
+        # (S, M) -> one relayout back to row-major per attend
+        return jnp.transpose(
+            jnp.concatenate(outs_t, axis=0)).astype(jnp.bfloat16)
 
     def kernel(*refs):
         it = iter(refs)
         head_ref = next(it)                    # SMEM (1,1) i32
         x_ref = next(it)                       # VMEM (M, S) bf16
-        bias_ref = next(it) if use_bias else None  # VMEM (M, B*Tcp) f32
+        bias_ref = next(it) if use_bias else None  # VMEM (NBK*M, BT*B) f32
         lnw_ref, lnb_ref = next(it), next(it)  # VMEM (3L+1, S) bf16
         biases = {n: next(it) for n in ("qkv_b", "o_b", "cq_b", "co_b",
                                         "mlp0_b", "mlp1_b")}
@@ -481,9 +541,10 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 pbuf[pool].at[slot, pl.ds(0, kr), pl.ds(0, tn)],
                 psem[pool].at[slot])]
             if s is not None:
+                nsp = -(-(nk // QK) // 8) * 8    # 8-padded scale rows
                 out.append(pltpu.make_async_copy(
                     s.at[:, pl.ds(off, tn)],
-                    psbuf[pool].at[slot, pl.ds(0, nk // QK), pl.ds(0, tn)],
+                    psbuf[pool].at[slot, pl.ds(0, nsp), pl.ds(0, tn)],
                     pssem[pool].at[slot]))
             return out
 
@@ -520,8 +581,10 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                     nb2 = k2 // QK
                     w32 = pbuf[pool][slot, pl.ds(0, k2),
                                      pl.ds(0, tn)].astype(jnp.int32)
-                    sc = psbuf[pool][slot, pl.ds(0, nk // QK),
-                                     pl.ds(0, tn)].astype(jnp.float32)
+                    nsp = -(-(nk // QK) // 8) * 8
+                    sc = psbuf[pool][slot, pl.ds(0, nsp),
+                                     pl.ds(0, tn)][:nk // QK].astype(
+                                         jnp.float32)
                     lo = ((w32 & 0x0F) - 8).astype(jnp.float32)
                     hi = ((w32 >> 4) - 8).astype(jnp.float32)
                     sc2 = sc.reshape(2, nb2, 1, tn)      # sublane split, no
@@ -538,7 +601,9 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 if qmap[field]:
                     q = pbuf[pool][slot, pl.ds(0, nk),
                                    pl.ds(0, tn)].astype(jnp.float32)
-                    sc = psbuf[pool][slot, pl.ds(0, nk // QK), pl.ds(0, tn)]
+                    nsp = -(-(nk // QK) // 8) * 8
+                    sc = psbuf[pool][slot, pl.ds(0, nsp),
+                                     pl.ds(0, tn)][:nk // QK]
                     w16 = ((q.reshape(nk // QK, QK, tn) * sc[:, None, :])
                            .reshape(nk, tn).astype(jnp.bfloat16))
                 else:
@@ -593,14 +658,22 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 d.start()
         ensure("A", 1 + LOOKAHEAD)
 
+        if B > 1 and Tcp > Tc:
+            # BT-pad rows are never DMA'd: zero them once so the PV dot's
+            # 0-weighted garbage can't be NaN (0 * NaN = NaN)
+            kbuf[pl.ds(Tc * B, (Tcp - Tc) * B), :] = jnp.zeros(
+                ((Tcp - Tc) * B, S), jnp.bfloat16)
+            vbuf[pl.ds(Tc * B, (Tcp - Tc) * B), :] = jnp.zeros(
+                ((Tcp - Tc) * B, S), jnp.bfloat16)
+
         x32 = x_ref[:].astype(jnp.float32)     # (M, S) residual stream
 
         for il in range(L):                    # static unroll
             slot, nslot = il % 2, (il + 1) % 2
 
-            # self-cache read: overlaps the qkv matvec below. Beam mode
-            # copies each beam's (Tc, S) slab to rows [b*Tcp, b*Tcp+Tc)
-            # of the FLAT concat buffer (attend_beams layout note).
+            # self-cache read: overlaps the qkv matvec below. Beam/batch
+            # mode reads the whole row-flat time-major (Tc*B, S) slab in
+            # one copy (attend_beams layout note).
             if B == 1:
                 rks = [pltpu.make_async_copy(kvk_ref.at[il],
                                              kbuf.at[pl.ds(0, Tc), :],
@@ -610,13 +683,11 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                                              ksem.at[1])]
             else:
                 rks = [pltpu.make_async_copy(
-                    kvk_ref.at[il, bb],
-                    kbuf.at[pl.ds(bb * Tcp, Tc), :], ksem.at[0])
-                    for bb in range(B)]
+                    kvk_ref.at[il], kbuf.at[pl.ds(0, Tc * B), :],
+                    ksem.at[0])]
                 rvs = [pltpu.make_async_copy(
-                    kvv_ref.at[il, bb],
-                    vbuf.at[pl.ds(bb * Tcp, Tc), :], ksem.at[1])
-                    for bb in range(B)]
+                    kvv_ref.at[il], vbuf.at[pl.ds(0, Tc * B), :],
+                    ksem.at[1])]
             for d in rks + rvs:
                 d.start()
 
@@ -650,33 +721,39 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                                             okvv_ref.at[il, pl.ds(blk0, 8), :],
                                             wrsem.at[1, 0])]
             else:
-                wk, wv = [], []
-                for bb in range(B):        # beam bb's new K/V row = row bb
-                    # flat offset: Tcp is 16-aligned so bb*Tcp+blk0 stays
-                    # 8-row aligned
-                    o = pl.multiple_of(bb * Tcp + blk0, 8)
-                    kbuf[pl.ds(o, 8), :] = jnp.where(
-                        rsel, k[bb:bb + 1, :], kbuf[pl.ds(o, 8), :])
-                    vbuf[pl.ds(o, 8), :] = jnp.where(
-                        rsel, v[bb:bb + 1, :], vbuf[pl.ds(o, 8), :])
-                    wk.append(pltpu.make_async_copy(
-                        kbuf.at[pl.ds(o, 8), :],
-                        okvk_ref.at[il, bb, pl.ds(blk0, 8), :],
-                        wrsem.at[0, bb]))
-                    wv.append(pltpu.make_async_copy(
-                        vbuf.at[pl.ds(o, 8), :],
-                        okvv_ref.at[il, bb, pl.ds(blk0, 8), :],
-                        wrsem.at[1, bb]))
+                # row-flat time-major: every slot's new K/V row lives in
+                # B CONSECUTIVE rows starting at head*B — one aligned
+                # 16-row RMW window covers any B <= 8 span, one
+                # write-back DMA replaces B per-beam patches. Window
+                # start clamps so it never runs past the Tc*B slab.
+                wstart = pl.multiple_of(jnp.minimum(
+                    (head * B // 8) * 8, Tc * B - 16), 8)
+                off = head * B - wstart                  # in [0, 16)
+                rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, S), 0)
+                kw = kbuf[pl.ds(wstart, 16), :]
+                vw = vbuf[pl.ds(wstart, 16), :]
+                for bb in range(B):
+                    kw = jnp.where(rows16 == off + bb, k[bb:bb + 1, :], kw)
+                    vw = jnp.where(rows16 == off + bb, v[bb:bb + 1, :], vw)
+                kbuf[pl.ds(wstart, 16), :] = kw
+                vbuf[pl.ds(wstart, 16), :] = vw
+                wk = [pltpu.make_async_copy(
+                    kbuf.at[pl.ds(wstart, 16), :],
+                    okvk_ref.at[il, pl.ds(wstart, 16), :],
+                    wrsem.at[0, 0])]
+                wv = [pltpu.make_async_copy(
+                    vbuf.at[pl.ds(wstart, 16), :],
+                    okvv_ref.at[il, pl.ds(wstart, 16), :],
+                    wrsem.at[1, 0])]
             for d in wk + wv:
                 d.start()
 
             if B == 1:
                 a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0)
             else:
-                # row b attends its lineage (time-concat trick above)
-                a16 = attend_beams(
-                    q, kbuf, vbuf, head + 1, 1.0,
-                    bias=bias_ref[:] if use_bias else None)
+                # blocked online softmax over valid time blocks only
+                nblk = (head + BT) // BT     # ceil((head+1)/BT)
+                a16 = attend_beams(q, kbuf, vbuf, nblk, 1.0, bias_ref)
             consume("A", a16, abuf, S, TN["o_w"])
             x32 = (x32.astype(jnp.bfloat16)
                    + (abuf[:, pl.ds(0, S)].astype(jnp.bfloat16)
@@ -695,13 +772,16 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
             if per_row_cross:
                 # flash-style online softmax over (B, TAC)-row chunks;
-                # running (m, l, o) per head stay register-resident —
-                # ~(M, S) f32 of live state total.
+                # running (m, l, o^T) per head stay register-resident —
+                # ~(M, S) f32 of live state total. PV runs TRANSPOSED
+                # (long dim as the contraction; see attend_beams note) —
+                # the first-cut row-major form measured 1.93 ms/token vs
+                # XLA's 1.52 at B=8, entirely cross-attend MXU waste.
                 BIG_NEG = jnp.float32(-1e30)   # not -inf: m starts here and
                                                # exp(s - m) must stay finite
                 mrun = [jnp.full((M, 1), BIG_NEG) for _ in range(H)]
                 lrun = [jnp.zeros((M, 1), jnp.float32) for _ in range(H)]
-                orun = [jnp.zeros((M, dh), jnp.float32) for _ in range(H)]
+                orun = [jnp.zeros((dh, M), jnp.float32) for _ in range(H)]
                 rowb = jnp.minimum(jax.lax.broadcasted_iota(
                     jnp.int32, (M, B * TAC), 0), B - 1)  # pad rows -> B-1
                 col = jax.lax.broadcasted_iota(jnp.int32, (M, B * TAC), 1)
@@ -722,16 +802,18 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                         m_new = jnp.maximum(mrun[h],
                                             jnp.max(s, axis=1, keepdims=True))
                         alpha = jnp.exp(mrun[h] - m_new)
-                        e = jnp.exp(s - m_new)
+                        e = jnp.exp(s - m_new).astype(jnp.bfloat16)
                         lrun[h] = lrun[h] * alpha + jnp.sum(
-                            e, axis=1, keepdims=True)
-                        orun[h] = orun[h] * alpha + jnp.dot(
-                            e.astype(jnp.bfloat16), cvbuf[cslot][:, hs],
-                            preferred_element_type=jnp.float32)
+                            e.astype(jnp.float32), axis=1, keepdims=True)
+                        orun[h] = (orun[h] * jnp.transpose(alpha)
+                                   + jax.lax.dot_general(
+                                       cvbuf[cslot][:, hs], e,
+                                       (((0,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
                         mrun[h] = m_new
-                ca16 = jnp.concatenate(
-                    [orun[h] / lrun[h] for h in range(H)],
-                    axis=1).astype(jnp.bfloat16)
+                ca16 = jnp.transpose(jnp.concatenate(
+                    [orun[h] / jnp.transpose(lrun[h]) for h in range(H)],
+                    axis=0)).astype(jnp.bfloat16)
             else:
                 for d in cross_dma(il, slot):
                     d.wait()
@@ -841,10 +923,10 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
             continue
         if pname.endswith("Q4"):
             scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
-            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), bf))
+            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
         elif pname.endswith("Q"):
             scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
-            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
+            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
         else:
             scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
     scratch += [
@@ -904,18 +986,20 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
     batched step can't get) and share the cross-KV; each beam attends its
     own self-cache.
 
-    Beam reorder between steps: either a host-side gather on axis 1
-    (reorder_kv analog; attn_bias=None, beam b == cache slot b), or —
-    the fast path — NO physical movement at all: pass
+    Beam reorder between steps is NO physical movement at all: pass
     attn_bias=beam_attn_bias(origin, head, Tc) built from an origin
     table (see beam_attn_bias) and the new K/V rows keep landing at
     slot b while lineage is pure masking. This removes ~2*L*B*Tc*S
     bytes/step of gather traffic (~92 MB at turbo B=5), the dominant
-    beam-step cost.
+    beam-step cost. (Physical-reorder semantics = gather on axis 2 +
+    the identity-origin bias.)
 
     x0: (B, S) bf16 per-beam token+pos embedding rows.
-    kv_k/kv_v: (L, B, Tc, S) natural-layout per-beam self-KV (donated).
+    kv_k/kv_v: (L, Tc, B, S) TIME-MAJOR per-beam self-KV (donated) —
+    time-major so the blocked self-attend touches only the live prefix.
     xk/xv: (L, Ta, S) shared cross KV (xk pre-scaled d**-0.25).
+    attn_bias: (ceil(Tc/BT)*8, BT*B) f32 from beam_attn_bias; REQUIRED
+    for B > 1.
     Returns (logits (B, V) f32, kv_k, kv_v).
     """
     from jax.experimental import pallas as pl
@@ -926,10 +1010,15 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
     if Bm == 1:   # degenerate beam: the greedy kernel expects (L, Tc, S);
         # a single slot has trivial lineage, so attn_bias is ignored
         logits, kv_k1, kv_v1 = mega_decode_step(
-            cfg, mp, x0, kv_k[:, 0], kv_v[:, 0], kv_head, xk, xv,
+            cfg, mp, x0, kv_k[:, :, 0], kv_v[:, :, 0], kv_head, xk, xv,
             interpret=interpret, tile_boost=tile_boost)
-        return logits, kv_k1[:, None], kv_v1[:, None]
-    Tc = kv_k.shape[2]
+        return logits, kv_k1[:, :, None], kv_v1[:, :, None]
+    assert attn_bias is not None, "beam mode requires beam_attn_bias"
+    Tc = kv_k.shape[1]
+    # kernel-side self-KV is ROW-FLAT (Tc*B, S): free reshape here,
+    # callers keep the (L, Tc, B, S) time-major view
+    kv_k = kv_k.reshape(kv_k.shape[0], Tc * Bm, S)
+    kv_v = kv_v.reshape(kv_v.shape[0], Tc * Bm, S)
     Ta = xk.shape[1]
     V = cfg.n_vocab
     Vp = mp.vp
@@ -949,7 +1038,7 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
 
     kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
                                 tile_boost=tile_boost, n_beams=Bm,
-                                use_bias=attn_bias is not None)
+                                use_bias=True)
     M = dims["M"]
     NB = dims["NB"]
     x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
@@ -962,10 +1051,10 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
     operands = [head2d, x, mp.lnw, mp.lnb,
                 mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
-    if attn_bias is not None:
-        assert attn_bias.shape == (M, Bm * dims["Tcp"]), attn_bias.shape
-        operands.insert(2, attn_bias.astype(jnp.float32))
-        in_specs.insert(2, vmem())
+    assert attn_bias.shape == (dims["Tcp"] // BT * M, BT * Bm), \
+        attn_bias.shape
+    operands.insert(2, attn_bias.astype(jnp.float32))
+    in_specs.insert(2, vmem())
     for name in wfields:
         w = getattr(mp, name)
         if qmap[name]:
@@ -984,16 +1073,16 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
             continue
         if pname.endswith("Q4"):
             scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
-            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), bf))
+            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
         elif pname.endswith("Q"):
             scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
-            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
+            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
         else:
             scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
     scratch += [
         pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
-        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # kbuf (flat beams)
-        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # vbuf
+        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # kbuf (row-flat)
+        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # vbuf
         pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf (shared)
         pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
     ]
@@ -1006,7 +1095,7 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),                   # ksem
         pltpu.SemaphoreType.DMA((4,)),                   # csem
-        pltpu.SemaphoreType.DMA((2, Bm)),                # wrsem
+        pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
     ]
 
     logits, kv_k, kv_v = pl.pallas_call(
@@ -1028,7 +1117,9 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
         interpret=interpret,
     )(*operands)
 
-    return logits[0:Bm, :V], kv_k, kv_v
+    L_ = kv_k.shape[0]
+    return (logits[0:Bm, :V], kv_k.reshape(L_, Tc, Bm, S),
+            kv_v.reshape(L_, Tc, Bm, S))
 
 
 @functools.partial(jax.jit,
@@ -1048,11 +1139,12 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
     Differences from the beam kernel: every row has its OWN cross-KV
     (different audio windows), so cross-attention runs BLOCKED — (B,
     128)-row time chunks through a double buffer with a flash-style
-    online softmax (_make_kernel per_row_cross). Self-KV is the flat
-    per-slot concat with fixed block-diagonal masking (no lineage).
+    online softmax (_make_kernel per_row_cross). Self-attention is the
+    same blocked time-major path with the IDENTITY-origin bias (each
+    stream owns its slot; no lineage).
 
     x0: (B, S) bf16 per-stream token+pos embedding rows.
-    kv_k/kv_v: (L, B, Tc, S) natural-layout per-stream self-KV (donated).
+    kv_k/kv_v: (L, Tc, B, S) TIME-MAJOR per-stream self-KV (donated).
     xk/xv: (L, B, Ta, S) PER-STREAM cross KV (xk pre-scaled d**-0.25).
     kv_head: scalar decode position (streams advance in lockstep).
     Returns (logits (B, V) f32, kv_k, kv_v).
@@ -1064,11 +1156,13 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
     Bm = x0.shape[0]
     if Bm == 1:
         logits, kv_k1, kv_v1 = mega_decode_step(
-            cfg, mp, x0, kv_k[:, 0], kv_v[:, 0], kv_head, xk[:, 0],
+            cfg, mp, x0, kv_k[:, :, 0], kv_v[:, :, 0], kv_head, xk[:, 0],
             xv[:, 0], interpret=interpret, tile_boost=tile_boost)
-        return logits, kv_k1[:, None], kv_v1[:, None]
-    Tc = kv_k.shape[2]
+        return logits, kv_k1[:, :, None], kv_v1[:, :, None]
+    Tc = kv_k.shape[1]
     Ta = xk.shape[2]
+    kv_k = kv_k.reshape(kv_k.shape[0], Tc * Bm, S)   # row-flat (see beam)
+    kv_v = kv_v.reshape(kv_v.shape[0], Tc * Bm, S)
     V = cfg.n_vocab
     Vp = mp.vp
     eps = float(cfg.eps)
@@ -1088,20 +1182,25 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
 
     kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
                                 tile_boost=tile_boost, n_beams=Bm,
-                                per_row_cross=True)
+                                use_bias=True, per_row_cross=True)
     M = dims["M"]
     NB = dims["NB"]
     assert dims["TAC"] == TAC
     x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
     head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
 
+    # identity origin: stream b owns cache slot b at every position
+    origin_id = jnp.broadcast_to(
+        jnp.arange(Bm, dtype=jnp.int32)[:, None], (Bm, Tc))
+    attn_bias = beam_attn_bias(origin_id, kv_head, Tc, M=M)
+
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     bf = jnp.bfloat16
 
-    operands = [head2d, x, mp.lnw, mp.lnb,
+    operands = [head2d, x, attn_bias, mp.lnw, mp.lnb,
                 mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 10
     for name in wfields:
         w = getattr(mp, name)
         if qmap[name]:
@@ -1120,16 +1219,16 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
             continue
         if pname.endswith("Q4"):
             scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
-            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), bf))
+            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
         elif pname.endswith("Q"):
             scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
-            scratch.append(pltpu.VMEM((NB, K // QK, TNmax), jnp.float32))
+            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
         else:
             scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
     scratch += [
         pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
-        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # kbuf (flat slots)
-        pltpu.VMEM((Bm * dims["Tcp"], S), bf),           # vbuf
+        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # kbuf (row-flat)
+        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # vbuf
         pltpu.VMEM((2, Bm * TAC, S), bf),                # ckbuf (chunks)
         pltpu.VMEM((2, Bm * TAC, S), bf),                # cvbuf
     ]
@@ -1142,7 +1241,7 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),                   # ksem
         pltpu.SemaphoreType.DMA((4,)),                   # csem
-        pltpu.SemaphoreType.DMA((2, Bm)),                # wrsem
+        pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
     ]
 
     logits, kv_k, kv_v = pl.pallas_call(
@@ -1164,4 +1263,6 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
         interpret=interpret,
     )(*operands)
 
-    return logits[0:Bm, :V], kv_k, kv_v
+    L_ = kv_k.shape[0]
+    return (logits[0:Bm, :V], kv_k.reshape(L_, Tc, Bm, S),
+            kv_v.reshape(L_, Tc, Bm, S))

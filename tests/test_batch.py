@@ -104,3 +104,27 @@ def test_batched_with_int8_cross_kv(rand_ctx):
     # may flip low-margin tokens, so only sanity-compare structure
     assert isinstance(res_b.segments, list)
     assert abs(len(res_a.segments) - len(res_b.segments)) <= 3
+
+
+def test_batched_megakernel_runs(rand_ctx):
+    """Batched serving through the batched-stream megakernel (per-row
+    chunked cross, one weight stream for all chunks): kernel-level
+    numerics are gated by tests/test_decode_megakernel.py; this drives
+    the full transcribe_batched wiring (natural kv carry, prompt ingest,
+    in-loop step) and checks the result against the XLA batch step."""
+    rng = np.random.default_rng(21)
+    audio = (rng.standard_normal(16000 * 4).astype(np.float32) * 0.1)
+    p = FullParams(print_progress=False, no_context=True)
+    p.greedy.best_of = 1
+    p.temperature_inc = 0
+    res_x = BT.transcribe_batched(rand_ctx, p, audio, n_chunks=2)
+    import dataclasses
+    pm = dataclasses.replace(p, megakernel=True)
+    res_m = BT.transcribe_batched(rand_ctx, pm, audio, n_chunks=2)
+    toks_x = [t.id for s in res_x.segments for t in s.tokens]
+    toks_m = [t.id for s in res_m.segments for t in s.tokens]
+    # bf16-kernel vs f32-XLA rounding can flip near-degenerate random-
+    # weight argmaxes; demand structural agreement and mostly-equal tokens
+    assert len(toks_m) > 0
+    agree = np.mean([a == b for a, b in zip(toks_x, toks_m)]) if toks_x else 1
+    assert agree >= 0.5, (toks_x[:20], toks_m[:20])

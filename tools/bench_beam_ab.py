@@ -69,24 +69,27 @@ def main():
         return toks
 
     def make_mega_loop(mp, reord=False):
-        """reord=True: physical per-step KV gather (the round-2 initial
-        wiring); reord=False: origin-table lineage, caches never move."""
+        """reord=True: physical per-step KV gather on the slot axis +
+        identity-origin bias; reord=False: origin-table lineage, caches
+        never move. Caches are TIME-MAJOR (L, Tc, B, S)."""
         @functools.partial(jax.jit, static_argnames=("reord",))
         def loop(mp, te, pe, xkn, xvn, reord=False):
-            nk = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
-            nv = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+            nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+            nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
             toks = jnp.zeros((B,), jnp.int32)
-            origin = jnp.broadcast_to(
+            origin_id = jnp.broadcast_to(
                 jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
+            origin = origin_id
 
             def body(carry, i):
                 toks, nk, nv, origin = carry
                 x0 = (te[toks] + pe[i][None, :]).astype(jnp.bfloat16)
                 if reord:
-                    nk = jnp.take(nk, src, axis=1)
-                    nv = jnp.take(nv, src, axis=1)
+                    nk = jnp.take(nk, src, axis=2)
+                    nv = jnp.take(nv, src, axis=2)
+                    bias = MK.beam_attn_bias(origin_id, i, Tc)
                     logits, nk, nv = MK.mega_decode_step_beam(
-                        cfg, mp, x0, nk, nv, i, xkn, xvn)
+                        cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias)
                 else:
                     origin = jnp.take(origin, src, axis=0).at[:, i].set(
                         jnp.arange(B, dtype=jnp.int32))
@@ -105,8 +108,8 @@ def main():
     # ---- parity (4 steps, bf16 weights, dense planes vs XLA) ----
     print("parity check...", flush=True)
     kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16)
-    nk = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
-    nv = jnp.zeros((L, B, Tc, S), jnp.bfloat16)
+    nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
     mp_dense = MK.prepare_mega(cfg, dec, quant="none")
     toks = np.array([1, 7, 42, 100, 5000], np.int32)
     for i in range(4):
