@@ -309,7 +309,9 @@ _STAGES = (("qkv_w", 1, 3, "A"), ("o_w", 1, 1, "A"), ("cq_w", 1, 1, "A"),
 def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                  qmap: dict, ta_valid: int | None = None,
                  tile_boost: bool = True, n_beams: int = 1,
-                 use_bias: bool = False, per_row_cross: bool = False):
+                 use_bias: bool = False, per_row_cross: bool = False,
+                 attend_pv_t: bool = True, tac: int = 128,
+                 self_blocked: bool = True):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
     padded vocab; qmap: field name -> None | "int8" | "int4" (plane kind).
@@ -373,9 +375,10 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     else:
         Tcp = -(-Tc // 16) * 16              # bf16 sublane padding
     Tap = -(-Ta // 16) * 16
-    TAC = 128                                # cross chunk rows (per stream)
+    TAC = tac                                # cross chunk rows (per stream)
     if per_row_cross:
         assert B > 1
+        assert TAC & (TAC - 1) == 0          # power of two (mask shifts)
         assert Tap % TAC == 0, (Tap, TAC)    # wrapper pads Ta to TAC
         NCC = Tap // TAC                     # chunks per layer
     # pool -> (used, K, TN_max); suffix D dense bf16 (K, TN) tiles,
@@ -393,7 +396,11 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     def attend(q16, kbuf, vbuf, n_valid, scale):
         """Packed-slice attention: q16 (M, S) bf16, kbuf/vbuf (Tpad, S)
         natural layout; returns (M, S) bf16. Head slices contract 64-wide
-        directly (ops/attention._packed_kernel trick: no transposes)."""
+        directly (ops/attention._packed_kernel trick: no transposes).
+        PV runs transposed (V^T p^T -> (dh, M); long dim contracts at
+        dh-row MXU utilization instead of M=8 — see attend_beams) with
+        one (S, M) -> (M, S) relayout in the epilogue; attend_pv_t=False
+        keeps the row-major form (A/B: tools/bench_greedy_ab.py)."""
         outs = []
         for h in range(H):
             qa = q16[:, h * dh:(h + 1) * dh]
@@ -407,7 +414,16 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(jnp.bfloat16)
-            outs.append(jnp.dot(p, va, preferred_element_type=jnp.float32))
+            if attend_pv_t:
+                outs.append(jax.lax.dot_general(
+                    va, p, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))         # (dh, M)
+            else:
+                outs.append(jnp.dot(p, va,
+                                    preferred_element_type=jnp.float32))
+        if attend_pv_t:
+            return jnp.transpose(
+                jnp.concatenate(outs, axis=0)).astype(jnp.bfloat16)
         return jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
 
     def attend_beams(q16, kbuf, vbuf, nblk, scale, bias_ref):
@@ -428,6 +444,39 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
         # r = t*B + b holds slot b's K/V at time t, so a BT-row time
         # block is rows [t*BT*B, (t+1)*BT*B) — plain 2D dynamic slices
         # (Mosaic rejects dynamic-offset loads on 3D refs).
+        if not self_blocked:
+            # static full-width attend (no fori/no dynamic slices): one
+            # dot per head over all Tcp*B columns, plain softmax — the
+            # A/B baseline for the blocked path (per-block machinery
+            # costs ~5 us/head-loop; at shallow heads blocked wins on
+            # width, at full depth static wins on overhead)
+            bias_full = jnp.concatenate(
+                [bias_ref[t * M:(t + 1) * M, :] for t in range(Tcp // BT)],
+                axis=1)                                      # (M, Tcp*B)
+            outs = []
+            for h in range(H):
+                qa = q16[:, h * dh:(h + 1) * dh]
+                ka = kbuf[:, h * dh:(h + 1) * dh]
+                va = vbuf[:, h * dh:(h + 1) * dh]
+                sfull = jax.lax.dot_general(
+                    qa, ka, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                sfull = jnp.where(bias_full < 0, NEG_INF, sfull)
+                mm = jnp.max(sfull, axis=1, keepdims=True)
+                ee = jnp.exp(sfull - mm)
+                pp = (ee / jnp.sum(ee, axis=1, keepdims=True)
+                      ).astype(jnp.bfloat16)
+                if attend_pv_t:
+                    outs.append(jax.lax.dot_general(
+                        va, pp, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                else:
+                    outs.append(jnp.dot(
+                        pp, va, preferred_element_type=jnp.float32))
+            if attend_pv_t:
+                return jnp.transpose(
+                    jnp.concatenate(outs, axis=0)).astype(jnp.bfloat16)
+            return jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
         outs_t = []                      # per-head o^T (dh, M) accumulators
         for h in range(H):
             qa = q16[:, h * dh:(h + 1) * dh]
@@ -451,25 +500,31 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 e = jnp.exp(s - mn).astype(jnp.bfloat16)     # (M, BT*B)
                 l2 = l * a + jnp.sum(e.astype(jnp.float32), axis=1,
                                      keepdims=True)
-                # PV with the LONG dim as the MXU contraction: V^T @ e^T
-                # -> (dh, M). The standard (M, BT*B)@(BT*B, dh) form runs
-                # the MXU at M/128 row utilization; transposed it runs at
-                # dh/128 — 8x fewer passes at dh=64. o stays (dh, M)
-                # until the per-head epilogue.
-                pv = jax.lax.dot_general(
-                    vb, e, (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (dh, M)
-                o2 = ot * jnp.transpose(a) + pv
+                if attend_pv_t:
+                    # PV with the LONG dim as the MXU contraction:
+                    # V^T @ e^T -> (dh, M). The standard form runs the
+                    # MXU at M/128 row utilization; transposed it runs
+                    # at dh/128. o stays (dh, M) until the epilogue.
+                    pv = jax.lax.dot_general(
+                        vb, e, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (dh, M)
+                    o2 = ot * jnp.transpose(a) + pv
+                else:
+                    o2 = ot * a + jnp.dot(
+                        e, vb, preferred_element_type=jnp.float32)
                 return mn, l2, o2
 
             m0 = jnp.full((M, 1), jnp.float32(-1e30))
             l0 = jnp.zeros((M, 1), jnp.float32)
-            o0 = jnp.zeros((dh, M), jnp.float32)
+            o0 = (jnp.zeros((dh, M), jnp.float32) if attend_pv_t
+                  else jnp.zeros((M, dh), jnp.float32))
             m, l, ot = jax.lax.fori_loop(0, nblk, body, (m0, l0, o0))
-            outs_t.append(ot / jnp.transpose(l))
-        # (S, M) -> one relayout back to row-major per attend
-        return jnp.transpose(
-            jnp.concatenate(outs_t, axis=0)).astype(jnp.bfloat16)
+            outs_t.append(ot / (jnp.transpose(l) if attend_pv_t else l))
+        if attend_pv_t:
+            # (S, M) -> one relayout back to row-major per attend
+            return jnp.transpose(
+                jnp.concatenate(outs_t, axis=0)).astype(jnp.bfloat16)
+        return jnp.concatenate(outs_t, axis=1).astype(jnp.bfloat16)
 
     def kernel(*refs):
         it = iter(refs)
@@ -781,7 +836,8 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                                                # exp(s - m) must stay finite
                 mrun = [jnp.full((M, 1), BIG_NEG) for _ in range(H)]
                 lrun = [jnp.zeros((M, 1), jnp.float32) for _ in range(H)]
-                orun = [jnp.zeros((dh, M), jnp.float32) for _ in range(H)]
+                orun = [jnp.zeros((dh, M) if attend_pv_t else (M, dh),
+                                  jnp.float32) for _ in range(H)]
                 rowb = jnp.minimum(jax.lax.broadcasted_iota(
                     jnp.int32, (M, B * TAC), 0), B - 1)  # pad rows -> B-1
                 col = jax.lax.broadcasted_iota(jnp.int32, (M, B * TAC), 1)
@@ -805,15 +861,25 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                         e = jnp.exp(s - m_new).astype(jnp.bfloat16)
                         lrun[h] = lrun[h] * alpha + jnp.sum(
                             e.astype(jnp.float32), axis=1, keepdims=True)
-                        orun[h] = (orun[h] * jnp.transpose(alpha)
-                                   + jax.lax.dot_general(
-                                       cvbuf[cslot][:, hs], e,
-                                       (((0,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32))
+                        if attend_pv_t:
+                            orun[h] = (orun[h] * jnp.transpose(alpha)
+                                       + jax.lax.dot_general(
+                                           cvbuf[cslot][:, hs], e,
+                                           (((0,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32))
+                        else:
+                            orun[h] = (orun[h] * alpha + jnp.dot(
+                                e, cvbuf[cslot][:, hs],
+                                preferred_element_type=jnp.float32))
                         mrun[h] = m_new
-                ca16 = jnp.transpose(jnp.concatenate(
-                    [orun[h] / jnp.transpose(lrun[h]) for h in range(H)],
-                    axis=0)).astype(jnp.bfloat16)
+                if attend_pv_t:
+                    ca16 = jnp.transpose(jnp.concatenate(
+                        [orun[h] / jnp.transpose(lrun[h]) for h in range(H)],
+                        axis=0)).astype(jnp.bfloat16)
+                else:
+                    ca16 = jnp.concatenate(
+                        [orun[h] / lrun[h] for h in range(H)],
+                        axis=1).astype(jnp.bfloat16)
             else:
                 for d in cross_dma(il, slot):
                     d.wait()
@@ -850,13 +916,15 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "interpret", "tile_boost"),
+                   static_argnames=("cfg", "interpret", "tile_boost",
+                                    "attend_pv_t"),
                    donate_argnames=("kv_k", "kv_v"))
 def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
                      kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                      kv_head: jnp.ndarray,
                      xk: jnp.ndarray, xv: jnp.ndarray,
-                     interpret: bool = False, tile_boost: bool = True):
+                     interpret: bool = False, tile_boost: bool = True,
+                     attend_pv_t: bool = True):
     """One greedy decode step for ONE token (B=1).
 
     x0: (1, S) bf16 token embedding + positional embedding row.
@@ -889,7 +957,8 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
         xv = jnp.pad(xv, ((0, 0), (0, Tap - Ta), (0, 0)))
 
     kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
-                                tile_boost=tile_boost)
+                                tile_boost=tile_boost,
+                                attend_pv_t=attend_pv_t)
     M = dims["M"]
     NB = dims["NB"]
     x = jnp.zeros((M, S), jnp.bfloat16).at[0:1].set(x0.astype(jnp.bfloat16))
@@ -971,14 +1040,17 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "interpret", "tile_boost"),
+                   static_argnames=("cfg", "interpret", "tile_boost",
+                                    "attend_pv_t", "self_blocked"),
                    donate_argnames=("kv_k", "kv_v"))
 def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                           kv_head: jnp.ndarray,
                           xk: jnp.ndarray, xv: jnp.ndarray,
                           attn_bias: jnp.ndarray | None = None,
-                          interpret: bool = False, tile_boost: bool = True):
+                          interpret: bool = False, tile_boost: bool = True,
+                          attend_pv_t: bool = True,
+                          self_blocked: bool = True):
     """One beam-search decode step for B <= 8 beams in ONE kernel launch.
 
     The beams ride the M=8 sublane rows through a SINGLE weight stream
@@ -1038,7 +1110,8 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
 
     kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
                                 tile_boost=tile_boost, n_beams=Bm,
-                                use_bias=True)
+                                use_bias=True, attend_pv_t=attend_pv_t,
+                                self_blocked=self_blocked)
     M = dims["M"]
     NB = dims["NB"]
     x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
@@ -1123,14 +1196,16 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "interpret", "tile_boost"),
+                   static_argnames=("cfg", "interpret", "tile_boost",
+                                    "attend_pv_t", "tac"),
                    donate_argnames=("kv_k", "kv_v"))
 def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
                            kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                            kv_head: jnp.ndarray,
                            xk: jnp.ndarray, xv: jnp.ndarray,
                            interpret: bool = False,
-                           tile_boost: bool = True):
+                           tile_boost: bool = True,
+                           attend_pv_t: bool = True, tac: int = 512):
     """One greedy decode step for B <= 8 INDEPENDENT streams in ONE
     kernel launch (the batched-serving analog of whisper_full_parallel,
     reference src/whisper.cpp:7801-7929 — but one weight stream feeds
@@ -1174,7 +1249,7 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
         return "int8" if isinstance(w, QPlanes) else None
     qmap = {n: _kind(getattr(mp, n)) for n in wfields}
 
-    TAC = 128                                 # _make_kernel chunk rows
+    TAC = tac                                 # _make_kernel chunk rows
     Tap = -(-Ta // TAC) * TAC
     if Tap != Ta:
         xk = jnp.pad(xk, ((0, 0), (0, 0), (0, Tap - Ta), (0, 0)))
@@ -1182,7 +1257,8 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
 
     kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
                                 tile_boost=tile_boost, n_beams=Bm,
-                                use_bias=True, per_row_cross=True)
+                                use_bias=True, per_row_cross=True,
+                                attend_pv_t=attend_pv_t, tac=TAC)
     M = dims["M"]
     NB = dims["NB"]
     assert dims["TAC"] == TAC

@@ -485,3 +485,26 @@ def test_megakernel_batch_matches_decode_impl():
             top_g = set(np.argsort(g[b])[-8:])
             top_r = set(np.argsort(r[b])[-8:])
             assert len(top_g & top_r) >= 4, (i, b)
+
+
+def test_megakernel_beam_static_matches_blocked():
+    """self_blocked=False (one static full-width dot per head) must match
+    the blocked fori_loop online-softmax path — same bias, same caches."""
+    B = 3
+    params, dec, mp, xk, xv, _ = _setup(seed=7)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    xkn, xvn = _hm_to_nat(xk), _hm_to_nat(xv)
+    mk = lambda: jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    origin = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
+    x0 = (dec["te"][jnp.asarray([1, 5, 9])]
+          + dec["pe"][0][None]).astype(jnp.bfloat16)
+    bias = MK.beam_attn_bias(origin, jnp.int32(0), Tc)
+    la, _, _ = MK.mega_decode_step_beam(
+        CFG, mp, x0, mk(), mk(), jnp.int32(0), xkn, xvn, attn_bias=bias,
+        interpret=True, self_blocked=True)
+    lb, _, _ = MK.mega_decode_step_beam(
+        CFG, mp, x0, mk(), mk(), jnp.int32(0), xkn, xvn, attn_bias=bias,
+        interpret=True, self_blocked=False)
+    ra, rb = np.asarray(la, np.float32), np.asarray(lb, np.float32)
+    assert np.abs(ra - rb).max() / (np.abs(ra).max() + 1e-6) < 2e-2

@@ -67,8 +67,10 @@ def main():
             body, (toks, kv_k, kv_v), jnp.arange(K))
         return toks
 
-    @jax.jit
-    def mega_loop(mp, te, pe, xkn, xvn):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("tac", "pvt"))
+    def mega_loop(mp, te, pe, xkn, xvn, tac=512, pvt=True):
         nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
         nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
         toks = jnp.zeros((B,), jnp.int32)
@@ -77,7 +79,8 @@ def main():
             toks, nk, nv = carry
             x0 = (te[toks] + pe[i][None, :]).astype(jnp.bfloat16)
             logits, nk, nv = MK.mega_decode_step_batch(
-                cfg, mp, x0, nk, nv, i, xkn, xvn)
+                cfg, mp, x0, nk, nv, i, xkn, xvn, tac=tac,
+                attend_pv_t=pvt)
             return (jnp.argmax(logits, -1).astype(jnp.int32), nk, nv), ()
 
         (toks, _, _), _ = jax.lax.scan(
@@ -114,10 +117,11 @@ def main():
     mp8 = MK.prepare_mega(cfg, dec, quant="all")
     mp4 = MK.prepare_mega(cfg, dec, quant="int4")
     loops = {
-        "xla_b8": lambda: xla_loop(dec, xk_b, xv_b),
         "xla_b8_q8cross": lambda: xla_loop(dec, xk_q8, xv_q8),
-        "mega_b8_int8": lambda: mega_loop(mp8, te, pe, xk_nat, xv_nat),
-        "mega_b8_int4": lambda: mega_loop(mp4, te, pe, xk_nat, xv_nat),
+        "mega_b8_int4_tac512": lambda: mega_loop(mp4, te, pe, xk_nat,
+                                                 xv_nat, tac=512),
+        "mega_b8_int4_tac512_rowpv": lambda: mega_loop(
+            mp4, te, pe, xk_nat, xv_nat, tac=512, pvt=False),
     }
 
     print("warmup/compile...", flush=True)

@@ -68,12 +68,15 @@ def main():
             body, (toks, kv_k, kv_v), jnp.arange(K))
         return toks
 
-    def make_mega_loop(mp, reord=False):
+    def make_mega_loop(mp, reord=False, pvt=True, blocked=True):
         """reord=True: physical per-step KV gather on the slot axis +
         identity-origin bias; reord=False: origin-table lineage, caches
-        never move. Caches are TIME-MAJOR (L, Tc, B, S)."""
-        @functools.partial(jax.jit, static_argnames=("reord",))
-        def loop(mp, te, pe, xkn, xvn, reord=False):
+        never move. Caches are TIME-MAJOR (L, Tc, B, S). pvt toggles the
+        transposed-PV attention epilogue."""
+        @functools.partial(jax.jit,
+                           static_argnames=("reord", "pvt", "blocked"))
+        def loop(mp, te, pe, xkn, xvn, reord=False, pvt=True,
+                 blocked=True):
             nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
             nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
             toks = jnp.zeros((B,), jnp.int32)
@@ -89,13 +92,15 @@ def main():
                     nv = jnp.take(nv, src, axis=2)
                     bias = MK.beam_attn_bias(origin_id, i, Tc)
                     logits, nk, nv = MK.mega_decode_step_beam(
-                        cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias)
+                        cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias,
+                        attend_pv_t=pvt, self_blocked=blocked)
                 else:
                     origin = jnp.take(origin, src, axis=0).at[:, i].set(
                         jnp.arange(B, dtype=jnp.int32))
                     bias = MK.beam_attn_bias(origin, i, Tc)
                     logits, nk, nv = MK.mega_decode_step_beam(
-                        cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias)
+                        cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias,
+                        attend_pv_t=pvt, self_blocked=blocked)
                 return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
                         nk, nv, origin), ()
 
@@ -103,7 +108,8 @@ def main():
                 body, (toks, nk, nv, origin), jnp.arange(K))
             return toks
 
-        return lambda mp_: loop(mp_, te, pe, xk_nat, xv_nat, reord=reord)
+        return lambda mp_: loop(mp_, te, pe, xk_nat, xv_nat, reord=reord,
+                                pvt=pvt, blocked=blocked)
 
     # ---- parity (4 steps, bf16 weights, dense planes vs XLA) ----
     print("parity check...", flush=True)
@@ -143,10 +149,12 @@ def main():
     mp4 = MK.prepare_mega(cfg, dec, quant="int4")
     loops = {
         "xla_bch5": lambda: xla_loop(dec, xk_b, xv_b),
-        "mega_beam5_int8": (lambda f=make_mega_loop(mp8): f(mp8)),
-        "mega_beam5_int4": (lambda f=make_mega_loop(mp4): f(mp4)),
-        "mega_beam5_int4_reord": (
-            lambda f=make_mega_loop(mp4, reord=True): f(mp4)),
+        "mega_beam5_int4_static": (
+            lambda f=make_mega_loop(mp4, pvt=False, blocked=False): f(mp4)),
+        "mega_beam5_int4_blocked_rowpv": (
+            lambda f=make_mega_loop(mp4, pvt=False): f(mp4)),
+        "mega_beam5_int8_static": (
+            lambda f=make_mega_loop(mp8, pvt=False, blocked=False): f(mp8)),
     }
 
     print("warmup/compile...", flush=True)
