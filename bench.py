@@ -285,8 +285,8 @@ def main():
 
     @jax.jit
     def mega_beam_loop(mp, te, pe, xkn, xvn):
-        nk = jnp.zeros((L, Tc, BB, S), jnp.bfloat16)
-        nv = jnp.zeros((L, Tc, BB, S), jnp.bfloat16)
+        nk = jnp.zeros((L, Tc * BB, S), jnp.bfloat16)
+        nv = jnp.zeros((L, Tc * BB, S), jnp.bfloat16)
         origin = jnp.broadcast_to(
             jnp.arange(BB, dtype=jnp.int32)[:, None], (BB, Tc))
 

@@ -130,7 +130,9 @@ def _make_batch_step(sa: _StaticArgs):
                 cfg, dec["decoder"], jnp.broadcast_to(prompt, (B, t_prompt)),
                 hm_k, hm_v, jnp.int32(0), xk, xv,
                 logits_pos=jnp.int32(t_prompt - 1))
-            kv_k, kv_v = to_tm(hm_k), to_tm(hm_v)
+            n_ctx = cfg.n_text_ctx
+            kv_k = to_tm(hm_k).reshape(L, n_ctx * B, S)   # flat time-major
+            kv_v = to_tm(hm_v).reshape(L, n_ctx * B, S)
             xk_nat, xv_nat = to_nat_b(xk), to_nat_b(xv)
             mega_interpret = jax.devices()[0].platform == "cpu"
         else:
@@ -324,8 +326,8 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
             np.arange(B), list(failed_chunks))
         if not active_np.any():
             break
-        if mega is not None:   # time-major carry (megakernel step)
-            kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx, B,
+        if mega is not None:   # flat time-major carry (megakernel step)
+            kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx * B,
                               cfg.n_text_state), jnp.bfloat16)
             kv_v = kv_k
         else:

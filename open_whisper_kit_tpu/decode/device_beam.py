@@ -91,8 +91,8 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     per-token step runs all B beams through ONE megakernel launch (one
     weight stream for the whole beam set; cross-KV shared in-kernel, so
     xk/xv beam broadcast is skipped). Prompt ingest stays on the XLA path;
-    kv_k/kv_v must then be TIME-MAJOR (L, n_ctx, B, S) carries whose
-    content is ignored."""
+    kv_k/kv_v must then be flat time-major (L, n_ctx*B, S) carries
+    whose content is ignored."""
     t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
                                           scalars[2], scalars[3])
     B = beam_size
@@ -122,8 +122,12 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             cfg, dec, prompt, hm_k, hm_v,
             jnp.int32(0), xk[:, :1], xv[:, :1], logits_pos=t_real - 1)
         tm1_k, tm1_v = to_tm(hm_k), to_tm(hm_v)       # (L, n_ctx, 1, S)
-        kv_k = jnp.pad(tm1_k, ((0, 0), (0, 0), (0, B - 1), (0, 0)))
-        kv_v = jnp.pad(tm1_v, ((0, 0), (0, 0), (0, B - 1), (0, 0)))
+        # flat (L, n_ctx*B, S): row t*B + b (one reshape per WINDOW; the
+        # per-step carry then aliases with no reshape)
+        kv_k = jnp.pad(tm1_k, ((0, 0), (0, 0), (0, B - 1), (0, 0))
+                       ).reshape(L, n_ctx * B, S)
+        kv_v = jnp.pad(tm1_v, ((0, 0), (0, 0), (0, B - 1), (0, 0))
+                       ).reshape(L, n_ctx * B, S)
         origin0 = jnp.where(
             jnp.arange(n_ctx)[None, :] < t_real, jnp.int32(0),
             jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],

@@ -682,8 +682,8 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
     t0 = time.perf_counter()
     mega = (ctx.mega_params(p)
             if n_dec <= 8 and not isinstance(xk, M.QuantKV) else None)
-    if mega is not None:   # time-major per-beam carry (megakernel)
-        kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx, n_dec,
+    if mega is not None:   # flat time-major per-beam carry (megakernel)
+        kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx * n_dec,
                           cfg.n_text_state), ctx.dtype)
         kv_v = kv_k
         # prompt ingest is single-slot (origin table shares slot 0's

@@ -310,7 +310,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                  qmap: dict, ta_valid: int | None = None,
                  tile_boost: bool = True, n_beams: int = 1,
                  use_bias: bool = False, per_row_cross: bool = False,
-                 attend_pv_t: bool = True, tac: int = 128,
+                 attend_pv_t: bool = False, tac: int = 128,
                  self_blocked: bool = True):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
@@ -924,7 +924,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
                      kv_head: jnp.ndarray,
                      xk: jnp.ndarray, xv: jnp.ndarray,
                      interpret: bool = False, tile_boost: bool = True,
-                     attend_pv_t: bool = True):
+                     attend_pv_t: bool = False):
     """One greedy decode step for ONE token (B=1).
 
     x0: (1, S) bf16 token embedding + positional embedding row.
@@ -1049,7 +1049,7 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
                           xk: jnp.ndarray, xv: jnp.ndarray,
                           attn_bias: jnp.ndarray | None = None,
                           interpret: bool = False, tile_boost: bool = True,
-                          attend_pv_t: bool = True,
+                          attend_pv_t: bool = False,
                           self_blocked: bool = True):
     """One beam-search decode step for B <= 8 beams in ONE kernel launch.
 
@@ -1067,8 +1067,11 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
     the identity-origin bias.)
 
     x0: (B, S) bf16 per-beam token+pos embedding rows.
-    kv_k/kv_v: (L, Tc, B, S) TIME-MAJOR per-beam self-KV (donated) —
-    time-major so the blocked self-attend touches only the live prefix.
+    kv_k/kv_v: (L, Tc*B, S) ROW-FLAT TIME-MAJOR per-beam self-KV
+    (donated): row t*B + b holds beam slot b's K/V at position t.
+    Flat (not (L, Tc, B, S)) so the while-loop carry aliases straight
+    into the kernel with no per-step reshape between donation and the
+    pallas in/out aliasing.
     xk/xv: (L, Ta, S) shared cross KV (xk pre-scaled d**-0.25).
     attn_bias: (ceil(Tc/BT)*8, BT*B) f32 from beam_attn_bias; REQUIRED
     for B > 1.
@@ -1082,15 +1085,12 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
     if Bm == 1:   # degenerate beam: the greedy kernel expects (L, Tc, S);
         # a single slot has trivial lineage, so attn_bias is ignored
         logits, kv_k1, kv_v1 = mega_decode_step(
-            cfg, mp, x0, kv_k[:, :, 0], kv_v[:, :, 0], kv_head, xk, xv,
+            cfg, mp, x0, kv_k, kv_v, kv_head, xk, xv,
             interpret=interpret, tile_boost=tile_boost)
-        return logits, kv_k1[:, :, None], kv_v1[:, :, None]
+        return logits, kv_k1, kv_v1
     assert attn_bias is not None, "beam mode requires beam_attn_bias"
-    Tc = kv_k.shape[1]
-    # kernel-side self-KV is ROW-FLAT (Tc*B, S): free reshape here,
-    # callers keep the (L, Tc, B, S) time-major view
-    kv_k = kv_k.reshape(kv_k.shape[0], Tc * Bm, S)
-    kv_v = kv_v.reshape(kv_v.shape[0], Tc * Bm, S)
+    assert kv_k.shape[1] % Bm == 0, kv_k.shape
+    Tc = kv_k.shape[1] // Bm
     Ta = xk.shape[1]
     V = cfg.n_vocab
     Vp = mp.vp
@@ -1190,9 +1190,7 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
         interpret=interpret,
     )(*operands)
 
-    L_ = kv_k.shape[0]
-    return (logits[0:Bm, :V], kv_k.reshape(L_, Tc, Bm, S),
-            kv_v.reshape(L_, Tc, Bm, S))
+    return logits[0:Bm, :V], kv_k, kv_v
 
 
 @functools.partial(jax.jit,
@@ -1205,7 +1203,7 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
                            xk: jnp.ndarray, xv: jnp.ndarray,
                            interpret: bool = False,
                            tile_boost: bool = True,
-                           attend_pv_t: bool = True, tac: int = 512):
+                           attend_pv_t: bool = False, tac: int = 512):
     """One greedy decode step for B <= 8 INDEPENDENT streams in ONE
     kernel launch (the batched-serving analog of whisper_full_parallel,
     reference src/whisper.cpp:7801-7929 — but one weight stream feeds
@@ -1219,7 +1217,8 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
     stream owns its slot; no lineage).
 
     x0: (B, S) bf16 per-stream token+pos embedding rows.
-    kv_k/kv_v: (L, Tc, B, S) TIME-MAJOR per-stream self-KV (donated).
+    kv_k/kv_v: (L, Tc*B, S) ROW-FLAT TIME-MAJOR per-stream self-KV
+    (donated; see mega_decode_step_beam).
     xk/xv: (L, B, Ta, S) PER-STREAM cross KV (xk pre-scaled d**-0.25).
     kv_head: scalar decode position (streams advance in lockstep).
     Returns (logits (B, V) f32, kv_k, kv_v).
@@ -1231,13 +1230,12 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
     Bm = x0.shape[0]
     if Bm == 1:
         logits, kv_k1, kv_v1 = mega_decode_step(
-            cfg, mp, x0, kv_k[:, :, 0], kv_v[:, :, 0], kv_head, xk[:, 0],
+            cfg, mp, x0, kv_k, kv_v, kv_head, xk[:, 0],
             xv[:, 0], interpret=interpret, tile_boost=tile_boost)
-        return logits, kv_k1[:, :, None], kv_v1[:, :, None]
-    Tc = kv_k.shape[1]
+        return logits, kv_k1, kv_v1
+    assert kv_k.shape[1] % Bm == 0, kv_k.shape
+    Tc = kv_k.shape[1] // Bm
     Ta = xk.shape[2]
-    kv_k = kv_k.reshape(kv_k.shape[0], Tc * Bm, S)   # row-flat (see beam)
-    kv_v = kv_v.reshape(kv_v.shape[0], Tc * Bm, S)
     V = cfg.n_vocab
     Vp = mp.vp
     eps = float(cfg.eps)
@@ -1339,6 +1337,4 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
         interpret=interpret,
     )(*operands)
 
-    L_ = kv_k.shape[0]
-    return (logits[0:Bm, :V], kv_k.reshape(L_, Tc, Bm, S),
-            kv_v.reshape(L_, Tc, Bm, S))
+    return logits[0:Bm, :V], kv_k, kv_v

@@ -348,15 +348,20 @@ def test_megakernel_beam_matches_decode_impl():
     # beam megakernel: time-major per-beam caches, shared cross;
     # physical reorder = gather on the slot axis + identity-origin bias
     xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
-    nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
-    nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)   # flat time-major
+    nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
     origin_id = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
+
+    def reorder_flat(a, src):          # physical slot gather, flat layout
+        return jnp.take(a.reshape(L, Tc, B, S), jnp.asarray(src),
+                        axis=2).reshape(L, Tc * B, S)
+
     got_logits = []
     for i in range(n_steps):
         if srcs[i] is not None:
-            nk = jnp.take(nk, jnp.asarray(srcs[i]), axis=2)
-            nv = jnp.take(nv, jnp.asarray(srcs[i]), axis=2)
+            nk = reorder_flat(nk, srcs[i])
+            nv = reorder_flat(nv, srcs[i])
         x0 = (dec["te"][jnp.asarray(toks[i])]
               + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
         bias = MK.beam_attn_bias(origin_id, jnp.int32(i), Tc)
@@ -375,7 +380,8 @@ def test_megakernel_beam_matches_decode_impl():
     # per-beam cache rows must match the head-major reference content
     nat_ref_k = np.asarray(jnp.transpose(kv_k, (0, 1, 3, 2, 4)).reshape(
         L, B, Tc, S))
-    got_k = np.asarray(jnp.transpose(nk, (0, 2, 1, 3)))   # -> (L, B, Tc, S)
+    got_k = np.asarray(jnp.transpose(
+        nk.reshape(L, Tc, B, S), (0, 2, 1, 3)))           # -> (L, B, Tc, S)
     np.testing.assert_allclose(
         got_k[:, :, :n_steps].astype(np.float32),
         nat_ref_k[:, :, :n_steps].astype(np.float32), atol=2e-2)
@@ -412,8 +418,8 @@ def test_megakernel_beam_origin_bias_matches_physical_reorder():
 
     # origin path: caches NEVER move; lineage lives in the origin table
     xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
-    nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
-    nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
     origin = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
     for i in range(n_steps):
@@ -465,8 +471,8 @@ def test_megakernel_batch_matches_decode_impl():
             L, B, a.shape[3], S)
 
     xk_nat, xv_nat = to_nat_b(xk_b), to_nat_b(xv_b)
-    nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
-    nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
     for i in range(n_steps):
         x0 = (dec["te"][jnp.asarray(toks[i])]
               + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
@@ -494,7 +500,7 @@ def test_megakernel_beam_static_matches_blocked():
     params, dec, mp, xk, xv, _ = _setup(seed=7)
     L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
     xkn, xvn = _hm_to_nat(xk), _hm_to_nat(xv)
-    mk = lambda: jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    mk = lambda: jnp.zeros((L, Tc * B, S), jnp.bfloat16)
     origin = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
     x0 = (dec["te"][jnp.asarray([1, 5, 9])]

@@ -71,8 +71,8 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("tac", "pvt"))
     def mega_loop(mp, te, pe, xkn, xvn, tac=512, pvt=True):
-        nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
-        nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+        nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+        nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
         toks = jnp.zeros((B,), jnp.int32)
 
         def body(carry, i):
@@ -90,8 +90,8 @@ def main():
     # ---- parity (4 steps, dense bf16 planes vs XLA) ----
     print("parity check...", flush=True)
     kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16)
-    nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
-    nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
     mp_dense = MK.prepare_mega(cfg, dec, quant="none")
     toks = np.arange(B, dtype=np.int32) * 101 + 1
     for i in range(4):

@@ -77,8 +77,8 @@ def main():
                            static_argnames=("reord", "pvt", "blocked"))
         def loop(mp, te, pe, xkn, xvn, reord=False, pvt=True,
                  blocked=True):
-            nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
-            nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+            nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+            nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
             toks = jnp.zeros((B,), jnp.int32)
             origin_id = jnp.broadcast_to(
                 jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
@@ -114,8 +114,8 @@ def main():
     # ---- parity (4 steps, bf16 weights, dense planes vs XLA) ----
     print("parity check...", flush=True)
     kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16)
-    nk = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
-    nv = jnp.zeros((L, Tc, B, S), jnp.bfloat16)
+    nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
     mp_dense = MK.prepare_mega(cfg, dec, quant="none")
     toks = np.array([1, 7, 42, 100, 5000], np.int32)
     for i in range(4):
