@@ -7,8 +7,13 @@ Dequantization here is the *host-side* path used at checkpoint load time; the
 fused dequant-matmul TPU path lives in `ops/quant_matmul.py` and consumes the
 raw block bytes re-packed into TPU-friendly planes (see `unpack_planes`).
 
-Supported: q4_0, q4_1, q5_0, q5_1, q8_0, q4_K, q5_K, q6_K (the formats used
-by whisper.cpp `quantize` and streaming-sortformer GGUF files).
+Decode covers EVERY ggml block-quant format the reference dequantizes:
+the simple quants (q4_0/q4_1/q5_0/q5_1/q8_0), all K-quants (q2_K..q8_K),
+the IQ codebook families (iq1_s/iq1_m, iq2_xxs/xs/s, iq3_xxs/s,
+iq4_nl/iq4_xs), the ternary packings (tq1_0/tq2_0) and MXFP4 — each
+golden-tested byte-for-byte against the ggml library's own coder
+(tests/test_ref_golden_quant.py). Encode covers the formats whisper.cpp
+`quantize` emits.
 """
 
 from __future__ import annotations
@@ -29,8 +34,15 @@ GGML_TYPE_Q4_K = 12
 GGML_TYPE_Q5_K = 13
 GGML_TYPE_Q6_K = 14
 GGML_TYPE_Q8_K = 15
+GGML_TYPE_IQ2_XXS = 16
+GGML_TYPE_IQ2_XS = 17
+GGML_TYPE_IQ3_XXS = 18
+GGML_TYPE_IQ1_S = 19
 GGML_TYPE_IQ4_NL = 20
+GGML_TYPE_IQ3_S = 21
+GGML_TYPE_IQ2_S = 22
 GGML_TYPE_IQ4_XS = 23
+GGML_TYPE_IQ1_M = 29
 GGML_TYPE_I8 = 24
 GGML_TYPE_I16 = 25
 GGML_TYPE_I32 = 26
@@ -50,6 +62,10 @@ TYPE_NAMES = {
     GGML_TYPE_Q5_1: "q5_1", GGML_TYPE_Q8_0: "q8_0",
     GGML_TYPE_Q2_K: "q2_K", GGML_TYPE_Q3_K: "q3_K", GGML_TYPE_Q4_K: "q4_K",
     GGML_TYPE_Q5_K: "q5_K", GGML_TYPE_Q6_K: "q6_K", GGML_TYPE_Q8_K: "q8_K",
+    GGML_TYPE_IQ2_XXS: "iq2_xxs", GGML_TYPE_IQ2_XS: "iq2_xs",
+    GGML_TYPE_IQ2_S: "iq2_s", GGML_TYPE_IQ3_XXS: "iq3_xxs",
+    GGML_TYPE_IQ3_S: "iq3_s", GGML_TYPE_IQ1_S: "iq1_s",
+    GGML_TYPE_IQ1_M: "iq1_m",
     GGML_TYPE_IQ4_NL: "iq4_nl", GGML_TYPE_IQ4_XS: "iq4_xs",
     GGML_TYPE_TQ1_0: "tq1_0", GGML_TYPE_TQ2_0: "tq2_0",
     GGML_TYPE_MXFP4: "mxfp4",
@@ -78,6 +94,13 @@ _BLOCK_INFO = {
     GGML_TYPE_Q5_K: (QK_K, 4 + 12 + QK_K // 8 + QK_K // 2),
     GGML_TYPE_Q6_K: (QK_K, QK_K // 2 + QK_K // 4 + QK_K // 16 + 2),
     GGML_TYPE_Q8_K: (QK_K, 4 + QK_K + QK_K // 16 * 2),
+    GGML_TYPE_IQ2_XXS: (QK_K, 2 + QK_K // 4),
+    GGML_TYPE_IQ2_XS: (QK_K, 2 + QK_K // 4 + QK_K // 32),
+    GGML_TYPE_IQ2_S: (QK_K, 2 + QK_K // 4 + QK_K // 16),
+    GGML_TYPE_IQ3_XXS: (QK_K, 2 + 3 * QK_K // 8),
+    GGML_TYPE_IQ3_S: (QK_K, 2 + 13 * (QK_K // 32) + QK_K // 64),
+    GGML_TYPE_IQ1_S: (QK_K, 2 + QK_K // 8 + QK_K // 16),
+    GGML_TYPE_IQ1_M: (QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32),
     GGML_TYPE_IQ4_NL: (QK, 2 + QK // 2),          # fp16 d + 16B nl nibbles
     GGML_TYPE_IQ4_XS: (QK_K, 2 + 2 + QK_K // 64 + QK_K // 2),
     GGML_TYPE_TQ1_0: (QK_K, 2 + QK_K // 64 + (QK_K - 4 * QK_K // 64) // 5),
@@ -186,6 +209,20 @@ def dequantize(raw: bytes | np.ndarray, ggml_type: int, n_elems: int) -> np.ndar
         return _dequant_q6_k(blocks)
     if t == GGML_TYPE_Q8_K:
         return _dequant_q8_k(blocks)
+    if t == GGML_TYPE_IQ2_XXS:
+        return _dequant_iq2_xxs(blocks)
+    if t == GGML_TYPE_IQ2_XS:
+        return _dequant_iq2_xs(blocks)
+    if t == GGML_TYPE_IQ2_S:
+        return _dequant_iq2_s(blocks)
+    if t == GGML_TYPE_IQ3_XXS:
+        return _dequant_iq3_xxs(blocks)
+    if t == GGML_TYPE_IQ3_S:
+        return _dequant_iq3_s(blocks)
+    if t == GGML_TYPE_IQ1_S:
+        return _dequant_iq1_s(blocks)
+    if t == GGML_TYPE_IQ1_M:
+        return _dequant_iq1_m(blocks)
     if t == GGML_TYPE_IQ4_NL:
         return _dequant_iq4_nl(blocks)
     if t == GGML_TYPE_IQ4_XS:
@@ -271,6 +308,184 @@ def _dequant_q8_k(blocks: np.ndarray) -> np.ndarray:
     d = blocks[:, :4].copy().view(np.float32)             # (nb, 1)
     q = blocks[:, 4:260].copy().view(np.int8).astype(np.float32)
     return (q * d).reshape(-1)
+
+
+# ---- IQ codebook formats (iq1/iq2/iq3 families) ----
+# The grids/sign tables are format-defining constants (_iq_tables,
+# generated by tools/gen_iq_tables.py from ggml-common.h). Sign
+# convention shared by iq2_xxs/iq2_xs/iq2_s/iq3_xxs/iq3_s: a 7-bit sign
+# index selects ksigns_iq2xs, bit j of which (via kmask) negates
+# element j.
+
+_IQ1S_DELTA = 0.125    # ggml-common.h IQ1S_DELTA/IQ1M_DELTA
+
+
+def _iq_luts():
+    from . import _iq_tables as T
+    if not hasattr(_iq_luts, "_c"):
+        sign = np.where(
+            (T.KSIGNS_IQ2XS[:, None] & T.KMASK_IQ2XS[None, :]) != 0,
+            np.float32(-1), np.float32(1))               # (128, 8)
+        g2xxs = T.IQ2XXS_GRID.view(np.uint8).reshape(256, 8)
+        g2xs = T.IQ2XS_GRID.view(np.uint8).reshape(512, 8)
+        g2s = T.IQ2S_GRID.view(np.uint8).reshape(1024, 8)
+        g3xxs = T.IQ3XXS_GRID.view(np.uint8).reshape(256, 4)
+        g3s = T.IQ3S_GRID.view(np.uint8).reshape(512, 4)
+        g1s = T.IQ1S_GRID.view(np.int8).reshape(2048, 8)
+        _iq_luts._c = (sign, g2xxs, g2xs, g2s, g3xxs, g3s, g1s)
+    return _iq_luts._c
+
+
+def _dequant_iq2_xxs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq2_xxs: f16 d + u16 qs[32]; per 32-elem group two u32 pack
+    4 grid-256 indices (bytes of the first) and 4x7-bit sign indices +
+    4-bit scale (second) (dequantize_row_iq2_xxs, ggml-quants.c:2275)."""
+    sign, g2xxs, *_ = _iq_luts()
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy().view(np.uint16))[:, 0]
+    q32 = blocks[:, 2:].copy().view(np.uint32).reshape(nb, 8, 2)
+    idx = q32[:, :, 0].copy().view(np.uint8).reshape(nb, 8, 4)
+    meta = q32[:, :, 1]                                 # (nb, 8)
+    db = d[:, None] * (0.5 + (meta >> 28)) * 0.25       # (nb, 8)
+    shifts = np.arange(4, dtype=np.uint32) * 7
+    sidx = (meta[:, :, None] >> shifts[None, None, :]) & 127
+    vals = (g2xxs[idx].astype(np.float32)               # (nb, 8, 4, 8)
+            * sign[sidx])
+    return (vals * db[:, :, None, None]).reshape(-1)
+
+
+def _dequant_iq2_xs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq2_xs: f16 d + u16 qs[32] (9-bit grid-512 index + 7-bit
+    sign index) + u8 scales[8] (nibble per 16-elem half)
+    (dequantize_row_iq2_xs, ggml-quants.c:2303)."""
+    sign, _, g2xs, *_ = _iq_luts()
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy().view(np.uint16))[:, 0]
+    qs = blocks[:, 2:66].copy().view(np.uint16).reshape(nb, 8, 4)
+    scales = blocks[:, 66:74]                           # (nb, 8)
+    db = np.stack([d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+                   d[:, None] * (0.5 + (scales >> 4)) * 0.25,
+                   ], axis=2)                           # (nb, 8, 2)
+    vals = (g2xs[qs & 511].astype(np.float32)
+            * sign[qs >> 9])                            # (nb, 8, 4, 8)
+    dl = db[:, :, [0, 0, 1, 1]]                         # (nb, 8, 4)
+    return (vals * dl[:, :, :, None]).reshape(-1)
+
+
+def _dequant_iq2_s(blocks: np.ndarray) -> np.ndarray:
+    """block_iq2_s: f16 d + u8 qs[32 index bytes + 32 sign bytes] +
+    u8 qh[8] (2 high index bits per 8-elem group) + u8 scales[8]
+    (dequantize_row_iq2_s, ggml-quants.c:2330)."""
+    sign, _, _, g2s, *_ = _iq_luts()
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy().view(np.uint16))[:, 0]
+    qs = blocks[:, 2:34].reshape(nb, 8, 4).astype(np.uint32)
+    sg = blocks[:, 34:66].reshape(nb, 8, 4)
+    qh = blocks[:, 66:74].astype(np.uint32)             # (nb, 8)
+    scales = blocks[:, 74:82]
+    sh = np.array([8, 6, 4, 2], np.uint32)
+    idx = qs | ((qh[:, :, None] << sh[None, None, :]) & 0x300)
+    db = np.stack([d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+                   d[:, None] * (0.5 + (scales >> 4)) * 0.25], axis=2)
+    dl = db[:, :, [0, 0, 1, 1]]
+    # iq2_s stores FULL 8-bit sign masks (tested directly against
+    # kmask), not 7-bit ksigns indices
+    bits = np.unpackbits(sg.reshape(nb, 8, 4, 1), axis=3,
+                         bitorder="little")             # (nb, 8, 4, 8)
+    vals = g2s[idx].astype(np.float32) * np.where(bits, -1.0, 1.0)
+    return (vals * dl[:, :, :, None]).reshape(-1)
+
+
+def _dequant_iq3_xxs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq3_xxs: f16 d + u8 qs[64 grid-256 bytes, 4 values each] +
+    u32 scale/sign word per 32-elem group
+    (dequantize_row_iq3_xxs, ggml-quants.c:2362)."""
+    sign, _, _, _, g3xxs, *_ = _iq_luts()
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy().view(np.uint16))[:, 0]
+    qs = blocks[:, 2:66].reshape(nb, 8, 4, 2)           # grid byte pairs
+    meta = blocks[:, 66:98].copy().view(np.uint32)      # (nb, 8)
+    db = d[:, None] * (0.5 + (meta >> 28)) * 0.5        # (nb, 8)
+    shifts = np.arange(4, dtype=np.uint32) * 7
+    sidx = (meta[:, :, None] >> shifts[None, None, :]) & 127
+    vals = g3xxs[qs].astype(np.float32).reshape(nb, 8, 4, 8)
+    vals = vals * sign[sidx]
+    return (vals * db[:, :, None, None]).reshape(-1)
+
+
+def _dequant_iq3_s(blocks: np.ndarray) -> np.ndarray:
+    """block_iq3_s: f16 d + u8 qs[64 grid-512 bytes] + qh[8] (9th index
+    bit per 8-elem group) + signs[32] (direct 8-bit masks) + scales[4]
+    (nibbles, one per 64 elems)
+    (dequantize_row_iq3_s, ggml-quants.c:2394)."""
+    _, _, _, _, _, g3s, _ = _iq_luts()
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy().view(np.uint16))[:, 0]
+    qs = blocks[:, 2:66].reshape(nb, 8, 8).astype(np.uint32)
+    qh = blocks[:, 66:74].astype(np.uint32)             # (nb, 8)
+    sg = blocks[:, 74:106].reshape(nb, 8, 4)
+    scales = blocks[:, 106:110]                         # (nb, 4)
+    nib = np.stack([scales & 0xF, scales >> 4], axis=2).reshape(nb, 8)
+    db = d[:, None] * (1 + 2 * nib.astype(np.float32))  # (nb, 8)
+    l = np.arange(4, dtype=np.uint32)
+    idx1 = qs[:, :, 0::2] | ((qh[:, :, None] << (8 - 2 * l)) & 256)
+    idx2 = qs[:, :, 1::2] | ((qh[:, :, None] << (7 - 2 * l)) & 256)
+    bits = np.unpackbits(sg[..., None], axis=3,
+                         bitorder="little")             # (nb, 8, 4, 8)
+    sgn = np.where(bits, np.float32(-1), np.float32(1))
+    out = np.empty((nb, 8, 4, 8), np.float32)
+    out[..., :4] = g3s[idx1].astype(np.float32) * sgn[..., :4]
+    out[..., 4:] = g3s[idx2].astype(np.float32) * sgn[..., 4:]
+    return (out * db[:, :, None, None]).reshape(-1)
+
+
+def _dequant_iq1_s(blocks: np.ndarray) -> np.ndarray:
+    """block_iq1_s: f16 d + u8 qs[32] + u16 qh[8] (3 high index bits per
+    8-elem group, 3-bit scale, delta-sign bit 15)
+    (dequantize_row_iq1_s, ggml-quants.c:2437)."""
+    *_, g1s = _iq_luts()
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy().view(np.uint16))[:, 0]
+    qs = blocks[:, 2:34].reshape(nb, 8, 4).astype(np.uint32)
+    qh = blocks[:, 34:50].copy().view(np.uint16).astype(np.uint32)
+    dl = d[:, None] * (2 * ((qh >> 12) & 7) + 1)        # (nb, 8)
+    delta = np.where((qh & 0x8000) != 0,
+                     np.float32(-_IQ1S_DELTA), np.float32(_IQ1S_DELTA))
+    sh = np.arange(4, dtype=np.uint32) * 3
+    idx = qs | (((qh[:, :, None] >> sh[None, None, :]) & 7) << 8)
+    vals = g1s[idx].astype(np.float32) + delta[:, :, None, None]
+    return (vals * dl[:, :, None, None]).reshape(-1)
+
+
+def _dequant_iq1_m(blocks: np.ndarray) -> np.ndarray:
+    """block_iq1_m: u8 qs[32] + u8 qh[16] (3 high index bits + delta bit
+    per 8-elem group) + u8 scales[8] packing 3-bit scales and the f16
+    super-scale in the top nibbles
+    (dequantize_row_iq1_m, ggml-quants.c:2462)."""
+    *_, g1s = _iq_luts()
+    nb = blocks.shape[0]
+    qs = blocks[:, :32].reshape(nb, 8, 4).astype(np.uint32)
+    qh = blocks[:, 32:48].reshape(nb, 8, 2).astype(np.uint32)
+    sc = blocks[:, 48:56].copy().view(np.uint16)        # (nb, 4)
+    scale_u16 = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+                 | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000))
+    d = _f16(scale_u16.astype(np.uint16).reshape(nb, 1))[:, 0]
+    ib = np.arange(8)
+    dl1 = d[:, None] * (2 * ((sc[:, ib // 2] >> (6 * (ib % 2))) & 7) + 1)
+    dl2 = d[:, None] * (2 * ((sc[:, ib // 2] >> (6 * (ib % 2) + 3)) & 7)
+                        + 1)                            # (nb, 8)
+    idx = np.empty((nb, 8, 4), np.uint32)
+    idx[:, :, 0] = qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700)
+    idx[:, :, 1] = qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700)
+    idx[:, :, 2] = qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700)
+    idx[:, :, 3] = qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700)
+    dbit = np.stack([qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80,
+                     qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80], axis=2)
+    delta = np.where(dbit != 0, np.float32(-_IQ1S_DELTA),
+                     np.float32(_IQ1S_DELTA))           # (nb, 8, 4)
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=2)         # (nb, 8, 4)
+    vals = g1s[idx].astype(np.float32) + delta[:, :, :, None]
+    return (vals * dl[:, :, :, None]).reshape(-1)
 
 
 # IQ4 non-linear 4-bit grid and MXFP4 e2m1 value table (doubled), both

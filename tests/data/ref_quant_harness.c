@@ -34,14 +34,20 @@ int main(int argc, char ** argv) {
     void * q = malloc(row_bytes);
     float * back = (float *) malloc(n * sizeof(float));
 
-    if (ggml_quantize_requires_imatrix(type)) { return 1; }
     if (type == GGML_TYPE_Q8_K) {
         quantize_row_q8_K_ref(src, q, n);
         dequantize_row_q8_K(q, back, n);
     } else {
         const struct ggml_type_traits * tr = ggml_get_type_traits(type);
         if (!tr || !tr->to_float) { fprintf(stderr, "no traits\n"); return 1; }
-        if (ggml_quantize_chunk(type, src, q, 0, 1, n, NULL) == 0) return 1;
+        float * imat = NULL;
+        if (ggml_quantize_requires_imatrix(type)) {
+            /* codebook formats need an importance matrix; a uniform one
+             * exercises the exact same encode/decode layout */
+            imat = (float *) malloc(n * sizeof(float));
+            for (long j = 0; j < n; ++j) imat[j] = 1.0f;
+        }
+        if (ggml_quantize_chunk(type, src, q, 0, 1, n, imat) == 0) return 1;
         tr->to_float(q, back, n);
     }
 

@@ -64,6 +64,9 @@ TYPES = [
     quant.GGML_TYPE_Q6_K, quant.GGML_TYPE_Q8_K,
     quant.GGML_TYPE_IQ4_NL, quant.GGML_TYPE_IQ4_XS,
     quant.GGML_TYPE_TQ1_0, quant.GGML_TYPE_TQ2_0, quant.GGML_TYPE_MXFP4,
+    quant.GGML_TYPE_IQ2_XXS, quant.GGML_TYPE_IQ2_XS, quant.GGML_TYPE_IQ2_S,
+    quant.GGML_TYPE_IQ3_XXS, quant.GGML_TYPE_IQ3_S,
+    quant.GGML_TYPE_IQ1_S, quant.GGML_TYPE_IQ1_M,
 ]
 
 
