@@ -514,3 +514,26 @@ def test_megakernel_beam_static_matches_blocked():
         interpret=True, self_blocked=False)
     ra, rb = np.asarray(la, np.float32), np.asarray(lb, np.float32)
     assert np.abs(ra - rb).max() / (np.abs(ra).max() + 1e-6) < 2e-2
+
+
+def test_megakernel_beam_boundary_sizes():
+    """B=8 (all sublane rows occupied, no pad rows) and B=1 (degenerate
+    fall-through to the greedy kernel) through the flat-carry API."""
+    params, dec, mp, xk, xv, _ = _setup(seed=3)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    xkn, xvn = _hm_to_nat(xk), _hm_to_nat(xv)
+    for B in (8, 1):
+        nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+        nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+        origin = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
+        bias = MK.beam_attn_bias(origin, jnp.int32(0), Tc)
+        x0 = (dec["te"][jnp.arange(B)] + dec["pe"][0][None]
+              ).astype(jnp.bfloat16)
+        logits, nk, nv = MK.mega_decode_step_beam(
+            CFG, mp, x0, nk, nv, jnp.int32(0), xkn, xvn,
+            attn_bias=bias if B > 1 else None, interpret=True)
+        g = np.asarray(logits, np.float32)
+        assert g.shape == (B, CFG.n_vocab)
+        assert np.isfinite(g).all(), B
+        assert nk.shape == (L, Tc * B, S)
