@@ -210,19 +210,24 @@ def main():
     e2e4_rtf = 30.0 / e2e4_best
 
     # beam-5 quality mode end-to-end, through the beam megakernel
-    # (origin-table lineage, int4 planes — the Bch5 serving path)
-    from open_whisper_kit_tpu.decode.params import SamplingStrategy
-    fpb = FullParams(print_progress=False, megakernel="int4",
-                     strategy=SamplingStrategy.BEAM_SEARCH)
-    fpb.beam_search.beam_size = 5
-    fpb.temperature_inc = 0
-    F.whisper_full(ctx, fpb, audio)         # warm
-    e2eb_best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        F.whisper_full(ctx, fpb, audio)
-        e2eb_best = min(e2eb_best, time.perf_counter() - t0)
-    e2eb_rtf = 30.0 / e2eb_best
+    # (origin-table lineage, int4 planes — the Bch5 serving path).
+    # Best-effort: a failure here must not sink the headline metric.
+    e2eb_rtf = None
+    try:
+        from open_whisper_kit_tpu.decode.params import SamplingStrategy
+        fpb = FullParams(print_progress=False, megakernel="int4",
+                         strategy=SamplingStrategy.BEAM_SEARCH)
+        fpb.beam_search.beam_size = 5
+        fpb.temperature_inc = 0
+        F.whisper_full(ctx, fpb, audio)     # warm
+        e2eb_best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            F.whisper_full(ctx, fpb, audio)
+            e2eb_best = min(e2eb_best, time.perf_counter() - t0)
+        e2eb_rtf = round(30.0 / e2eb_best, 1)
+    except Exception as e:                      # pragma: no cover
+        print(f"beam e2e failed: {e!r}", file=sys.stderr)
 
     # ---- decoder with runtime int8 logits (decoder_int8 path) ----
     dec8_loop = make_dec_loop(1, K)
@@ -306,11 +311,16 @@ def main():
             jnp.arange(K))
         return jnp.sum(toks)
 
-    argsb = (mp4, dec_prepared["te"], dec_prepared["pe"], xk_nat, xv_nat)
-    float(mega_beam_loop(*argsb))
-    t0 = time.perf_counter()
-    float(mega_beam_loop(*argsb))
-    mega_b5_s = (time.perf_counter() - t0) / K
+    mega_b5_ms = None
+    try:
+        argsb = (mp4, dec_prepared["te"], dec_prepared["pe"], xk_nat,
+                 xv_nat)
+        float(mega_beam_loop(*argsb))
+        t0 = time.perf_counter()
+        float(mega_beam_loop(*argsb))
+        mega_b5_ms = round((time.perf_counter() - t0) / K * 1e3, 3)
+    except Exception as e:                      # pragma: no cover
+        print(f"beam kernel bench failed: {e!r}", file=sys.stderr)
 
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
     baseline_rtf = 30.0 / ((BASELINE_ENC_MS + N_DEC_TOKENS * BASELINE_DEC_MS) / 1e3)
@@ -327,7 +337,7 @@ def main():
             "dec_mega_int4_ms_per_token": round(mega4_s * 1e3, 3),
             "dec_int8_ms_per_token": round(dec8_s * 1e3, 3),
             "bch5_ms_per_token": round(bch5_s * 1e3, 3),
-            "dec_mega_beam5_ms_per_token": round(mega_b5_s * 1e3, 3),
+            "dec_mega_beam5_ms_per_token": mega_b5_ms,
             "pp_ms_per_token": round(pp_s * 1e3, 4),
             "baseline_enc_ms": BASELINE_ENC_MS,
             "baseline_dec_ms": BASELINE_DEC_MS,
@@ -336,7 +346,7 @@ def main():
             "batched16_int8_audio_sec_per_sec": round(batched_q8_sps, 1),
             "e2e_whisper_full_rtf": round(e2e_rtf, 1),
             "e2e_whisper_full_int4_rtf": round(e2e4_rtf, 1),
-            "e2e_whisper_full_beam5_int4_rtf": round(e2eb_rtf, 1),
+            "e2e_whisper_full_beam5_int4_rtf": e2eb_rtf,
             "device": str(jax.devices()[0]),
         },
     }
