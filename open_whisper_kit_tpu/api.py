@@ -39,13 +39,21 @@ class Transcriber:
 
     def __init__(self, model_path: str | Path | None = None,
                  preset: str | None = None, dtype=jnp.bfloat16,
-                 decoder_int8: bool = False):
+                 decoder_int8: bool = False, mesh=None):
+        """`mesh`: a jax.sharding.Mesh with (dp, tp) axes (parallel/mesh.py
+        `make_mesh()`): weights are tensor-parallel-sharded over `tp` and
+        batched entry points (transcribe_batched, full_parallel) shard their
+        chunk axis over `dp` — the multi-chip serving mode (the TPU-native
+        role of ggml_backend_sched placement + ggml-rpc,
+        ggml/include/ggml-backend.h:251-306)."""
         if model_path is not None:
             self.ctx = WhisperContext.from_file(str(model_path), dtype=dtype,
-                                                decoder_int8=decoder_int8)
+                                                decoder_int8=decoder_int8,
+                                                mesh=mesh)
         elif preset is not None:
             self.ctx = WhisperContext.from_preset(preset, dtype=dtype,
-                                                  decoder_int8=decoder_int8)
+                                                  decoder_int8=decoder_int8,
+                                                  mesh=mesh)
         else:
             raise ValueError("model_path or preset required")
 

@@ -121,9 +121,10 @@ def _make_context(src, cparams: WhisperContextParams | None,
     from .io import ggml_whisper
     cparams = cparams or WhisperContextParams()
     dtype = cparams.dtype or jnp.bfloat16
-    hp = ggml_whisper.load_checkpoint(src, load_tensors=False).hparams
-    return WhisperCompatContext(F.WhisperContext.from_file(src, dtype=dtype),
-                                hparams=hp, with_state=with_state)
+    ck = ggml_whisper.load_checkpoint(src)   # parse ONCE; from_file reuses it
+    return WhisperCompatContext(
+        F.WhisperContext.from_file(src, dtype=dtype, checkpoint=ck),
+        hparams=ck.hparams, with_state=with_state)
 
 
 def whisper_init_from_file_with_params(path: str, params=None

@@ -89,6 +89,8 @@ class _StaticArgs:
     no_timestamps: bool
     stub: bool
     cross_kv_int8: bool = False
+    mesh: object = None          # jax.sharding.Mesh: dp-shard the chunk axis
+    flash: bool = True           # pallas flash encoder (off under GSPMD)
 
 
 def _make_batch_step(sa: _StaticArgs):
@@ -100,7 +102,11 @@ def _make_batch_step(sa: _StaticArgs):
             base_mask, init_mask, token_nosp, seek_end, mega=None):
         B = seeks.shape[0]
         windows = _gather_windows(mel_data, seeks, cfg.n_audio_ctx)
-        enc_out = M.encode(cfg, dec["encoder"], windows)
+        if sa.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            windows = jax.lax.with_sharding_constraint(
+                windows, NamedSharding(sa.mesh, P("dp")))
+        enc_out = M.encode(cfg, dec["encoder"], windows, flash=sa.flash)
         xk, xv = M.cross_kv(cfg, dec["decoder"], enc_out)
         if sa.cross_kv_int8:
             # halves the dominant per-step HBM traffic at batch
@@ -259,35 +265,8 @@ def _make_batch_step(sa: _StaticArgs):
     return run
 
 
-def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
-                       samples: np.ndarray, n_chunks: int = 8,
-                       cross_kv_int8: bool = False) -> F.TranscribeResult:
-    """Transcribe by splitting into `n_chunks` independent chunks and
-    decoding all their windows in lockstep on-device. Greedy t=0 path;
-    chunks whose QA gates trip fall back to the single-stream driver."""
-    samples = np.asarray(samples, np.float32)
-    if n_chunks <= 1:
-        return F.whisper_full(ctx, p, samples)
-
-    cfg = ctx.cfg
+def _init_prompt(ctx: F.WhisperContext, p: FullParams) -> list[int]:
     vocab = ctx.vocab
-    rc = ctx.rule_config
-
-    mel = mel_mod.log_mel_spectrogram(samples, ctx.filters)
-    # guarantee a full window fits at any seek < n_len_org (zero-padded
-    # like whisper_encode_internal's window buffer, whisper.cpp:2392-2399)
-    need = mel.n_len_org + 2 * cfg.n_audio_ctx
-    if mel.data.shape[0] < need:
-        mel = dataclasses.replace(
-            mel, data=jnp.concatenate(
-                [mel.data, jnp.zeros((need - mel.data.shape[0],
-                                      mel.data.shape[1]), mel.data.dtype)]))
-    n_per = mel.n_len_org // n_chunks
-    chunk_bounds = [(i * n_per,
-                     mel.n_len_org if i == n_chunks - 1 else (i + 1) * n_per)
-                    for i in range(n_chunks)]
-
-    no_timestamps = p.no_timestamps
     prompt_init = [vocab.token_sot]
     if vocab.is_multilingual:
         from . import tokenizer as tok_mod
@@ -295,14 +274,40 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
         prompt_init += [vocab.token_lang(lid),
                         vocab.token_translate if p.translate
                         else vocab.token_transcribe]
-    if no_timestamps:
+    if p.no_timestamps:
         prompt_init.append(vocab.token_not)
+    return prompt_init
 
+
+def _lockstep_chunks(ctx: F.WhisperContext, p: FullParams,
+                     mel_data: jnp.ndarray,
+                     bases: np.ndarray, ends_local: np.ndarray,
+                     fallback_audio, cross_kv_int8: bool
+                     ) -> list[list[F.Segment]]:
+    """Lockstep-decode B independent chunks laid out in one mel buffer.
+
+    Chunk b's frames live at mel_data[bases[b] : bases[b]+ends_local[b]]
+    (plus window zero-pad). Returns per-chunk segments with CHUNK-LOCAL
+    timestamps. `fallback_audio(b)` yields the chunk's samples for the
+    QA-gate re-run through the exact single-stream driver.
+    """
+    cfg = ctx.cfg
+    vocab = ctx.vocab
+    rc = ctx.rule_config
+    B = len(bases)
+
+    prompt_init = _init_prompt(ctx, p)
     base_mask, init_mask = ctx.rule_masks(p)
     n_max = cfg.n_text_ctx // 2 - 4
+    # dp-shard the chunk axis only when it divides evenly; otherwise the
+    # tp-sharded weights still give multi-chip execution, batch replicated
+    dp_shard = (ctx.mesh is not None
+                and B % ctx.mesh.shape.get("dp", 1) == 0)
     sa = _StaticArgs(cfg=cfg, rc=rc, n_max=n_max, max_tokens=p.max_tokens,
-                     no_timestamps=no_timestamps, stub=ctx.n_loaded == 0,
-                     cross_kv_int8=cross_kv_int8)
+                     no_timestamps=p.no_timestamps, stub=ctx.n_loaded == 0,
+                     cross_kv_int8=cross_kv_int8,
+                     mesh=ctx.mesh if dp_shard else None,
+                     flash=ctx.mesh is None)
     step = _make_batch_step(sa)
     # one-weight-stream batched megakernel (B <= 8 sublane rows); the
     # int8 cross-KV path keeps the XLA step (QuantKV not in-kernel).
@@ -312,15 +317,17 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
     # auto-on-for-quantized-checkpoints policy must not select it
     mega = (ctx.mega_params(p)
             if p.megakernel in (True, "int8", "int4")
-            and n_chunks <= 8 and not cross_kv_int8 else None)
+            and B <= 8 and not cross_kv_int8 else None)
 
-    B = n_chunks
-    seeks = np.array([b[0] for b in chunk_bounds], np.int32)
-    ends = np.array([b[1] for b in chunk_bounds], np.int32)
+    bases = np.asarray(bases, np.int64)
+    seeks = bases.astype(np.int32).copy()        # absolute frame cursors
+    ends = (bases + np.asarray(ends_local, np.int64)).astype(np.int32)
     chunk_segments: list[list[F.Segment]] = [[] for _ in range(B)]
+    chunk_timings = [F.Timings() for _ in range(B)]
     failed_chunks: set[int] = set()
     prompt = jnp.asarray(np.asarray(prompt_init, np.int32)[None])
 
+    import time as _time
     while True:
         active_np = (seeks + DELTA_MIN < ends) & ~np.isin(
             np.arange(B), list(failed_chunks))
@@ -332,15 +339,27 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
             kv_v = kv_k
         else:
             kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=ctx.dtype)
-        res = step(ctx.params, mel.data, jnp.asarray(seeks),
+            if dp_shard:
+                from ..parallel.mesh import kv_sharding
+                kv_k = jax.device_put(kv_k, kv_sharding(ctx.mesh))
+                kv_v = jax.device_put(kv_v, kv_sharding(ctx.mesh))
+        t0 = _time.perf_counter()
+        res = step(ctx.params, mel_data, jnp.asarray(seeks),
                    jnp.asarray(active_np), prompt, kv_k, kv_v,
                    base_mask, init_mask, jnp.int32(vocab.token_nosp),
                    jnp.asarray(ends), mega=mega)
         res = jax.tree.map(np.asarray, res)
+        round_ms = (_time.perf_counter() - t0) * 1e3
+        n_active = max(1, int(active_np.sum()))
 
         for b in range(B):
             if not active_np[b]:
                 continue
+            tm = chunk_timings[b]
+            tm.t_decode_ms += round_ms / n_active
+            tm.n_encode += 1
+            tm.n_decode += int(res.n_tokens[b]) + 1
+            tm.n_sample += int(res.n_tokens[b])
             if res.failed[b]:
                 failed_chunks.add(b)
                 continue
@@ -358,7 +377,8 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
 
             sub = F.TranscribeResult(segments=chunk_segments[b])
             if tokens_cur and ctx.n_loaded > 0:
-                F._emit_segments(ctx, p, sub, tokens_cur, int(seeks[b]),
+                F._emit_segments(ctx, p, sub, tokens_cur,
+                                 int(seeks[b] - bases[b]),
                                  d.seek_delta, nsp)
             single_ts_end = (len(tokens_cur) > 1
                              and tokens_cur[-2].id < vocab.token_beg
@@ -368,21 +388,106 @@ def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
                 sd = min(int(ends[b]) - int(seeks[b]), CHUNK_FRAMES)
             seeks[b] += sd
 
-    result = F.TranscribeResult(segments=[])
     # QA-gate fallback: failed chunks re-run through the exact driver
     for b in sorted(failed_chunks):
-        lo, hi = chunk_bounds[b]
-        chunk_audio = samples[lo * 160: hi * 160]
         sub = F.whisper_full(ctx, dataclasses.replace(
-            p, offset_ms=0, print_progress=False), chunk_audio)
-        for s in sub.segments:
-            s.t0 += lo
-            s.t1 += lo
+            p, offset_ms=0, duration_ms=0, print_progress=False),
+            fallback_audio(b))
         chunk_segments[b] = sub.segments
+        chunk_timings[b] = sub.timings
+    return chunk_segments, chunk_timings
 
-    for b in range(B):
+
+def transcribe_batched(ctx: F.WhisperContext, p: FullParams,
+                       samples: np.ndarray, n_chunks: int = 8,
+                       cross_kv_int8: bool = False) -> F.TranscribeResult:
+    """Transcribe by splitting into `n_chunks` independent chunks and
+    decoding all their windows in lockstep on-device. Greedy t=0 path;
+    chunks whose QA gates trip fall back to the single-stream driver.
+    All chunks share ONE whole-audio mel (offset/duration single-stream
+    semantics; full_parallel uses per-chunk mels via transcribe_chunks).
+    On a mesh context the chunk axis is dp-sharded."""
+    samples = np.asarray(samples, np.float32)
+    if n_chunks <= 1:
+        return F.whisper_full(ctx, p, samples)
+
+    cfg = ctx.cfg
+
+    mel = mel_mod.log_mel_spectrogram(samples, ctx.filters)
+    # guarantee a full window fits at any seek < n_len_org (zero-padded
+    # like whisper_encode_internal's window buffer, whisper.cpp:2392-2399)
+    need = mel.n_len_org + 2 * cfg.n_audio_ctx
+    if mel.data.shape[0] < need:
+        mel = dataclasses.replace(
+            mel, data=jnp.concatenate(
+                [mel.data, jnp.zeros((need - mel.data.shape[0],
+                                      mel.data.shape[1]), mel.data.dtype)]))
+    n_per = mel.n_len_org // n_chunks
+    bases = np.array([i * n_per for i in range(n_chunks)], np.int64)
+    ends_local = np.array(
+        [(mel.n_len_org if i == n_chunks - 1 else (i + 1) * n_per) - i * n_per
+         for i in range(n_chunks)], np.int64)
+
+    def fallback_audio(b):
+        lo = int(bases[b])
+        hi = lo + int(ends_local[b])
+        return samples[lo * 160: hi * 160]
+
+    chunk_segments, chunk_timings = _lockstep_chunks(
+        ctx, p, mel.data, bases, ends_local, fallback_audio, cross_kv_int8)
+
+    result = F.TranscribeResult(segments=[], timings=chunk_timings[0])
+    for tm in chunk_timings[1:]:
+        result.timings.t_decode_ms += tm.t_decode_ms
+        result.timings.n_encode += tm.n_encode
+        result.timings.n_decode += tm.n_decode
+        result.timings.n_sample += tm.n_sample
+    for b in range(n_chunks):
         for s in chunk_segments[b]:
+            s.t0 += int(bases[b])
+            s.t1 += int(bases[b])
             if result.segments:
                 s.t0 = max(s.t0, result.segments[-1].t1)
             result.segments.append(s)
     return result
+
+
+def transcribe_chunks(ctx: F.WhisperContext, p: FullParams,
+                      chunks: list[np.ndarray],
+                      cross_kv_int8: bool = False) -> list[list[F.Segment]]:
+    """Lockstep-decode a list of independent audio chunks, each with its OWN
+    mel normalization context (exactly what whisper_full computes per chunk
+    — the whisper_full_parallel per-state semantics, whisper.cpp:7801-7929).
+    Returns per-chunk segments with chunk-local timestamps; the caller owns
+    offset fixup and merging (parallel/dp.py::full_parallel)."""
+    segs, _ = transcribe_chunks_with_timings(ctx, p, chunks, cross_kv_int8)
+    return segs
+
+
+def transcribe_chunks_with_timings(ctx: F.WhisperContext, p: FullParams,
+                                   chunks: list[np.ndarray],
+                                   cross_kv_int8: bool = False):
+    """transcribe_chunks + per-chunk Timings (full_parallel's merge input)."""
+    cfg = ctx.cfg
+    mels = [mel_mod.log_mel_spectrogram(np.asarray(c, np.float32),
+                                        ctx.filters) for c in chunks]
+    pad = 2 * cfg.n_audio_ctx
+    bases = []
+    parts = []
+    off = 0
+    for m in mels:
+        need = m.n_len_org + pad
+        data = m.data
+        if data.shape[0] < need:
+            data = jnp.concatenate(
+                [data, jnp.zeros((need - data.shape[0], data.shape[1]),
+                                 data.dtype)])
+        else:
+            data = data[:need]
+        bases.append(off)
+        parts.append(data)
+        off += int(data.shape[0])
+    mel_data = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    ends_local = np.array([m.n_len_org for m in mels], np.int64)
+    return _lockstep_chunks(ctx, p, mel_data, np.asarray(bases, np.int64),
+                            ends_local, lambda b: chunks[b], cross_kv_int8)

@@ -91,7 +91,7 @@ def _entropy_last32(tokens: jnp.ndarray, result_len: jnp.ndarray):
     jax.jit,
     static_argnames=("cfg", "rc", "prompt_init", "K", "n_max", "P",
                      "max_tokens", "no_timestamps", "stub", "window_frames",
-                     "fallback_available", "quant_kv"))
+                     "fallback_available", "quant_kv", "flash"))
 def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    enc_params: M.Params, dec_params: M.Params,
                    mel_data: jnp.ndarray,
@@ -103,7 +103,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    max_tokens: int = 0, no_timestamps: bool = False,
                    stub: bool = False, window_frames: int = 2 * 1500,
                    fallback_available: bool = True,
-                   quant_kv: bool = False) -> WindowsResult:
+                   quant_kv: bool = False, flash: bool = True) -> WindowsResult:
     """Decode up to K windows greedily in one dispatch.
 
     mel_data (n_pad, n_mels) whole-audio device mel, zero past n_len
@@ -159,7 +159,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         window = jax.lax.dynamic_slice_in_dim(
             mel_data, c.seek, window_frames, axis=0)
         _eo, xk, xv = M.encode_with_cross_kv(
-            cfg, enc_params, dec_params, window[None])
+            cfg, enc_params, dec_params, window[None], flash=flash)
         if quant_kv:
             xk = M.quantize_cross_kv(xk)
             xv = M.quantize_cross_kv(xv)

@@ -104,7 +104,7 @@ class WhisperContext:
     def __init__(self, cfg: M.WhisperConfig, params: M.Params,
                  vocab: tok_mod.WhisperVocab, filters: np.ndarray,
                  n_loaded: int, dtype=jnp.bfloat16, model_type: str = "custom",
-                 decoder_int8: bool = False):
+                 decoder_int8: bool = False, mesh=None):
         self.cfg = cfg
         # fuse the decoder qkv projections for the per-token hot path
         params = dict(params)
@@ -112,6 +112,14 @@ class WhisperContext:
         if decoder_int8 and n_loaded > 0:
             # runtime W8: int8-stream the decode matvecs (q8_0-level error)
             params["decoder"] = M.quantize_decoder_int8(params["decoder"])
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip: head/MLP TP over the mesh's `tp` axis, batch over
+            # `dp` (parallel/mesh.py). Pallas fast paths (flash encoder,
+            # megakernel, quant matvec) are opaque to GSPMD, so mesh mode
+            # keeps the whole program XLA-native.
+            from ..parallel.mesh import shard_context_params
+            params = shard_context_params(params, cfg, mesh)
         self.params = params
         self.vocab = vocab
         self.filters = filters
@@ -149,6 +157,8 @@ class WhisperContext:
         * megakernel=False: OFF.
         """
         if p.megakernel is False or not p.use_device_loops:
+            return None
+        if self.mesh is not None:     # pallas is opaque to GSPMD
             return None
         cfg = self.cfg
         dec = self.params["decoder"]
@@ -198,14 +208,19 @@ class WhisperContext:
 
     @classmethod
     def from_buffer(cls, buf: bytes, dtype=jnp.bfloat16,
-                    decoder_int8: bool = False) -> "WhisperContext":
+                    decoder_int8: bool = False, mesh=None) -> "WhisperContext":
         """whisper_init_from_buffer (include/whisper.h:133)."""
-        return cls.from_file(buf, dtype=dtype, decoder_int8=decoder_int8)
+        return cls.from_file(buf, dtype=dtype, decoder_int8=decoder_int8,
+                             mesh=mesh)
 
     @classmethod
     def from_file(cls, path: str | bytes, dtype=jnp.bfloat16,
-                  decoder_int8: bool = False) -> "WhisperContext":
-        ck = ggml_whisper.load_checkpoint(path)
+                  decoder_int8: bool = False, mesh=None,
+                  checkpoint=None) -> "WhisperContext":
+        """`mesh` (jax.sharding.Mesh with dp/tp axes, parallel/mesh.py):
+        shard the weights for multi-chip execution. `checkpoint`: a
+        pre-parsed ggml_whisper.Checkpoint (skips re-reading `path`)."""
+        ck = checkpoint or ggml_whisper.load_checkpoint(path)
         cfg = M.WhisperConfig.from_hparams(ck.hparams)
         vocab = tok_mod.build_vocab(ck.tokens, ck.hparams.n_vocab)
         if ck.n_loaded == 0:
@@ -215,11 +230,12 @@ class WhisperContext:
         else:
             params = M.params_from_checkpoint(ck, dtype=dtype)
         return cls(cfg, params, vocab, ck.mel_filters, ck.n_loaded, dtype,
-                   ck.hparams.model_type, decoder_int8=decoder_int8)
+                   ck.hparams.model_type, decoder_int8=decoder_int8,
+                   mesh=mesh)
 
     @classmethod
     def from_preset(cls, name: str, seed: int = 0, dtype=jnp.bfloat16,
-                    decoder_int8: bool = False) -> "WhisperContext":
+                    decoder_int8: bool = False, mesh=None) -> "WhisperContext":
         """Random-weight real-shape model (benches, shape tests)."""
         cfg = M.PRESETS[name]
         params = M.init_params(cfg, seed=seed, dtype=dtype)
@@ -228,7 +244,7 @@ class WhisperContext:
         vocab = tok_mod.build_vocab(tokens, cfg.n_vocab)
         filters = _synthetic_mel_filters(cfg.n_mels)
         return cls(cfg, params, vocab, filters, n_loaded=1, dtype=dtype,
-                   model_type=name, decoder_int8=decoder_int8)
+                   model_type=name, decoder_int8=decoder_int8, mesh=mesh)
 
     # -- compute wrappers ---------------------------------------------------
 
@@ -251,7 +267,8 @@ class WhisperContext:
                 w[:avail] = np.asarray(mel_data[i0:i0 + avail])
             window = jnp.asarray(w)
         return M.encode_with_cross_kv(self.cfg, self.params["encoder"],
-                                      self.params["decoder"], window[None])
+                                      self.params["decoder"], window[None],
+                                      flash=self.mesh is None)
 
     def rule_masks(self, p: FullParams):
         key = (p.suppress_blank, p.no_timestamps, p.tdrz_enable, p.suppress_nst,
@@ -588,7 +605,8 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
             prompt_init=tuple(prompt_init), K=K, n_max=n_max, P=P,
             max_tokens=p.max_tokens, no_timestamps=no_timestamps,
             stub=ctx.n_loaded == 0, window_frames=2 * cfg.n_audio_ctx,
-            fallback_available=fallback_available, quant_kv=p.cross_kv_int8)
+            fallback_available=fallback_available, quant_kv=p.cross_kv_int8,
+            flash=ctx.mesh is None)
         past_buf = res.past_buf   # stays on device for the next dispatch
         r = DW.unpack_windows_result(DW.pack_windows_result(res), K, n_max)
         # one dispatch covers encode+decode of n_done windows; bucket the

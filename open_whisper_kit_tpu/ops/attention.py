@@ -91,6 +91,29 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+def mha_full_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 n_head: int, scale: float,
+                 kv_valid: int | None = None) -> jnp.ndarray:
+    """Pure-XLA unmasked MHA, (B, T, S) layout. The GSPMD-partitionable
+    variant of mha_full (no opaque pallas call — the compiler can shard the
+    einsums over a mesh and insert the collectives itself)."""
+    B, Tq, S = q.shape
+    Tk = k.shape[1]
+    d = S // n_head
+    qh = q.reshape(B, Tq, n_head, d)
+    kh = k.reshape(B, Tk, n_head, d)
+    vh = v.reshape(B, Tk, n_head, d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_valid is not None and kv_valid < Tk:
+        mask = jnp.where(jnp.arange(Tk) < kv_valid, 0.0, -jnp.inf)
+        scores = scores + mask[None, None, None, :].astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(B, Tq, S)
+
+
 def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
              n_head: int, scale: float,
              kv_valid: int | None = None) -> jnp.ndarray:
@@ -107,18 +130,7 @@ def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     d = S // n_head
 
     if not _flash_available() or Tq < _MIN_FLASH_T:
-        qh = q.reshape(B, Tq, n_head, d)
-        kh = k.reshape(B, Tk, n_head, d)
-        vh = v.reshape(B, Tk, n_head, d)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) * scale
-        if kv_valid is not None and kv_valid < Tk:
-            mask = jnp.where(jnp.arange(Tk) < kv_valid, 0.0, -jnp.inf)
-            scores = scores + mask[None, None, None, :].astype(scores.dtype)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), vh,
-                         preferred_element_type=jnp.float32).astype(q.dtype)
-        return out.reshape(B, Tq, S)
+        return mha_full_xla(q, k, v, n_head, scale, kv_valid=kv_valid)
 
     if (d == 64 and S % 128 == 0 and Tk == Tq and Tq % 128 == 0):
         return _mha_packed(q, k, v, scale, Tq if kv_valid is None else kv_valid)

@@ -311,7 +311,9 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                  tile_boost: bool = True, n_beams: int = 1,
                  use_bias: bool = False, per_row_cross: bool = False,
                  attend_pv_t: bool = False, tac: int = 128,
-                 self_blocked: bool = True):
+                 self_blocked: bool = True,
+                 layer_range: tuple[int, int] | None = None,
+                 with_logits: bool = True):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
     padded vocab; qmap: field name -> None | "int8" | "int4" (plane kind).
@@ -332,7 +334,16 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     softmax (running max / sum / output per head, register-resident)
     accumulates across chunks. Ta must be a multiple of Tac (wrapper
     pads). This is the whisper_full_parallel serving analog: one weight
-    stream feeds B streams (decode/batch.py wires it)."""
+    stream feeds B streams (decode/batch.py wires it).
+
+    layer_range (lo, hi) + with_logits (GROUPED mode, models with
+    n_text_layer > 8): the kernel runs only layers [lo, hi) of the FULL
+    stacked weight/cache operands (no slicing — layer indexing is static
+    per call), and when with_logits=False it emits the (M, S) bf16
+    residual stream instead of logits; the wrapper chains group calls
+    with the self-KV cache aliased straight through. The inter-group
+    bf16 handoff is LOSSLESS: the monolithic kernel's residual stream is
+    bf16-rounded at every add already."""
     if ta_valid is None:
         ta_valid = Ta
     from jax.experimental import pallas as pl

@@ -4,22 +4,54 @@ Port of src/whisper.cpp:7801-7929: split the (optionally VAD-filtered)
 samples into n chunks, transcribe each with an independent state, then merge
 segments with time-offset fixup and non-overlap clamping.
 
-On a multi-chip mesh the chunks are farmed out one per device (each device
-holds a replica of the weights; the per-chunk transcription is the
-single-chip pipeline). On one chip the chunks run sequentially — same
-results, same API.
+Execution, in preference order:
+
+1. **Batched device pipeline** (decode/batch.py::transcribe_chunks) when the
+   params are greedy-t0-compatible: all chunks' windows decode in lockstep
+   inside one device program (batch-B matmuls on the MXU, one host round
+   trip per multi-window round instead of one per token). Each chunk keeps
+   its own mel normalization context — exactly the reference's per-state
+   semantics — and any chunk that trips a QA gate re-runs through the exact
+   single-stream driver, so results match the sequential path. On a mesh
+   context (WhisperContext(mesh=...)) the chunk axis is dp-sharded.
+2. **Concurrent host threads** otherwise: one OS thread per chunk over the
+   shared read-only context (the reference's std::thread model,
+   whisper.cpp:7801-7929) — device dispatches from different chunks
+   interleave, overlapping host-side decode logic with device compute.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from ..decode import full as F
-from ..decode.params import FullParams
+from ..decode.params import FullParams, SamplingStrategy
 
 SAMPLE_RATE = 16000
+
+
+def _batch_route_eligible(ctx: F.WhisperContext, p: FullParams) -> bool:
+    """The lockstep pipeline handles greedy t=0, default-context decoding;
+    everything it can't represent is delegated per-chunk to whisper_full by
+    the QA gates, EXCEPT features that change the step program itself."""
+    return (p.strategy == SamplingStrategy.GREEDY
+            and p.temperature == 0.0
+            and p.no_context
+            and not p.token_timestamps
+            and not p.dtw_token_timestamps
+            and p.grammar_rules is None
+            and p.initial_prompt is None
+            and p.prompt_tokens is None
+            and not p.single_segment
+            and p.duration_ms == 0
+            and p.logits_filter_callback is None
+            and p.encoder_begin_callback is None
+            and p.abort_callback is None
+            and p.progress_callback is None
+            and p.use_device_loops)
 
 
 def full_parallel(ctx: F.WhisperContext, params: FullParams,
@@ -46,24 +78,52 @@ def full_parallel(ctx: F.WhisperContext, params: FullParams,
     offset_samples = SAMPLE_RATE * params.offset_ms // 1000
     per_proc = (n_samples - offset_samples) // n_processors
 
-    chunk_results: list[F.TranscribeResult] = []
+    bounds = []
     for i in range(n_processors):
         if i == 0:
-            chunk = samples[:offset_samples + per_proc]
-            p_cur = dataclasses.replace(params, vad=False)
+            bounds.append((0, offset_samples + per_proc))
         else:
             start = offset_samples + i * per_proc
             end = n_samples if i == n_processors - 1 else start + per_proc
-            chunk = samples[start:end]
-            p_cur = dataclasses.replace(
-                params, vad=False, offset_ms=0, print_progress=False,
-                new_segment_callback=None, progress_callback=None)
-        chunk_results.append(F.whisper_full(ctx, p_cur, chunk))
+            bounds.append((start, end))
+    chunks = [samples[lo:hi] for lo, hi in bounds]
+
+    p0 = dataclasses.replace(params, vad=False)
+    p_rest = dataclasses.replace(
+        params, vad=False, offset_ms=0, print_progress=False,
+        new_segment_callback=None, progress_callback=None)
+
+    if _batch_route_eligible(ctx, params):
+        # chunk 0 keeps its offset_ms semantics by pre-slicing
+        off0 = offset_samples
+        b_chunks = [chunks[0][off0:]] + chunks[1:]
+        from ..decode.batch import transcribe_chunks_with_timings
+        seg_lists, timings = transcribe_chunks_with_timings(
+            ctx, dataclasses.replace(p_rest, offset_ms=0), b_chunks,
+            cross_kv_int8=params.cross_kv_int8)
+        chunk_results = []
+        for i, segs in enumerate(seg_lists):
+            if i == 0 and off0:
+                # re-apply chunk 0's offset (timestamps are chunk-local)
+                for s in segs:
+                    s.t0 += 100 * off0 // SAMPLE_RATE
+                    s.t1 += 100 * off0 // SAMPLE_RATE
+            chunk_results.append(F.TranscribeResult(segments=segs,
+                                                    timings=timings[i]))
+    else:
+        # the reference's model: one OS thread per chunk, shared read-only
+        # weights, independent states (whisper.cpp:7856-7861)
+        with ThreadPoolExecutor(max_workers=n_processors) as pool:
+            futures = [
+                pool.submit(F.whisper_full, ctx,
+                            p0 if i == 0 else p_rest, chunks[i])
+                for i in range(n_processors)]
+            chunk_results = [f.result() for f in futures]
 
     result = chunk_results[0]
     offset_t = params.offset_ms // 10
     for i in range(1, n_processors):
-        shift = 100 * (i * per_proc) // SAMPLE_RATE + offset_t
+        shift = 100 * (bounds[i][0] - offset_samples) // SAMPLE_RATE + offset_t
         for seg in chunk_results[i].segments:
             seg.t0 += shift
             seg.t1 += shift

@@ -138,6 +138,36 @@ def prepared_param_specs(cfg: WhisperConfig,
     return out
 
 
+def shard_context_params(params, cfg: WhisperConfig, mesh: Mesh,
+                         fsdp_axis: str | None = None):
+    """Shard a live WhisperContext's params (post-prepare_decoder) onto
+    `mesh`: head/MLP tensor parallelism over `tp` per prepared_param_specs,
+    everything unrecognized (e.g. te_logits / QuantLinear planes) replicated.
+
+    This is the production entry for the multi-device placement role of
+    ggml_backend_sched (ggml/include/ggml-backend.h:251-306) and the
+    split-buffer TP hook (:199-201): weights land sharded once, GSPMD
+    inserts the ICI collectives in every jitted step that consumes them.
+    """
+    specs = prepared_param_specs(cfg, fsdp_axis)
+
+    def put(x, spec: P):
+        if hasattr(x, "ndim") and len(spec) > x.ndim:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def walk(p, s):
+        if isinstance(p, dict):
+            return {k: walk(v, s.get(k) if isinstance(s, dict) else None)
+                    for k, v in p.items()}
+        if isinstance(s, P) and isinstance(p, jax.Array):
+            return put(p, s)
+        # unknown leaf (quant planes, extra tables): replicate each array
+        return jax.tree.map(lambda a: put(a, P()), p)
+
+    return walk(params, specs)
+
+
 def shard_params(params, mesh: Mesh, specs=None):
     if specs is None:
         raise ValueError("specs required")
