@@ -297,6 +297,7 @@ OWK_API void owk_high_pass(float * data, int64_t n, float cutoff,
 // ---------------------------------------------------------------------------
 
 #include <dlfcn.h>
+#include <cstdlib>
 #include <thread>
 
 namespace {
@@ -345,6 +346,20 @@ struct Capture {
 };
 
 Capture g_capture;
+
+// If the process exits without owk_capture_stop (caller forgot, or
+// interpreter teardown skipped the finally), the joinable worker thread's
+// destructor would std::terminate a clean exit. Registered once at first
+// capture start; performs the full stop sequence.
+void capture_atexit() {
+    std::lock_guard<std::mutex> lock(g_capture.mu);
+    g_capture.running.store(false);
+    if (g_capture.worker.joinable()) g_capture.worker.join();
+    if (g_capture.pcm) {
+        g_capture.api.close_(g_capture.pcm);
+        g_capture.pcm = nullptr;
+    }
+}
 
 void capture_loop() {
     constexpr unsigned long kChunk = 1024;
@@ -407,6 +422,8 @@ OWK_API int owk_capture_start(const char * device, int sample_rate,
     owk_ring_clear(g_capture.ring);
     g_capture.running.store(true);
     g_capture.worker = std::thread(capture_loop);
+    static bool registered = [] { std::atexit(capture_atexit); return true; }();
+    (void)registered;
     return OWK_CAP_OK;
 }
 

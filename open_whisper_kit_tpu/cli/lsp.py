@@ -19,7 +19,9 @@ Divergences by design:
    apparent bug (the separator `k_prompt += s + ", "` was evidently
    intended, matching the chop of exactly 2 chars). We implement the
    intent; guided-mode prompt tokens therefore differ from the
-   reference's for multi-word commandsets.
+   reference's for multi-word commandsets. `--strict-prompt-parity`
+   (LspServer(strict_prompt_parity=True)) reproduces the reference's
+   literal bytes for A/B harnesses.
 """
 
 from __future__ import annotations
@@ -42,13 +44,18 @@ class LspServer:
 
     def __init__(self, ctx, language: str = "en", translate: bool = False,
                  max_tokens: int = 32, audio_ctx: int = 0,
-                 print_special: bool = False):
+                 print_special: bool = False, strict_prompt_parity: bool = False):
         self.ctx = ctx
         self.language = language
         self.translate = translate
         self.max_tokens = max_tokens
         self.audio_ctx = audio_ctx
         self.print_special = print_special
+        # reproduce the reference's literal guided-prompt construction
+        # (separator-less concat + 2-char chop, lsp.cpp:320-322) for
+        # byte-level A/B harnesses; default is the intended ", " join
+        # (module docstring, divergence #2)
+        self.strict_prompt_parity = strict_prompt_parity
         self.commandsets: list[dict] = []
 
     # -- audio ---------------------------------------------------------------
@@ -142,7 +149,7 @@ class LspServer:
                            "Duplicate token in token set: " + s)
             seen.add(toks[0])
             commands.append({"tokens": [toks[0]], "plaintext": s})
-            k_prompt += s + ", "
+            k_prompt += s if self.strict_prompt_parity else s + ", "
         k_prompt = k_prompt[:-2] + ". Selected word:"
         cs = {"commands": commands,
               "prompt_tokens": vocab.tokenize(k_prompt)}
@@ -229,13 +236,17 @@ def main(argv=None) -> int:
     ap.add_argument("-mt", "--max-tokens", type=int, default=32)
     ap.add_argument("-ac", "--audio-ctx", type=int, default=0)
     ap.add_argument("-ps", "--print-special", action="store_true")
+    ap.add_argument("--strict-prompt-parity", action="store_true",
+                    help="reproduce the reference's literal guided-prompt "
+                         "concatenation (lsp.cpp:320-322) byte-for-byte")
     args = ap.parse_args(argv)
 
     from ..decode.full import WhisperContext
     ctx = WhisperContext.from_file(args.model)
     srv = LspServer(ctx, language=args.language, translate=args.translate,
                     max_tokens=args.max_tokens, audio_ctx=args.audio_ctx,
-                    print_special=args.print_special)
+                    print_special=args.print_special,
+                    strict_prompt_parity=args.strict_prompt_parity)
 
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer

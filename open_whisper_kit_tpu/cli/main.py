@@ -99,9 +99,11 @@ def params_from_args(args) -> "FullParams":
         no_timestamps=args.no_timestamps,
         print_special=args.print_special,
         print_progress=args.print_progress,
-        token_timestamps=args.output_words or args.max_len > 0,
+        token_timestamps=args.output_words or args.output_json_full
+        or args.max_len > 0,
         thold_pt=args.word_thold,
-        max_len=args.max_len,
+        # -owts defaults the wrap length to 60 chars (cli.cpp:1187)
+        max_len=60 if args.output_words and args.max_len == 0 else args.max_len,
         split_on_word=args.split_on_word,
         audio_ctx=args.audio_ctx,
         tdrz_enable=args.tinydiarize,
@@ -222,9 +224,10 @@ def main(argv=None) -> int:
         if args.log_score:
             out("score.txt", O.write_score, vocab=vocab)
         if args.output_words:
-            dur = res.segments[-1].t1 if res.segments else 0
-            out("wts", O.write_wts, audio_path=fname, duration_cs=dur,
-                font=args.font_path)
+            # t_sec = float(n_samples + 1000) / SR (cli.cpp:1293)
+            dur_s = np.float32(len(audio) + 1000) / 16000
+            out("wts", O.write_wts, audio_path=fname, duration_s=float(dur_s),
+                font=args.font_path, vocab=vocab, stereo=stereo)
 
     return 0
 

@@ -211,19 +211,84 @@ def write_json(res: TranscribeResult, f: TextIO, *, full: bool = False,
     f.write("\n")
 
 
+def _g(x: float) -> str:
+    """C++ std::ostream double formatting (6 significant digits, %g)."""
+    return f"{x:g}"
+
+
 def write_wts(res: TranscribeResult, f: TextIO, audio_path: str,
-              duration_cs: int, font: str = "/System/Library/Fonts/Supplemental/Courier New Bold.ttf"):
-    """Karaoke ffmpeg script (output_wts, cli.cpp:787-925 behavior)."""
+              duration_s: float,
+              font: str = "/System/Library/Fonts/Supplemental/Courier New Bold.ttf",
+              vocab=None, stereo=None):
+    """Karaoke ffmpeg script — byte-faithful port of output_wts
+    (cli.cpp:772-891): per segment a gray empty marker + gray background
+    line, then per token a lightgreen highlight line (token chars kept,
+    others '\\ '-blanked, '|' cursor) and an underline line, each enabled
+    over the token's [t0, t1]; ' -> U+2019 and " -> \\" escapes; trailing
+    echo lines. The font existence check (cli.cpp:777-781) is the caller's
+    concern. Needs token_timestamps (the CLI forces it with -owts)."""
+    dr = _g(duration_s)
     f.write("#!/bin/bash\n\n")
-    f.write(f"ffmpeg -i {audio_path} -f lavfi -i color=size=1200x120:duration="
-            f"{duration_cs / 100.0}:rate=25:color=black -vf \"")
-    first = True
-    for s in res.segments:
-        if not first:
+    f.write(f"ffmpeg -i {audio_path} -f lavfi -i color=size=1200x120:"
+            f"duration={dr}:rate=25:color=black -vf \"")
+    token_eot = vocab.token_eot if vocab is not None else 10**9
+
+    for i, s in enumerate(res.segments):
+        if i > 0:
             f.write(",")
-        first = False
-        text = s.text.strip().replace("'", "").replace('"', '\\"')
-        f.write(f"drawtext=fontfile='{font}':fontsize=24:fontcolor=white:"
-                f"x=(w-text_w)/2:y=h/2:text='{text}':"
-                f"enable='between(t,{s.t0 / 100.0},{s.t1 / 100.0})'")
+        t0s, t1s = _g(s.t0 / 100.0), _g(s.t1 / 100.0)
+        f.write(f"drawtext=fontfile='{font}':fontsize=24:fontcolor=gray:"
+                f"x=(w-text_w)/2:y=h/2:text='':enable='between(t,{t0s},{t0s})'")
+
+        speaker = ""
+        if stereo is not None:
+            speaker = estimate_channel_speaker(stereo, s.t0, s.t1, False)
+
+        texts = [vocab.token_to_str(tk.id) if vocab is not None else ""
+                 for tk in s.tokens]
+        is_first = True
+        for j, tk in enumerate(s.tokens):
+            if tk.id >= token_eot:
+                continue
+            txt_bg = txt_fg = ""
+            txt_ul = ""
+            if stereo is not None:
+                txt_bg = txt_fg = speaker
+                txt_ul = "\\ " * 11
+            txt_bg += "> "
+            txt_fg += "> "
+            txt_ul += "\\ \\ "
+            for k, tk2 in enumerate(s.tokens):
+                if tk2.id >= token_eot:
+                    continue
+                txt = texts[k]
+                txt_bg += txt
+                if k == j:
+                    txt_fg += txt + "|"
+                    txt_ul += "_" * len(txt)
+                else:
+                    txt_fg += "\\ " * len(txt)
+                    txt_ul += "\\ " * len(txt)
+            txt_bg = txt_bg.replace("'", "’").replace('"', '\\"')
+            txt_fg = txt_fg.replace("'", "’").replace('"', '\\"')
+
+            if is_first:
+                f.write(f",drawtext=fontfile='{font}':fontsize=24:"
+                        f"fontcolor=gray:x=(w-text_w)/2:y=h/2:"
+                        f"text='{txt_bg}':enable='between(t,{t0s},{t1s})'")
+                is_first = False
+
+            k0, k1 = _g(tk.t0 / 100.0), _g(tk.t1 / 100.0)
+            f.write(f",drawtext=fontfile='{font}':fontsize=24:"
+                    f"fontcolor=lightgreen:x=(w-text_w)/2+8:y=h/2:"
+                    f"text='{txt_fg}':enable='between(t,{k0},{k1})'")
+            f.write(f",drawtext=fontfile='{font}':fontsize=24:"
+                    f"fontcolor=lightgreen:x=(w-text_w)/2+8:y=h/2+16:"
+                    f"text='{txt_ul}':enable='between(t,{k0},{k1})'")
+
     f.write(f"\" -c:v libx264 -pix_fmt yuv420p -y {audio_path}.mp4\n")
+    f.write("\n\n")
+    f.write(f'echo "Your video has been saved to {audio_path}.mp4"\n')
+    f.write("\n")
+    f.write(f'echo "  ffplay {audio_path}.mp4"\n')
+    f.write("\n")

@@ -73,26 +73,31 @@ class _Carry(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "rc", "beam_size", "n_max", "max_tokens",
-                     "single_segment", "no_timestamps", "stub"),
-    donate_argnames=("kv_k", "kv_v"))
+                     "single_segment", "no_timestamps", "stub",
+                     "cache_dtype"))
 def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                         dec: M.Params, prompt: jnp.ndarray,
-                        kv_k, kv_v, xk, xv,
+                        xk, xv,
                         base_mask, init_mask, scalars,
                         *, beam_size: int, n_max: int, max_tokens: int = 0,
                         single_segment: bool = False,
                         no_timestamps: bool = False,
-                        stub: bool = False, mega=None) -> BeamSegmentResult:
-    """Beam-search one window. prompt (1, Tp); kv caches sized for B beams;
+                        stub: bool = False, mega=None,
+                        cache_dtype=jnp.bfloat16) -> BeamSegmentResult:
+    """Beam-search one window. prompt (1, Tp);
     xk/xv (L, B, H, Ta, dh) with identical rows (broadcast cross-KV).
     `scalars` packs (t_real, token_nosp, seek, seek_end) i32.
+
+    The per-beam self-KV carries are allocated IN-TRACE (cache_dtype) so
+    the while-loop carry updates in place with no host-side buffer whose
+    donation XLA could fail to use (the round-2 "donated buffers were not
+    usable" warnings).
 
     `mega` (ops.decode_megakernel.MegaParams or None): when set, the
     per-token step runs all B beams through ONE megakernel launch (one
     weight stream for the whole beam set; cross-KV shared in-kernel, so
-    xk/xv beam broadcast is skipped). Prompt ingest stays on the XLA path;
-    kv_k/kv_v must then be flat time-major (L, n_ctx*B, S) carries
-    whose content is ignored."""
+    xk/xv beam broadcast is skipped); the carry is then flat time-major
+    (L, n_ctx*B, S)."""
     t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
                                           scalars[2], scalars[3])
     B = beam_size
@@ -117,7 +122,7 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         # The origin table lets every beam attend cache SLOT 0's prompt
         # rows, so the prompt is ingested ONCE (B=1), not per beam, and
         # the per-beam caches start as zero-filled slots 1..B-1
-        hm_k, hm_v = M.init_kv_cache(cfg, 1, dtype=kv_k.dtype)
+        hm_k, hm_v = M.init_kv_cache(cfg, 1, dtype=cache_dtype)
         logits1, hm_k, hm_v, _ = M.decode_impl(
             cfg, dec, prompt, hm_k, hm_v,
             jnp.int32(0), xk[:, :1], xv[:, :1], logits_pos=t_real - 1)
@@ -137,6 +142,7 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         xv_nat = to_nat_b(xv[:, 0:1])[:, 0]
         mega_interpret = jax.devices()[0].platform == "cpu"
     else:
+        kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=cache_dtype)
         logits_all, kv_k, kv_v, _ = M.decode_impl(
             cfg, dec, jnp.broadcast_to(prompt, (B, Tp)), kv_k, kv_v,
             jnp.int32(0), xk, xv, logits_pos=t_real - 1)

@@ -259,22 +259,31 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "rc", "n_max", "max_tokens", "single_segment",
-                     "no_timestamps", "stub"),
-    donate_argnames=("kv_k", "kv_v"))
+                     "no_timestamps", "stub", "cache_dtype"))
 def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    dec: M.Params, prompt: jnp.ndarray,
-                   kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                    xk: jnp.ndarray, xv: jnp.ndarray,
                    base_mask: jnp.ndarray, init_mask: jnp.ndarray,
                    scalars: jnp.ndarray, *, n_max: int,
                    max_tokens: int = 0, single_segment: bool = False,
                    no_timestamps: bool = False,
-                   stub: bool = False, mega=None,
-                   grammar=None) -> SegmentResult:
+                   stub: bool = False, mega=None, grammar=None,
+                   cache_dtype=jnp.bfloat16) -> SegmentResult:
     """Greedy-decode one window. prompt (1, T_pad) i32; `scalars` packs
     (t_real, token_nosp, seek, seek_end) into one i32 upload (each separate
-    scalar transfer costs a full round-trip on relayed links). With `mega`,
-    kv_k/kv_v must be natural-layout (L, n_ctx, S) buffers."""
+    scalar transfer costs a full round-trip on relayed links).
+
+    The self-KV carry is allocated IN-TRACE (cache_dtype): the window
+    always starts from an empty cache, so passing zero buffers from the
+    host only created donation candidates XLA could not always alias (the
+    round-2 "donated buffers were not usable" warnings). With `mega` the
+    carry is natural-layout (L, n_ctx, S)."""
+    if mega is not None:
+        kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx,
+                          cfg.n_text_state), cache_dtype)
+        kv_v = kv_k
+    else:
+        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=cache_dtype)
     c, no_speech_prob = segment_core(
         cfg, rc, dec, prompt, kv_k, kv_v, xk, xv, base_mask, init_mask,
         scalars[0], scalars[1], scalars[2], scalars[3], n_max=n_max,

@@ -168,8 +168,10 @@ class WhisperContext:
             self.dtype == jnp.bfloat16
             and not p.cross_kv_int8
             and "qkv_w" in blocks
-            and cfg.n_text_layer <= 8       # kernel is fully unrolled
             and cfg.n_text_state % 128 == 0)
+        # n_text_layer > 8 runs the GROUPED kernel chain (<=8 fully-
+        # unrolled layers per pallas_call, residual handed off in bf16
+        # — ops/decode_megakernel.MEGA_GROUP); all model sizes eligible
         on_accel = jax.devices()[0].platform != "cpu"
         if not structural or not (on_accel
                                   or p.megakernel in (True, "int8", "int4")):
@@ -700,16 +702,12 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
     t0 = time.perf_counter()
     mega = (ctx.mega_params(p)
             if n_dec <= 8 and not isinstance(xk, M.QuantKV) else None)
-    if mega is not None:   # flat time-major per-beam carry (megakernel)
-        kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx * n_dec,
-                          cfg.n_text_state), ctx.dtype)
-        kv_v = kv_k
+    if mega is not None:
         # prompt ingest is single-slot (origin table shares slot 0's
         # prompt rows across beams) and cross-KV is shared in-kernel:
         # no beam broadcast needed
         xk_b, xv_b = xk, xv
     else:
-        kv_k, kv_v = M.init_kv_cache(cfg, n_dec, dtype=ctx.dtype)
         xk_b = _repeat_kv(xk, n_dec)
         xv_b = _repeat_kv(xv, n_dec)
     toks, T_real = _pad_prompt(cfg, prompt)
@@ -719,10 +717,11 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
         [T_real, vocab.token_nosp, seek, seek_end], np.int32))
     res_dev = DB.decode_segment_beam(
         cfg, rc, ctx.params["decoder"], toks,
-        kv_k, kv_v, xk_b, xv_b, base_mask, init_mask,
+        xk_b, xv_b, base_mask, init_mask,
         scalars, beam_size=n_dec, n_max=n_max,
         max_tokens=p.max_tokens, single_segment=p.single_segment,
-        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega)
+        no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega,
+        cache_dtype=ctx.dtype)
     r = DB.unpack_beam_result(DB.pack_beam_result(res_dev), n_dec, n_max)
     n_tok = r["n_tokens"]
     for j, d in enumerate(decoders):
@@ -742,12 +741,6 @@ def _device_greedy_window(ctx, p, rc, decoders, prompt, xk, xv,
     cfg, vocab = ctx.cfg, ctx.vocab
     t0 = time.perf_counter()
     mega = ctx.mega_params(p) if not isinstance(xk, M.QuantKV) else None
-    if mega is not None:   # natural-layout carry (decode_megakernel)
-        kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx,
-                          cfg.n_text_state), ctx.dtype)
-        kv_v = kv_k
-    else:
-        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=ctx.dtype)
     toks, T_real = _pad_prompt(cfg, prompt)
     from . import device_loop as DL
     n_max = cfg.n_text_ctx // 2 - 4
@@ -755,11 +748,11 @@ def _device_greedy_window(ctx, p, rc, decoders, prompt, xk, xv,
         [T_real, vocab.token_nosp, seek, seek_end], np.int32))
     res_dev = DL.decode_segment(
         cfg, rc, ctx.params["decoder"], toks,
-        kv_k, kv_v, xk, xv, base_mask, init_mask,
+        xk, xv, base_mask, init_mask,
         scalars, n_max=n_max,
         max_tokens=p.max_tokens, single_segment=p.single_segment,
         no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega,
-        grammar=grammar)
+        grammar=grammar, cache_dtype=ctx.dtype)
     r = DL.unpack_segment_result(DL.pack_segment_result(res_dev), n_max)
     n_tok = r["n_tokens"]
     _fill_decoder(decoders[0], r, n_tok)

@@ -98,6 +98,13 @@ class FullParams:
     abort_callback: Callable | None = None
     logits_filter_callback: Callable | None = None
 
+    # GBNF grammar. Small grammars flatten to a token DFA applied inside
+    # the fused device loop; a grammar whose automaton exceeds the DFA
+    # budget (512 states / 100k transitions, grammar.build_token_dfa)
+    # falls back to the HOST-stepped loop — identical output, but one
+    # device round trip per token instead of per segment (an
+    # order-of-magnitude RTF cliff on relayed links; see
+    # decode/full.py::_grammar_device_ops).
     grammar_rules: object | None = None
     i_start_rule: int = 0
     grammar_penalty: float = 100.0

@@ -32,6 +32,66 @@ ATTR_BYTE = 6
 
 _SPACE = "▁"  # ▁ escaped-space symbol (llama-vocab.cpp:833)
 
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _gpt2_split(text: str) -> list[str]:
+    """GPT-2 pre-tokenizer (the classic tiktoken/llama-vocab.cpp gpt2
+    regex_exprs pattern, Unicode classes):
+
+        's|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+
+        |\\s+(?!\\S)|\\s+
+
+    Hand-rolled scanner (stdlib `re` has no \\p classes); `\\s+(?!\\S)`
+    backtracking semantics — a whitespace run before a word yields its last
+    space to the next word's ' ?' prefix — are reproduced exactly."""
+    import unicodedata
+
+    def cat(c: str) -> str:
+        k = unicodedata.category(c)[0]
+        return k if k in ("L", "N") else ("S" if c.isspace() else "P")
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        matched = False
+        for suf in _CONTRACTIONS:
+            if text.startswith(suf, i):
+                out.append(suf)
+                i += len(suf)
+                matched = True
+                break
+        if matched:
+            continue
+        start = i
+        k = i + 1 if (text[i] == " " and i + 1 < n) else i
+        kc = cat(text[k]) if k < n else "S"
+        if kc in ("L", "N", "P") and not (k > i and kc == "S"):
+            j = k
+            while j < n and cat(text[j]) == kc:
+                # '[^\s L N]+' must not swallow contraction starts? The
+                # regex has no such carve-out: alternation order only
+                # matters at the MATCH START, so "'s" inside a punct run
+                # stays split at the next scan position, exactly like
+                # re.findall does.
+                j += 1
+            if j > k:
+                out.append(text[start:j])
+                i = j
+                continue
+        # whitespace run: \s+(?!\S) leaves the last space to prefix the
+        # following word; \s+ takes everything at end-of-string
+        j = i
+        while j < n and text[j].isspace():
+            j += 1
+        if j < n and j - i > 1:
+            out.append(text[i:j - 1])
+            i = j - 1
+        else:
+            out.append(text[i:j])
+            i = j
+    return out
+
 
 def _gpt2_byte_maps():
     """GPT-2 printable-byte bijection (same table whisper's BPE uses)."""
@@ -209,18 +269,7 @@ class LlamaVocab:
     # -- BPE --------------------------------------------------------------
 
     def _bpe_tokenize(self, text: str, out: list[int]):
-        words = []
-        cur = ""
-        for ch in text:                       # crude GPT-2 pretokenizer:
-            if ch == " ":                     # split keeping the leading space
-                if cur:
-                    words.append(cur)
-                cur = ch
-            else:
-                cur += ch
-        if cur:
-            words.append(cur)
-        for w in words:
+        for w in _gpt2_split(text):
             units = [self._b2u[b] for b in w.encode("utf-8")]
             while len(units) > 1:
                 best, bi = None, -1

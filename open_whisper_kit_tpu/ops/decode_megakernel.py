@@ -53,6 +53,8 @@ import jax.numpy as jnp
 
 NEG_INF = float("-inf")
 QK = 32            # quant block size along the contraction dim
+MEGA_GROUP = 8     # max layers fully unrolled per pallas_call; deeper
+                   # decoders chain grouped calls (mega_decode_step)
 
 
 def _pick_tn(n: int, cap: int = 1280) -> int:
@@ -349,7 +351,8 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    L = cfg.n_text_layer
+    L = cfg.n_text_layer                     # TOTAL layers (lnw final row)
+    lo, hi = layer_range if layer_range is not None else (0, L)
     S = cfg.n_text_state
     H = cfg.n_text_head
     dh = S // H
@@ -594,10 +597,11 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 pool_count[pool] += 1
                 tiles[stream].append((field, w, s, t * tn, tn, nk, pool, slot))
 
-        for il in range(L):
+        for il in range(lo, hi):
             for name, km, nm, stream in _STAGES:
                 add_stage(stream, name, il, km * S, nm * S)
-        add_stage("A", "teT", None, S, Vp)
+        if with_logits:
+            add_stage("A", "teT", None, S, Vp)
 
         def tile_dmas(stream, i):
             field, w, s, off, tn, nk, pool, slot = tiles[stream][i]
@@ -686,7 +690,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
         if per_row_cross:
             # (B, TAC)-row cross chunks stream in (il, c) order through the
             # 2-slot double buffer; chunk g+1 is in flight while g computes
-            cross_sched = [(il_, c_) for il_ in range(L)
+            cross_sched = [(il_, c_) for il_ in range(lo, hi)
                            for c_ in range(NCC)]
             cross_state = {"started": 0, "pending": {}}
 
@@ -720,7 +724,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
             cross_ensure(2)
         else:
-            for d in cross_dma(0, 0):
+            for d in cross_dma(lo, lo % 2):
                 d.start()
         ensure("A", 1 + LOOKAHEAD)
 
@@ -734,7 +738,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
         x32 = x_ref[:].astype(jnp.float32)     # (M, S) residual stream
 
-        for il in range(L):                    # static unroll
+        for il in range(lo, hi):               # static unroll
             slot, nslot = il % 2, (il + 1) % 2
 
             # self-cache read: overlaps the qkv matvec below. Beam/batch
@@ -826,7 +830,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                       + biases["o_b"][il][None, :])).astype(jnp.float32)
 
             # ---- cross-attention ----
-            if not per_row_cross and il + 1 < L:   # prefetch next layer's
+            if not per_row_cross and il + 1 < hi:  # prefetch next layer's
                 for d in cross_dma(il + 1, nslot):
                     d.start()
 
@@ -855,7 +859,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 t_in = col & (TAC - 1)                   # TAC power of 2
                 b_of = col >> (TAC.bit_length() - 1)     # col // TAC
                 for c in range(NCC):
-                    g = il * NCC + c
+                    g = (il - lo) * NCC + c
                     cross_wait(g)
                     cslot = g % 2
                     valid = (b_of == rowb) & (c * TAC + t_in < ta_valid)
@@ -918,10 +922,14 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             for d in wk + wv:                  # kbuf/vbuf reused next layer
                 d.wait()
 
-        # ---- final LN + vocab projection ----
-        xf = _ln_rows(x32, lnw_ref[3 * L], lnb_ref[3 * L],
-                      eps).astype(jnp.bfloat16)
-        consume("A", xf, logits_ref, Vp, TN["teT"])
+        if with_logits:
+            # ---- final LN + vocab projection ----
+            xf = _ln_rows(x32, lnw_ref[3 * L], lnb_ref[3 * L],
+                          eps).astype(jnp.bfloat16)
+            consume("A", xf, logits_ref, Vp, TN["teT"])
+        else:
+            # grouped mode: hand the residual stream to the next group
+            logits_ref[:, :] = x32.astype(jnp.bfloat16)
 
     return kernel, dims
 
@@ -948,6 +956,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     S = cfg.n_text_state
+    L = cfg.n_text_layer
     Tc = kv_k.shape[1]
     Ta = xk.shape[1]
     V = cfg.n_vocab
@@ -967,14 +976,6 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
         xk = jnp.pad(xk, ((0, 0), (0, Tap - Ta), (0, 0)))
         xv = jnp.pad(xv, ((0, 0), (0, Tap - Ta), (0, 0)))
 
-    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
-                                tile_boost=tile_boost,
-                                attend_pv_t=attend_pv_t)
-    M = dims["M"]
-    NB = dims["NB"]
-    x = jnp.zeros((M, S), jnp.bfloat16).at[0:1].set(x0.astype(jnp.bfloat16))
-    head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
-
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     # weights/caches must stay in HBM: pl.ANY lets Mosaic place small
     # operands (the kv cache) in VMEM, where dynamic single-row writes
@@ -982,72 +983,94 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     bf = jnp.bfloat16
 
-    operands = [head2d, x, mp.lnw, mp.lnb,
-                mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
-    for name in wfields:
-        w = getattr(mp, name)
-        if qmap[name]:
-            operands += [w.qs, w.sc]
-            in_specs += [hbm(), hbm()]
-        else:
-            operands.append(w)
-            in_specs.append(hbm())
-    kv_idx = len(operands)
-    operands += [kv_k, kv_v, xk, xv]
-    in_specs += [hbm()] * 4
+    def call_group(x, kv_k, kv_v, layer_range, with_logits):
+        kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
+                                    tile_boost=tile_boost,
+                                    attend_pv_t=attend_pv_t,
+                                    layer_range=layer_range,
+                                    with_logits=with_logits)
+        M = dims["M"]
+        NB = dims["NB"]
+        head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
 
-    scratch = []
-    for pname, (used, K, TNmax) in dims["pools"].items():
-        if not used:
-            continue
-        if pname.endswith("Q4"):
-            scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
-            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
-        elif pname.endswith("Q"):
-            scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
-            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
-        else:
-            scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
-    scratch += [
-        pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
-        pltpu.VMEM((dims["Tcp"], S), bf),                # kbuf
-        pltpu.VMEM((dims["Tcp"], S), bf),                # vbuf
-        pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf
-        pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
-    ]
-    for pname, (used, _k, _tn) in dims["pools"].items():
-        if not used:
-            continue
-        scratch.append(pltpu.SemaphoreType.DMA((NB,)))
-        if not pname.endswith("D"):
+        operands = [head2d, x, mp.lnw, mp.lnb,
+                    mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
+        for name in wfields:
+            w = getattr(mp, name)
+            if qmap[name]:
+                operands += [w.qs, w.sc]
+                in_specs += [hbm(), hbm()]
+            else:
+                operands.append(w)
+                in_specs.append(hbm())
+        kv_idx = len(operands)
+        operands += [kv_k, kv_v, xk, xv]
+        in_specs += [hbm()] * 4
+
+        scratch = []
+        for pname, (used, K, TNmax) in dims["pools"].items():
+            if not used:
+                continue
+            if pname.endswith("Q4"):
+                scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
+                scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
+            elif pname.endswith("Q"):
+                scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
+                scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
+            else:
+                scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
+        scratch += [
+            pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
+            pltpu.VMEM((dims["Tcp"], S), bf),                # kbuf
+            pltpu.VMEM((dims["Tcp"], S), bf),                # vbuf
+            pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf
+            pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
+        ]
+        for pname, (used, _k, _tn) in dims["pools"].items():
+            if not used:
+                continue
             scratch.append(pltpu.SemaphoreType.DMA((NB,)))
-    scratch += [
-        pltpu.SemaphoreType.DMA((2,)),                   # ksem
-        pltpu.SemaphoreType.DMA((4,)),                   # csem
-        pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
-    ]
+            if not pname.endswith("D"):
+                scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+        scratch += [
+            pltpu.SemaphoreType.DMA((2,)),                   # ksem
+            pltpu.SemaphoreType.DMA((4,)),                   # csem
+            pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
+        ]
 
-    logits, kv_k, kv_v = pl.pallas_call(
-        kernel,
-        in_specs=in_specs,
-        out_specs=(vmem(), hbm(), hbm()),
-        out_shape=(
-            jax.ShapeDtypeStruct((M, Vp), jnp.float32),
-            jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
-            jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
-        ),
-        input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            # scratch exceeds the 16 MB default scoped-vmem cap (cross-KV
-            # double buffers dominate at ~15 MB); v5e has 128 MB VMEM
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(*operands)
+        out0 = (jax.ShapeDtypeStruct((M, Vp), jnp.float32) if with_logits
+                else jax.ShapeDtypeStruct((M, S), bf))
+        return pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=(vmem(), hbm(), hbm()),
+            out_shape=(
+                out0,
+                jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
+                jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
+            ),
+            input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # scratch exceeds the 16 MB default scoped-vmem cap (cross-KV
+                # double buffers dominate at ~15 MB); v5e has 128 MB VMEM
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(*operands)
 
-    return logits[0:1, :V], kv_k, kv_v
+    out = jnp.zeros((8, S), jnp.bfloat16).at[0:1].set(x0.astype(jnp.bfloat16))
+    if L <= MEGA_GROUP:
+        out, kv_k, kv_v = call_group(out, kv_k, kv_v, None, True)
+    else:
+        # grouped mode (n_text_layer > 8): chain fully-unrolled <=8-layer
+        # kernels; the self-KV cache aliases straight through each call and
+        # the bf16 residual handoff is lossless (kernel docstring)
+        for lo in range(0, L, MEGA_GROUP):
+            hi = min(lo + MEGA_GROUP, L)
+            out, kv_k, kv_v = call_group(out, kv_k, kv_v, (lo, hi), hi == L)
+    return out[0:1, :V], kv_k, kv_v
 
 
 @functools.partial(jax.jit,
@@ -1119,89 +1142,101 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
         xk = jnp.pad(xk, ((0, 0), (0, Tap - Ta), (0, 0)))
         xv = jnp.pad(xv, ((0, 0), (0, Tap - Ta), (0, 0)))
 
-    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
-                                tile_boost=tile_boost, n_beams=Bm,
-                                use_bias=True, attend_pv_t=attend_pv_t,
-                                self_blocked=self_blocked)
-    M = dims["M"]
-    NB = dims["NB"]
-    x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
-    head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
-
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     bf = jnp.bfloat16
+    L = cfg.n_text_layer
 
-    operands = [head2d, x, mp.lnw, mp.lnb,
-                mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
-    assert attn_bias.shape == (dims["Tcp"] // BT * M, BT * Bm), \
-        attn_bias.shape
-    operands.insert(2, attn_bias.astype(jnp.float32))
-    in_specs.insert(2, vmem())
-    for name in wfields:
-        w = getattr(mp, name)
-        if qmap[name]:
-            operands += [w.qs, w.sc]
-            in_specs += [hbm(), hbm()]
-        else:
-            operands.append(w)
-            in_specs.append(hbm())
-    kv_idx = len(operands)
-    operands += [kv_k, kv_v, xk, xv]
-    in_specs += [hbm()] * 4
+    def call_group(x, kv_k, kv_v, layer_range, with_logits):
+        kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
+                                    tile_boost=tile_boost, n_beams=Bm,
+                                    use_bias=True, attend_pv_t=attend_pv_t,
+                                    self_blocked=self_blocked,
+                                    layer_range=layer_range,
+                                    with_logits=with_logits)
+        M = dims["M"]
+        NB = dims["NB"]
+        head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
 
-    scratch = []
-    for pname, (used, K, TNmax) in dims["pools"].items():
-        if not used:
-            continue
-        if pname.endswith("Q4"):
-            scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
-            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
-        elif pname.endswith("Q"):
-            scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
-            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
-        else:
-            scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
-    scratch += [
-        pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
-        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # kbuf (row-flat)
-        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # vbuf
-        pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf (shared)
-        pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
-    ]
-    for pname, (used, _k, _tn) in dims["pools"].items():
-        if not used:
-            continue
-        scratch.append(pltpu.SemaphoreType.DMA((NB,)))
-        if not pname.endswith("D"):
+        operands = [head2d, x, mp.lnw, mp.lnb,
+                    mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 9
+        assert attn_bias.shape == (dims["Tcp"] // BT * M, BT * Bm), \
+            attn_bias.shape
+        operands.insert(2, attn_bias.astype(jnp.float32))
+        in_specs.insert(2, vmem())
+        for name in wfields:
+            w = getattr(mp, name)
+            if qmap[name]:
+                operands += [w.qs, w.sc]
+                in_specs += [hbm(), hbm()]
+            else:
+                operands.append(w)
+                in_specs.append(hbm())
+        kv_idx = len(operands)
+        operands += [kv_k, kv_v, xk, xv]
+        in_specs += [hbm()] * 4
+
+        scratch = []
+        for pname, (used, K, TNmax) in dims["pools"].items():
+            if not used:
+                continue
+            if pname.endswith("Q4"):
+                scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
+                scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
+            elif pname.endswith("Q"):
+                scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
+                scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
+            else:
+                scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
+        scratch += [
+            pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
+            pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # kbuf (row-flat)
+            pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # vbuf
+            pltpu.VMEM((2, dims["Tap"], S), bf),             # ckbuf (shared)
+            pltpu.VMEM((2, dims["Tap"], S), bf),             # cvbuf
+        ]
+        for pname, (used, _k, _tn) in dims["pools"].items():
+            if not used:
+                continue
             scratch.append(pltpu.SemaphoreType.DMA((NB,)))
-    scratch += [
-        pltpu.SemaphoreType.DMA((2,)),                   # ksem
-        pltpu.SemaphoreType.DMA((4,)),                   # csem
-        pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
-    ]
+            if not pname.endswith("D"):
+                scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+        scratch += [
+            pltpu.SemaphoreType.DMA((2,)),                   # ksem
+            pltpu.SemaphoreType.DMA((4,)),                   # csem
+            pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
+        ]
 
-    logits, kv_k, kv_v = pl.pallas_call(
-        kernel,
-        in_specs=in_specs,
-        out_specs=(vmem(), hbm(), hbm()),
-        out_shape=(
-            jax.ShapeDtypeStruct((M, Vp), jnp.float32),
-            jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
-            jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
-        ),
-        input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            # per-beam self-KV tiles add B * Tcp * S * 2 * 2 bytes (~12 MB
-            # at turbo B=5) on top of the ~15 MB cross double buffers
-            vmem_limit_bytes=96 * 1024 * 1024),
-        interpret=interpret,
-    )(*operands)
+        out0 = (jax.ShapeDtypeStruct((M, Vp), jnp.float32) if with_logits
+                else jax.ShapeDtypeStruct((M, S), bf))
+        return pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=(vmem(), hbm(), hbm()),
+            out_shape=(
+                out0,
+                jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
+                jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
+            ),
+            input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # per-beam self-KV tiles add B * Tcp * S * 2 * 2 bytes (~12 MB
+                # at turbo B=5) on top of the ~15 MB cross double buffers
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret,
+        )(*operands)
 
-    return logits[0:Bm, :V], kv_k, kv_v
+    out = jnp.zeros((8, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
+    if L <= MEGA_GROUP:
+        out, kv_k, kv_v = call_group(out, kv_k, kv_v, None, True)
+    else:
+        for lo in range(0, L, MEGA_GROUP):   # grouped mode (deep decoders)
+            hi = min(lo + MEGA_GROUP, L)
+            out, kv_k, kv_v = call_group(out, kv_k, kv_v, (lo, hi), hi == L)
+    return out[0:Bm, :V], kv_k, kv_v
 
 
 @functools.partial(jax.jit,
@@ -1214,7 +1249,7 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
                            xk: jnp.ndarray, xv: jnp.ndarray,
                            interpret: bool = False,
                            tile_boost: bool = True,
-                           attend_pv_t: bool = False, tac: int = 512):
+                           attend_pv_t: bool = False, tac: int = 256):
     """One greedy decode step for B <= 8 INDEPENDENT streams in ONE
     kernel launch (the batched-serving analog of whisper_full_parallel,
     reference src/whisper.cpp:7801-7929 — but one weight stream feeds
@@ -1232,6 +1267,9 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
     (donated; see mega_decode_step_beam).
     xk/xv: (L, B, Ta, S) PER-STREAM cross KV (xk pre-scaled d**-0.25).
     kv_head: scalar decode position (streams advance in lockstep).
+    tac: cross chunk rows per stream. 256 pads whisper's Ta=1500 to 1536
+    (+2.4% masked cross work); 512 padded to 2048, +33% wasted cross-KV
+    DMA and dot work per stream per layer.
     Returns (logits (B, V) f32, kv_k, kv_v).
     """
     from jax.experimental import pallas as pl
@@ -1264,88 +1302,100 @@ def mega_decode_step_batch(cfg, mp: MegaParams, x0: jnp.ndarray,
         xk = jnp.pad(xk, ((0, 0), (0, 0), (0, Tap - Ta), (0, 0)))
         xv = jnp.pad(xv, ((0, 0), (0, 0), (0, Tap - Ta), (0, 0)))
 
-    kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
-                                tile_boost=tile_boost, n_beams=Bm,
-                                use_bias=True, per_row_cross=True,
-                                attend_pv_t=attend_pv_t, tac=TAC)
-    M = dims["M"]
-    NB = dims["NB"]
-    assert dims["TAC"] == TAC
-    x = jnp.zeros((M, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
-    head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    bf = jnp.bfloat16
+    L = cfg.n_text_layer
 
     # identity origin: stream b owns cache slot b at every position
     origin_id = jnp.broadcast_to(
         jnp.arange(Bm, dtype=jnp.int32)[:, None], (Bm, Tc))
-    attn_bias = beam_attn_bias(origin_id, kv_head, Tc, M=M)
 
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    bf = jnp.bfloat16
+    def call_group(x, kv_k, kv_v, layer_range, with_logits):
+        kernel, dims = _make_kernel(cfg, Tap, Tc, Vp, eps, qmap, ta_valid=Ta,
+                                    tile_boost=tile_boost, n_beams=Bm,
+                                    use_bias=True, per_row_cross=True,
+                                    attend_pv_t=attend_pv_t, tac=TAC,
+                                    layer_range=layer_range,
+                                    with_logits=with_logits)
+        M = dims["M"]
+        NB = dims["NB"]
+        assert dims["TAC"] == TAC
+        head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
+        attn_bias = beam_attn_bias(origin_id, kv_head, Tc, M=M)
 
-    operands = [head2d, x, attn_bias, mp.lnw, mp.lnb,
-                mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 10
-    for name in wfields:
-        w = getattr(mp, name)
-        if qmap[name]:
-            operands += [w.qs, w.sc]
-            in_specs += [hbm(), hbm()]
-        else:
-            operands.append(w)
-            in_specs.append(hbm())
-    kv_idx = len(operands)
-    operands += [kv_k, kv_v, xk, xv]
-    in_specs += [hbm()] * 4
+        operands = [head2d, x, attn_bias, mp.lnw, mp.lnb,
+                    mp.qkv_b, mp.o_b, mp.cq_b, mp.co_b, mp.mlp0_b, mp.mlp1_b]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem()] * 10
+        for name in wfields:
+            w = getattr(mp, name)
+            if qmap[name]:
+                operands += [w.qs, w.sc]
+                in_specs += [hbm(), hbm()]
+            else:
+                operands.append(w)
+                in_specs.append(hbm())
+        kv_idx = len(operands)
+        operands += [kv_k, kv_v, xk, xv]
+        in_specs += [hbm()] * 4
 
-    scratch = []
-    for pname, (used, K, TNmax) in dims["pools"].items():
-        if not used:
-            continue
-        if pname.endswith("Q4"):
-            scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
-            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
-        elif pname.endswith("Q"):
-            scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
-            scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
-        else:
-            scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
-    scratch += [
-        pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
-        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # kbuf (row-flat)
-        pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # vbuf
-        pltpu.VMEM((2, Bm * TAC, S), bf),                # ckbuf (chunks)
-        pltpu.VMEM((2, Bm * TAC, S), bf),                # cvbuf
-    ]
-    for pname, (used, _k, _tn) in dims["pools"].items():
-        if not used:
-            continue
-        scratch.append(pltpu.SemaphoreType.DMA((NB,)))
-        if not pname.endswith("D"):
+        scratch = []
+        for pname, (used, K, TNmax) in dims["pools"].items():
+            if not used:
+                continue
+            if pname.endswith("Q4"):
+                scratch.append(pltpu.VMEM((NB, K // 2, TNmax), jnp.uint8))
+                scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), bf))
+            elif pname.endswith("Q"):
+                scratch.append(pltpu.VMEM((NB, K, TNmax), jnp.int8))
+                scratch.append(pltpu.VMEM((NB, -(-(K // QK) // 8) * 8, TNmax), jnp.float32))
+            else:
+                scratch.append(pltpu.VMEM((NB, K, TNmax), bf))
+        scratch += [
+            pltpu.VMEM((M, 4 * S), jnp.float32),             # abuf
+            pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # kbuf (row-flat)
+            pltpu.VMEM((dims["Tcp"] * Bm, S), bf),           # vbuf
+            pltpu.VMEM((2, Bm * TAC, S), bf),                # ckbuf (chunks)
+            pltpu.VMEM((2, Bm * TAC, S), bf),                # cvbuf
+        ]
+        for pname, (used, _k, _tn) in dims["pools"].items():
+            if not used:
+                continue
             scratch.append(pltpu.SemaphoreType.DMA((NB,)))
-    scratch += [
-        pltpu.SemaphoreType.DMA((2,)),                   # ksem
-        pltpu.SemaphoreType.DMA((4,)),                   # csem
-        pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
-    ]
+            if not pname.endswith("D"):
+                scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+        scratch += [
+            pltpu.SemaphoreType.DMA((2,)),                   # ksem
+            pltpu.SemaphoreType.DMA((4,)),                   # csem
+            pltpu.SemaphoreType.DMA((2, 1)),                 # wrsem
+        ]
 
-    logits, kv_k, kv_v = pl.pallas_call(
-        kernel,
-        in_specs=in_specs,
-        out_specs=(vmem(), hbm(), hbm()),
-        out_shape=(
-            jax.ShapeDtypeStruct((M, Vp), jnp.float32),
-            jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
-            jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
-        ),
-        input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            # flat self-KV concat (~18 MB at turbo B=8) + chunked cross
-            # double buffers (~10 MB) + weight pools
-            vmem_limit_bytes=96 * 1024 * 1024),
-        interpret=interpret,
-    )(*operands)
+        out0 = (jax.ShapeDtypeStruct((M, Vp), jnp.float32) if with_logits
+                else jax.ShapeDtypeStruct((M, S), bf))
+        return pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=(vmem(), hbm(), hbm()),
+            out_shape=(
+                out0,
+                jax.ShapeDtypeStruct(kv_k.shape, kv_k.dtype),
+                jax.ShapeDtypeStruct(kv_v.shape, kv_v.dtype),
+            ),
+            input_output_aliases={kv_idx: 1, kv_idx + 1: 2},
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # flat self-KV concat (~18 MB at turbo B=8) + chunked cross
+                # double buffers (~10 MB) + weight pools
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret,
+        )(*operands)
 
-    return logits[0:Bm, :V], kv_k, kv_v
+    out = jnp.zeros((8, S), jnp.bfloat16).at[0:Bm].set(x0.astype(jnp.bfloat16))
+    if L <= MEGA_GROUP:
+        out, kv_k, kv_v = call_group(out, kv_k, kv_v, None, True)
+    else:
+        for lo in range(0, L, MEGA_GROUP):   # grouped mode (deep decoders)
+            hi = min(lo + MEGA_GROUP, L)
+            out, kv_k, kv_v = call_group(out, kv_k, kv_v, (lo, hi), hi == L)
+    return out[0:Bm, :V], kv_k, kv_v

@@ -120,13 +120,10 @@ def test_decode_segment_mega_matches_plain():
     scalars = jnp.asarray([2, 3, 0, 3000], jnp.int32)  # t_real, nosp, seek
     n_max = 16
 
-    kv_k, kv_v = M.init_kv_cache(CFG, 1, dtype=jnp.bfloat16)
-    plain = DL.decode_segment(CFG, rc, dec, prompt, kv_k, kv_v, xk, xv,
+    plain = DL.decode_segment(CFG, rc, dec, prompt, xk, xv,
                               base_mask, init_mask, scalars, n_max=n_max)
 
-    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
-    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
-    got = DL.decode_segment(CFG, rc, dec, prompt, nk, nv, xk, xv,
+    got = DL.decode_segment(CFG, rc, dec, prompt, xk, xv,
                             base_mask, init_mask, scalars, n_max=n_max,
                             mega=mp)
 
@@ -537,3 +534,196 @@ def test_megakernel_beam_boundary_sizes():
         assert g.shape == (B, CFG.n_vocab)
         assert np.isfinite(g).all(), B
         assert nk.shape == (L, Tc * B, S)
+
+
+# ---------------------------------------------------------------------------
+# grouped mode: n_text_layer > MEGA_GROUP chains <=8-layer kernels
+# (small/medium/large-v2/v3-class depth; lifts the round-2 <=8-layer gate)
+# ---------------------------------------------------------------------------
+
+CFG_DEEP = M.WhisperConfig(
+    n_vocab=640, n_audio_ctx=48, n_audio_state=256, n_audio_head=4,
+    n_audio_layer=2, n_text_ctx=64, n_text_state=256, n_text_head=4,
+    n_text_layer=10, n_mels=80)      # 10 = one full 8-group + a 2-tail
+
+
+def _setup_deep(seed=0, n_steps=4, quant="none"):
+    rng = np.random.default_rng(seed)
+    params = M.init_params(CFG_DEEP, seed=seed, dtype=jnp.bfloat16)
+    dec = M.prepare_decoder(params["decoder"])
+    mp = MK.prepare_mega(CFG_DEEP, dec, quant=quant)
+    Ta = CFG_DEEP.n_audio_ctx
+    enc_out = jnp.asarray(
+        rng.standard_normal((1, Ta, CFG_DEEP.n_audio_state)), jnp.bfloat16)
+    xk, xv = M.cross_kv(CFG_DEEP, dec, enc_out)
+    toks = rng.integers(0, CFG_DEEP.n_vocab, size=n_steps)
+    return params, dec, mp, xk, xv, toks
+
+
+def test_megakernel_grouped_matches_decode_impl():
+    assert CFG_DEEP.n_text_layer > MK.MEGA_GROUP
+    params, dec, mp, xk, xv, toks = _setup_deep(seed=31)
+    L, S, Tc = CFG_DEEP.n_text_layer, CFG_DEEP.n_text_state, CFG_DEEP.n_text_ctx
+
+    kv_k, kv_v = M.init_kv_cache(CFG_DEEP, 1, dtype=jnp.bfloat16)
+    ref_logits = []
+    for i, t in enumerate(toks):
+        logits, kv_k, kv_v, _ = M.decode_impl(
+            CFG_DEEP, dec, jnp.asarray([[t]], jnp.int32), kv_k, kv_v,
+            jnp.int32(i), xk, xv)
+        ref_logits.append(np.asarray(logits[0, 0]))
+
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    got_logits = []
+    for i, t in enumerate(toks):
+        x0 = (dec["te"][jnp.asarray([t])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        logits, nk, nv = MK.mega_decode_step(
+            CFG_DEEP, mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            interpret=True)
+        got_logits.append(np.asarray(logits[0]))
+
+    for i, (r, g) in enumerate(zip(ref_logits, got_logits)):
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g / scale, r / scale, atol=2e-2,
+                                   err_msg=f"step {i}")
+        # argmax must agree unless the reference's top-2 are a random-
+        # weight near-tie inside the bf16 noise floor (10 layers of
+        # accumulation; the L=3 suite asserts exact argmax)
+        top2 = np.partition(r, -2)[-2:]
+        if (top2[1] - top2[0]) / scale > 5e-3:
+            assert int(np.argmax(g)) == int(np.argmax(r)), f"argmax step {i}"
+
+    # every group's layers wrote their cache rows (incl. the 2-layer tail)
+    n = len(toks)
+    hm_k = np.asarray(jnp.transpose(kv_k[:, 0], (0, 2, 1, 3))
+                      .reshape(L, Tc, S), np.float32)
+    got_k = np.asarray(nk, np.float32)
+    sk = np.abs(hm_k[:, :n]).max() + 1e-6
+    np.testing.assert_allclose(got_k[:, :n] / sk, hm_k[:, :n] / sk, atol=2e-2)
+    assert (got_k[:, n:] == 0).all()
+
+
+def test_megakernel_grouped_int8_runs():
+    """Grouped chain with int8 planes (the quantized serving mode at
+    medium/large depth)."""
+    params, dec, mp, xk, xv, toks = _setup_deep(seed=32, n_steps=2,
+                                                quant="all")
+    L, S, Tc = CFG_DEEP.n_text_layer, CFG_DEEP.n_text_state, CFG_DEEP.n_text_ctx
+    dense_mp = MK.prepare_mega(CFG_DEEP, dec, quant="none")
+
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    # separate buffers: mega_decode_step donates its kv carries
+    nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nk8 = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    nv8 = jnp.zeros((L, Tc, S), jnp.bfloat16)
+    for i, t in enumerate(toks):
+        x0 = (dec["te"][jnp.asarray([t])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        ld, nk, nv = MK.mega_decode_step(
+            CFG_DEEP, dense_mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            interpret=True)
+        l8, nk8, nv8 = MK.mega_decode_step(
+            CFG_DEEP, mp, x0, nk8, nv8, jnp.int32(i), xk_nat, xv_nat,
+            interpret=True)
+        r, g = np.asarray(ld[0]), np.asarray(l8[0])
+        scale = np.abs(r).max() + 1e-6
+        # int8 planes: q8_0-level error on every matvec
+        np.testing.assert_allclose(g / scale, r / scale, atol=8e-2)
+
+
+def test_megakernel_grouped_beam_matches_decode_impl():
+    B, n_steps = 2, 3
+    rng = np.random.default_rng(33)
+    params, dec, mp, xk, xv, _ = _setup_deep(seed=33)
+    L, S, Tc = CFG_DEEP.n_text_layer, CFG_DEEP.n_text_state, CFG_DEEP.n_text_ctx
+
+    xk_b = jnp.repeat(xk, B, axis=1)
+    xv_b = jnp.repeat(xv, B, axis=1)
+    toks = rng.integers(0, CFG_DEEP.n_vocab, size=(n_steps, B))
+
+    kv_k, kv_v = M.init_kv_cache(CFG_DEEP, B, dtype=jnp.bfloat16)
+    ref_logits = []
+    for i in range(n_steps):
+        logits, kv_k, kv_v, _ = M.decode_impl(
+            CFG_DEEP, dec, jnp.asarray(toks[i][:, None], jnp.int32),
+            kv_k, kv_v, jnp.int32(i), xk_b, xv_b)
+        ref_logits.append(np.asarray(logits[:, 0]))
+
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    origin_id = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, Tc))
+    got_logits = []
+    for i in range(n_steps):
+        x0 = (dec["te"][jnp.asarray(toks[i])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        bias = MK.beam_attn_bias(origin_id, jnp.int32(i), Tc)
+        logits, nk, nv = MK.mega_decode_step_beam(
+            CFG_DEEP, mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            attn_bias=bias, interpret=True)
+        got_logits.append(np.asarray(logits))
+
+    for i, (r, g) in enumerate(zip(ref_logits, got_logits)):
+        scale = np.abs(r).max() + 1e-6
+        # 10 layers of bf16 accumulation: wider noise floor than the L=3
+        # suite; argmax asserted only outside near-tie noise
+        np.testing.assert_allclose(g / scale, r / scale, atol=4e-2,
+                                   err_msg=f"step {i}")
+        for b in range(B):
+            top2 = np.partition(r[b], -2)[-2:]
+            if (top2[1] - top2[0]) / scale > 1e-2:
+                assert int(np.argmax(g[b])) == int(np.argmax(r[b])), (i, b)
+
+
+def test_megakernel_grouped_batch_matches_decode_impl():
+    """Grouped chain in batched-serving mode (per-stream cross-KV)."""
+    B, n_steps = 2, 3
+    rng = np.random.default_rng(34)
+    params, dec, mp, xk, xv, _ = _setup_deep(seed=34)
+    L, S, Tc = CFG_DEEP.n_text_layer, CFG_DEEP.n_text_state, CFG_DEEP.n_text_ctx
+    Ta = CFG_DEEP.n_audio_ctx
+
+    enc_b = jnp.asarray(rng.standard_normal((B, Ta, CFG_DEEP.n_audio_state)),
+                        jnp.bfloat16)
+    xkb, xvb = M.cross_kv(CFG_DEEP, dec, enc_b)     # (L,B,H,Ta,dh)
+    toks = rng.integers(0, CFG_DEEP.n_vocab, size=(n_steps, B))
+
+    kv_k, kv_v = M.init_kv_cache(CFG_DEEP, B, dtype=jnp.bfloat16)
+    ref_logits = []
+    for i in range(n_steps):
+        logits, kv_k, kv_v, _ = M.decode_impl(
+            CFG_DEEP, dec, jnp.asarray(toks[i][:, None], jnp.int32),
+            kv_k, kv_v, jnp.int32(i), xkb, xvb)
+        ref_logits.append(np.asarray(logits[:, 0]))
+
+    def to_nat_b(a):   # (L,B,H,T,dh) -> (L,B,T,S)
+        Lx, Bx, H, T, dh = a.shape
+        return jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(Lx, Bx, T, H * dh)
+
+    xk_nat, xv_nat = to_nat_b(xkb), to_nat_b(xvb)
+    nk = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    nv = jnp.zeros((L, Tc * B, S), jnp.bfloat16)
+    got_logits = []
+    for i in range(n_steps):
+        x0 = (dec["te"][jnp.asarray(toks[i])]
+              + dec["pe"][jnp.asarray([i])]).astype(jnp.bfloat16)
+        logits, nk, nv = MK.mega_decode_step_batch(
+            CFG_DEEP, mp, x0, nk, nv, jnp.int32(i), xk_nat, xv_nat,
+            interpret=True, tac=128)
+        got_logits.append(np.asarray(logits))
+
+    for i, (r, g) in enumerate(zip(ref_logits, got_logits)):
+        scale = np.abs(r).max() + 1e-6
+        # 10 layers of bf16 accumulation: wider noise floor than the L=3
+        # suite; argmax asserted only outside near-tie noise
+        np.testing.assert_allclose(g / scale, r / scale, atol=4e-2,
+                                   err_msg=f"step {i}")
+        for b in range(B):
+            top2 = np.partition(r[b], -2)[-2:]
+            if (top2[1] - top2[0]) / scale > 1e-2:
+                assert int(np.argmax(g[b])) == int(np.argmax(r[b])), (i, b)

@@ -513,3 +513,28 @@ class TestTalkExample:
         # second run restores the session instead of re-evaluating
         rc = T.main(base + ["--session", str(session)])
         assert rc == 0
+
+
+def test_gpt2_pretokenizer_matches_unicode_regex():
+    """The hand-rolled GPT-2 pre-tokenizer scanner (stdlib-only) must match
+    the actual Unicode regex (llama-vocab.cpp gpt2 regex_exprs) on text
+    with contractions, numbers, punctuation runs, and whitespace shapes."""
+    regex = pytest.importorskip("regex")
+    from open_whisper_kit_tpu.models.llama.tokenizer import _gpt2_split
+    pat = regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+        r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    cases = [
+        "Hello world", "don't stop me now!", "a  b   c", "  leading",
+        "trailing  ", "x1y2z3 42 3.14", "naïve café ÜBER", "!!!'s wow",
+        "it's we're I'll you'd", "tab\tnewline\n mix \t\n end", "", " ",
+        "   ", "ai发布了新模型123abc", "price: $9.99 (50% off)", "'s lone",
+        "CamelCase snake_case", "a b",
+    ]
+    rng = np.random.default_rng(0)
+    alphabet = list("ab '!9\t\n.火Ж") + ["'s", "'ll", "  "]
+    for _ in range(200):
+        cases.append("".join(rng.choice(alphabet)
+                             for _ in range(int(rng.integers(0, 30)))))
+    for t in cases:
+        assert pat.findall(t) == _gpt2_split(t), repr(t)

@@ -94,3 +94,22 @@ def test_unexpected_exception_becomes_error_response(srv):
     r2 = srv.handle(_rpc("unguided", {"audio_path": "/no/such/file.wav"},
                          rid=8))
     assert "error" in r2 and r2["error"]["code"] == L.WHISPER_FAILED
+
+
+def test_strict_prompt_parity_flag(srv):
+    """--strict-prompt-parity reproduces lsp.cpp:320-322's literal
+    separator-less concat + 2-char chop; default keeps the intended join."""
+    strict = L.LspServer(srv.ctx, strict_prompt_parity=True)
+    words = ["up", "down", "go"]
+    strict.handle(_rpc("registerCommandset", words))
+    srv_default = L.LspServer(srv.ctx)
+    srv_default.handle(_rpc("registerCommandset", words))
+    vocab = srv.ctx.vocab
+    # the reference: " select one from ...: " + "updowngo" minus last 2 chars
+    ref_prompt = (" select one from the available words: updowngo"[:-2]
+                  + ". Selected word:")
+    assert strict.commandsets[-1]["prompt_tokens"] == vocab.tokenize(ref_prompt)
+    intended = (" select one from the available words: up, down, go"
+                + ". Selected word:")
+    assert srv_default.commandsets[-1]["prompt_tokens"] == \
+        vocab.tokenize(intended)

@@ -66,6 +66,9 @@ def main(argv=None) -> int:
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--beam-size", type=int, default=-1)
     ap.add_argument("--language", default="en")
+    ap.add_argument("--no-fallback", action="store_true",
+                    help="greedy t=0, single decoder, no temperature "
+                         "fallback (matches the offline dry-run oracle)")
     args = ap.parse_args(argv)
 
     from open_whisper_kit_tpu import api
@@ -83,6 +86,9 @@ def main(argv=None) -> int:
     if args.beam_size > 1:
         p.strategy = SamplingStrategy.BEAM_SEARCH
         p.beam_search.beam_size = args.beam_size
+    if args.no_fallback:
+        p.greedy.best_of = 1
+        p.temperature_inc = 0.0
 
     total_err = 0.0
     total_words = 0
