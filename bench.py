@@ -151,7 +151,22 @@ def main() -> None:
                     [sys.executable, os.path.abspath(__file__), "--impl"],
                     capture_output=True, text=True, timeout=IMPL_TIMEOUT_S,
                     cwd=REPO)
-            except subprocess.TimeoutExpired:
+            except subprocess.TimeoutExpired as e:
+                # the impl prints a complete headline JSON EARLY and keeps
+                # appending richer ones — salvage the last one on timeout
+                partial = e.stdout
+                if isinstance(partial, bytes):
+                    partial = partial.decode("utf-8", "replace")
+                line = next((ln for ln in
+                             reversed((partial or "").strip().splitlines())
+                             if ln.startswith("{")), None)
+                if line is not None:
+                    try:
+                        json.loads(line)
+                        print(line)
+                        return
+                    except ValueError:
+                        pass
                 attempts.append(f"impl timed out after {IMPL_TIMEOUT_S}s")
             else:
                 line = next((ln for ln in reversed(r.stdout.strip().splitlines())
@@ -253,12 +268,27 @@ def impl_main():
         "device": str(jax.devices()[0]),
     }
 
+    def emit():
+        """Print the current (monotonically richer) result line; the
+        wrapper keeps only the LAST one, so a watchdog kill mid-section
+        still yields every column measured so far."""
+        print(json.dumps({
+            "metric": f"rtf_{MODEL.replace('-', '_')}",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / baseline_rtf, 3),
+            "detail": dict(detail, **({"errors": errors} if errors else {})),
+        }), flush=True)
+
+    emit()                      # headline locked in
+
     def _try(name, fn):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — one column never sinks the rest
             errors[name] = repr(e)[:300]
             print(f"bench section {name} failed: {e!r}", file=sys.stderr)
+        emit()                  # checkpoint the artifact after every section
 
     # ---- batch-of-5 decode (reference's Bch5 column) ----
     def bch5():
@@ -501,17 +531,75 @@ def impl_main():
         detail["sortformer_baseline_rtf"] = BASELINE_SORTFORMER_RTF
     _try("sortformer", sortformer_rtf)
 
-    if errors:
-        detail["errors"] = errors
+    # ---- deep-decoder grouped megakernel (medium, L=24 -> 3 chained
+    # <=8-layer kernels) vs its XLA step — the models the reference is
+    # slowest on (large-v2 Dec. 7.50 ms/token FA=1, bench-all-gg.txt:161).
+    # Runs LAST among compute sections: ~2 extra cold compiles. ----
+    def grouped_medium():
+        mcfg = M.PRESETS["medium"]
+        mparams = M.init_params(mcfg, seed=0, dtype=jnp.bfloat16)
+        mdec = M.prepare_decoder(mparams["decoder"])
+        from open_whisper_kit_tpu.ops import decode_megakernel as MKm
+        Lm, Sm, Tcm = (mcfg.n_text_layer, mcfg.n_text_state,
+                       mcfg.n_text_ctx)
+        menc = jnp.asarray(rng.standard_normal(
+            (1, mcfg.n_audio_ctx, mcfg.n_audio_state)), jnp.bfloat16)
+        mxk, mxv = M.cross_kv(mcfg, mdec, menc)
+        to_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
+            Lm, -1, Sm)
+        mxkn, mxvn = to_nat(mxk), to_nat(mxv)
+        mp8 = MKm.prepare_mega(mcfg, mdec, quant="all")
+        Km = 128
 
-    result = {
-        "metric": f"rtf_{MODEL.replace('-', '_')}",
-        "value": round(rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / baseline_rtf, 3),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+        @jax.jit
+        def xla_loop(d, xk, xv):
+            kv_k, kv_v = M.init_kv_cache(mcfg, 1, dtype=jnp.bfloat16)
+
+            def body(carry, _):
+                tok, kv_k, kv_v, head = carry
+                logits, kv_k, kv_v, _ = M.decode_impl(
+                    mcfg, d, tok, kv_k, kv_v, head, xk, xv)
+                tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+                return (tok, kv_k, kv_v, head + 1), ()
+
+            (tok, _, _, _), _ = jax.lax.scan(
+                body, (jnp.zeros((1, 1), jnp.int32), kv_k, kv_v,
+                       jnp.int32(0)), None, length=Km)
+            return jnp.sum(tok)
+
+        @jax.jit
+        def grouped_loop(mp, te, pe, xkn, xvn):
+            nk = jnp.zeros((Lm, Tcm, Sm), jnp.bfloat16)
+            nv = jnp.zeros((Lm, Tcm, Sm), jnp.bfloat16)
+
+            def body(carry, i):
+                tok, nk, nv = carry
+                x0 = (te[tok] + pe[i])[None].astype(jnp.bfloat16)
+                logits, nk, nv = MKm.mega_decode_step(mcfg, mp, x0, nk, nv,
+                                                      i, xkn, xvn)
+                return (jnp.argmax(logits[0]).astype(jnp.int32), nk, nv), ()
+
+            (tok, _, _), _ = jax.lax.scan(
+                body, (jnp.int32(0), nk, nv), jnp.arange(Km))
+            return tok
+
+        float(xla_loop(mdec, mxk, mxv))
+        t0 = time.perf_counter()
+        float(xla_loop(mdec, mxk, mxv))
+        detail["dec_medium_xla_ms_per_token"] = round(
+            (time.perf_counter() - t0) / Km * 1e3, 3)
+        args = (mp8, mdec["te"], mdec["pe"], mxkn, mxvn)
+        float(grouped_loop(*args))
+        t0 = time.perf_counter()
+        float(grouped_loop(*args))
+        detail["dec_medium_grouped_int8_ms_per_token"] = round(
+            (time.perf_counter() - t0) / Km * 1e3, 3)
+        # reference medium Dec. column: 5.14 ms/token M2 Ultra FA=1
+        # (scripts/bench-all-gg.txt:156; large-v2 is 7.50)
+        detail["baseline_medium_dec_ms"] = 5.14
+    _try("grouped_medium", grouped_medium)
+
+    emit()                      # final, richest artifact line
 
 
 if __name__ == "__main__":

@@ -86,8 +86,33 @@ class Transcriber:
         return self.full(params or FullParams(print_progress=False), audio)
 
     def transcribe_paths(self, paths: list[str | Path],
-                         params: FullParams | None = None) -> list[TranscribeResult]:
+                         params: FullParams | None = None,
+                         batched: bool = False) -> list[TranscribeResult]:
+        """OpenWhisperKit.transcribe(audioPaths:); `batched=True` decodes
+        all files' windows in lockstep on-device (transcribe_batch)."""
+        if batched:
+            return self.transcribe_batch(list(paths), params)
         return [self.transcribe(p, params) for p in paths]
+
+    def transcribe_batch(self, audios: list,
+                         params: FullParams | None = None
+                         ) -> list[TranscribeResult]:
+        """Lockstep multi-FILE transcription (the Diarizer.diarize_batch
+        analog): every file's windows decode in the same device program —
+        batch-B matmuls on the MXU, one host round trip per multi-window
+        round. Greedy-t0 serving path with per-file QA-gate fallback to
+        the exact single-stream driver; params outside that envelope run
+        the files sequentially with identical results."""
+        p = params or FullParams(print_progress=False)
+        loaded = [load_wav(a) if isinstance(a, (str, Path))
+                  else np.asarray(a, np.float32) for a in audios]
+        from .parallel.dp import _batch_route_eligible
+        if len(loaded) > 1 and _batch_route_eligible(self.ctx, p):
+            from .decode.batch import transcribe_chunks_with_timings
+            segs, tms = transcribe_chunks_with_timings(self.ctx, p, loaded)
+            return [TranscribeResult(segments=s, timings=t)
+                    for s, t in zip(segs, tms)]
+        return [self.full(p, a) for a in loaded]
 
     def transcribe_batched(self, audio: str | Path | np.ndarray,
                            params: FullParams | None = None,

@@ -47,10 +47,14 @@ def _batch_route_eligible(ctx: F.WhisperContext, p: FullParams) -> bool:
             and p.prompt_tokens is None
             and not p.single_segment
             and p.duration_ms == 0
+            and not p.print_progress       # chunk 0 prints live in the
+            and not p.print_realtime      # reference's thread model
             and p.logits_filter_callback is None
             and p.encoder_begin_callback is None
             and p.abort_callback is None
             and p.progress_callback is None
+            and p.new_segment_callback is None  # fires per segment DURING
+                                                # chunk 0's decode there
             and p.use_device_loops)
 
 

@@ -23,10 +23,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class ServerState:
-    def __init__(self, model_path: str, dtype=None):
+    def __init__(self, model_path: str, dtype=None, mesh=None):
         self.lock = threading.Lock()
         self.model_path = model_path
         self._dtype = dtype
+        self._mesh = mesh
         self._transcriber = None
 
     @property
@@ -37,7 +38,8 @@ class ServerState:
             from ..api import Transcriber
             self._transcriber = Transcriber(
                 model_path=self.model_path,
-                dtype=self._dtype or jnp.bfloat16)
+                dtype=self._dtype or jnp.bfloat16,
+                mesh=self._mesh)
         return self._transcriber
 
     def load(self, model_path: str):
@@ -196,8 +198,10 @@ def make_handler(state: ServerState):
 
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
-          dtype=None) -> ThreadingHTTPServer:
-    state = ServerState(model_path, dtype)
+          dtype=None, mesh=None) -> ThreadingHTTPServer:
+    """`mesh`: serve with dp/tp-sharded weights (api.Transcriber(mesh=));
+    the multi-chip serving entry point (--mesh on the CLI)."""
+    state = ServerState(model_path, dtype, mesh=mesh)
     server = ThreadingHTTPServer((host, port), make_handler(state))
     return server
 
@@ -210,8 +214,18 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the model over all visible devices "
+                         "(parallel.mesh.make_mesh dp/tp) for multi-chip "
+                         "serving")
+    ap.add_argument("--tp", type=int, default=None,
+                    help="tensor-parallel width within the mesh")
     args = ap.parse_args(argv)
-    server = serve(args.model, args.host, args.port)
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(tp=args.tp)
+    server = serve(args.model, args.host, args.port, mesh=mesh)
     print(f"whisper server listening on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

@@ -127,3 +127,67 @@ def test_mesh_params_are_sharded(pair):
     # and each shard holds half the columns on a tp=2 mesh
     db = w.sharding.shard_shape(w.shape)
     assert db[-1] == w.shape[-1] // 2
+
+
+def test_transcribe_batch_multi_file_matches_sequential():
+    """api.Transcriber.transcribe_batch: lockstep multi-file == per-file."""
+    from open_whisper_kit_tpu.api import Transcriber
+    t = Transcriber(preset="tiny.en", dtype=jnp.float32)
+    a1 = _audio(seconds=2, seed=21)
+    a2 = _audio(seconds=3, seed=22)
+    p = FullParams(print_progress=False)
+    p.greedy.best_of = 1
+    p.temperature_inc = 0
+    rs = t.transcribe_batch([a1, a2], p)
+    seq = [t.transcribe(a1, p), t.transcribe(a2, p)]
+    assert len(rs) == 2
+    for got, want in zip(rs, seq):
+        assert _tokens(got) == _tokens(want)
+        assert [(s.t0, s.t1) for s in got.segments] == \
+               [(s.t0, s.t1) for s in want.segments]
+
+
+def test_server_on_mesh():
+    """HTTP serving with dp/tp-sharded weights (--mesh path)."""
+    import threading
+    import urllib.request
+    mesh = _mesh_or_skip()
+    from open_whisper_kit_tpu.server.http_server import serve
+    import pathlib
+    stub = pathlib.Path("/root/reference/models/for-tests-ggml-tiny.en.bin")
+    if not stub.exists():
+        pytest.skip("stub model not available")
+    srv = serve(str(stub), port=0, dtype=jnp.float32, mesh=mesh)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=60) as r:
+            assert r.status == 200
+        # one inference round trip through the sharded pipeline
+        import io, wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            pcm = (np.random.default_rng(0).standard_normal(16000)
+                   * 3000).astype("<i2")
+            w.writeframes(pcm.tobytes())
+        body = buf.getvalue()
+        boundary = "owkboundary"
+        payload = (
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="t.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n").encode() + body + \
+            f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inference", data=payload,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            import json as _json
+            data = _json.loads(r.read())
+            assert "text" in data
+    finally:
+        srv.shutdown()

@@ -118,6 +118,12 @@ def main():
     mp4 = MK.prepare_mega(cfg, dec, quant="int4")
     loops = {
         "xla_b8_q8cross": lambda: xla_loop(dec, xk_q8, xv_q8),
+        # tac=256 pads Ta=1500 to 1536 (+2.4%); 512 pads to 2048 (+33%
+        # masked cross DMA + dots) — 256 is the new wrapper default
+        "mega_b8_int4_tac256": lambda: mega_loop(mp4, te, pe, xk_nat,
+                                                 xv_nat, tac=256),
+        "mega_b8_int8_tac256": lambda: mega_loop(mp8, te, pe, xk_nat,
+                                                 xv_nat, tac=256),
         "mega_b8_int4_tac512": lambda: mega_loop(mp4, te, pe, xk_nat,
                                                  xv_nat, tac=512),
         "mega_b8_int4_tac512_rowpv": lambda: mega_loop(
