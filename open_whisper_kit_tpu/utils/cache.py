@@ -21,6 +21,18 @@ def enable_compile_cache(default_dir: str | None = None) -> str | None:
     cache = os.environ.get("OWK_JAX_CACHE_DIR")
     if cache == "":
         return None
+    # TPU-only: the cache exists to amortize the remote TPU compile
+    # service. CPU executables are fast to rebuild AND machine-feature
+    # fragile — this VM migrates between hosts with different CPU flags,
+    # and deserializing an AOT CPU executable built for another host's
+    # feature set has segfaulted a test run (XLA warns "machine type ...
+    # doesn't match ... could lead to execution errors such as SIGILL").
+    try:
+        platforms = jax.config.jax_platforms
+    except AttributeError:  # very old jax
+        platforms = None
+    if platforms and "cpu" in str(platforms):
+        return None
     if cache is None:
         root = default_dir or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
