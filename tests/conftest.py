@@ -22,8 +22,23 @@ sys.path.insert(0, str(REPO))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Hard-disable the persistent compilation cache for the whole session:
+# XLA:CPU AOT executables are machine-feature fragile (this VM migrates
+# between hosts) and both observed suite segfaults were inside the
+# persistent-cache compile path (utils/cache.py has the same gate for
+# production CPU runs).
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache_growth():
+    """Free compiled executables after each test module: one process
+    compiles ~350 programs across the suite; unbounded accumulation has
+    ended in an XLA:CPU segfault near the end of the run."""
+    yield
+    jax.clear_caches()
 
 REFERENCE = Path("/root/reference")
 
