@@ -89,3 +89,73 @@ def test_wts_byte_parity(ref_cli, checkpoint, tmp_path):
     assert ref_bytes == our_bytes, (
         f"wts scripts differ: ref {len(ref_bytes)}B vs ours "
         f"{len(our_bytes)}B")
+
+
+def test_wts_byte_parity_stereo_diarize(ref_cli, checkpoint, tmp_path):
+    """-di stereo pseudo-diarization: speaker prefixes + per-token
+    highlight/underline columns must also match byte-for-byte
+    (estimate_diarization_speaker, cli.cpp:315-347 + the wts speaker
+    branches at cli.cpp:806-828)."""
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 16000 * 3
+    left = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    right = (0.02 * rng.standard_normal(n)).astype(np.float32)
+    wav = tmp_path / "stereo.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        inter = np.empty((n, 2), np.float32)
+        inter[:, 0] = left
+        inter[:, 1] = right
+        w.writeframes(np.clip(inter * 32767, -32768, 32767)
+                      .astype("<i2").tobytes())
+
+    flags = ["-m", str(checkpoint), "-f", str(wav), "-owts", "-di",
+             "-fp", str(checkpoint), "-np", "-bs", "1", "-bo", "1", "-nf"]
+
+    ref_out = tmp_path / "ref"
+    r = subprocess.run([str(ref_cli), *flags, "-of", str(ref_out)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    our_out = tmp_path / "ours"
+    from open_whisper_kit_tpu.cli.main import main
+    assert main([*flags, "-of", str(our_out)]) == 0
+
+    ref_bytes = (ref_out.with_suffix(".wts")).read_bytes()
+    our_bytes = (our_out.with_suffix(".wts")).read_bytes()
+    assert ref_bytes == our_bytes, (
+        f"stereo wts differ: ref {len(ref_bytes)}B vs ours {len(our_bytes)}B")
+
+
+def test_text_formats_byte_parity(ref_cli, checkpoint, tmp_path):
+    """txt/vtt/srt/csv/lrc outputs are byte-identical to the reference
+    whisper-cli binary on the same checkpoint + flags (output_txt/vtt/srt/
+    csv/lrc, cli.cpp:450-785). json is excluded: its systeminfo/model
+    header blocks carry platform-specific strings by design."""
+    wav = TRG.REF / "samples" / "jfk.wav"
+    if not wav.exists():
+        pytest.skip("jfk.wav not available")
+
+    fmt_flags = ["-otxt", "-ovtt", "-osrt", "-ocsv", "-olrc"]
+    flags = ["-m", str(checkpoint), "-f", str(wav), *fmt_flags,
+             "-np", "-bs", "1", "-bo", "1", "-nf"]
+
+    ref_out = tmp_path / "ref"
+    r = subprocess.run([str(ref_cli), *flags, "-of", str(ref_out)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    our_out = tmp_path / "ours"
+    from open_whisper_kit_tpu.cli.main import main
+    assert main([*flags, "-of", str(our_out)]) == 0
+
+    for ext in ("txt", "vtt", "srt", "csv", "lrc"):
+        rb = (ref_out.with_suffix("." + ext)).read_bytes()
+        ob = (our_out.with_suffix("." + ext)).read_bytes()
+        assert rb == ob, f".{ext} differs: ref {len(rb)}B vs ours {len(ob)}B"
