@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default=float("inf"))
     p.add_argument("-vp", "--vad-speech-pad-ms", type=int, default=30)
     p.add_argument("-vo", "--vad-samples-overlap", type=float, default=0.1)
+    # ours-only: bit-faithful reference RNG sampling for beam candidates
+    # and t>0 fallbacks (see FullParams.ref_sampling)
+    p.add_argument("--ref-sampling", action="store_true")
+    # ours-only: compute dtype (bf16 is the TPU serving default; f32
+    # tracks the reference's f32 accumulation closely enough for
+    # draw-level parity under --ref-sampling)
+    p.add_argument("--dtype", choices=["bf16", "f16", "f32"], default="bf16")
     p.add_argument("files_pos", nargs="*", default=[])
     return p
 
@@ -121,6 +128,7 @@ def params_from_args(args) -> "FullParams":
         vad=args.vad,
         vad_model_path=args.vad_model or None,
         dtw_token_timestamps=bool(args.dtw),
+        ref_sampling=args.ref_sampling,
     )
     if args.max_context >= 0:
         p.n_max_text_ctx = args.max_context
@@ -153,7 +161,9 @@ def main(argv=None) -> int:
     from . import outputs as O
 
     params = params_from_args(args)
-    tr = api.Transcriber(model_path=args.model, dtype=jnp.bfloat16)
+    dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16,
+             "f32": jnp.float32}[args.dtype]
+    tr = api.Transcriber(model_path=args.model, dtype=dtype)
 
     for fname in files:
         stereo = None

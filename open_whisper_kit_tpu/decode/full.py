@@ -394,6 +394,17 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
     if n_decoders > MAX_DECODERS:
         raise ValueError(f"too many decoders ({n_decoders} > {MAX_DECODERS})")
 
+    if p.ref_sampling:
+        # Per-decoder mt19937 streams: decoder 0's engine is seeded ONCE
+        # per context (mt19937(0) at state init, whisper.cpp:3470) and
+        # persists across whisper_full calls; decoders 1..n-1 are
+        # reseeded with their index at every entry (whisper.cpp:6929).
+        from ..utils import mt19937 as MT
+        if getattr(ctx, "_ref_rng0", None) is None:
+            ctx._ref_rng0 = MT.MT19937(0)
+        ctx._ref_rngs = [ctx._ref_rng0] + [
+            MT.MT19937(j) for j in range(1, n_decoders)]
+
     no_timestamps = p.no_timestamps
     # first-release distilled models require no_timestamps (whisper.cpp:7003-7009)
     if cfg.n_text_layer == 2 and cfg.n_vocab != 51866 and not no_timestamps:
@@ -813,12 +824,33 @@ def _host_stepped_window(ctx, p, rc, decoders, prompt, xk, xv,
 
         if beam_mode:
             k = p.beam_search.beam_size
-            top_id, top_p, top_lp, pt, ptsum, tid = LR.sample_topk(
-                rc, k, f_logits, f_logprobs, f_probs)
-            _beam_expand_and_merge(
-                decoders, np.asarray(top_id), np.asarray(top_p),
-                np.asarray(top_lp), np.asarray(pt), np.asarray(ptsum),
-                np.asarray(tid), i, vocab.token_beg)
+            if p.ref_sampling:
+                # whisper_sample_token_topk (whisper.cpp:6519-6592): k
+                # DRAWS from discrete_distribution(probs) per active
+                # decoder, each decoder consuming its own mt19937 stream.
+                from ..utils import mt19937 as MT
+                probs_np = np.asarray(f_probs)
+                lp_np = np.asarray(f_logprobs)
+                pt_j, ptsum_j, tid_j = LR.ts_aggregates(rc, f_probs)
+                top_id = np.zeros((n_dec_cur, k), np.int64)
+                for j, d in enumerate(decoders):
+                    if d.completed or d.failed:
+                        continue
+                    dist = MT.DiscreteDistribution(probs_np[j])
+                    top_id[j] = dist.draw_k(ctx._ref_rngs[j], k)
+                top_p = np.take_along_axis(probs_np, top_id, 1)
+                top_lp = np.take_along_axis(lp_np, top_id, 1)
+                _beam_expand_and_merge(
+                    decoders, top_id, top_p, top_lp, np.asarray(pt_j),
+                    np.asarray(ptsum_j), np.asarray(tid_j), i,
+                    vocab.token_beg)
+            else:
+                top_id, top_p, top_lp, pt, ptsum, tid = LR.sample_topk(
+                    rc, k, f_logits, f_logprobs, f_probs)
+                _beam_expand_and_merge(
+                    decoders, np.asarray(top_id), np.asarray(top_p),
+                    np.asarray(top_lp), np.asarray(pt), np.asarray(ptsum),
+                    np.asarray(tid), i, vocab.token_beg)
             src = np.array([d._src for d in decoders], np.int32)
             if not np.array_equal(src, np.arange(n_dec_cur)):
                 kv_k, kv_v = M.reorder_kv(kv_k, kv_v, jnp.asarray(src))
@@ -830,11 +862,30 @@ def _host_stepped_window(ctx, p, rc, decoders, prompt, xk, xv,
         else:
             if t_cur < 1e-6:
                 out = LR.sample_greedy(rc, f_logits, f_logprobs, f_probs)
+                tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (
+                    np.asarray(x) for x in out)
+            elif p.ref_sampling:
+                # whisper_sample_token best=false (whisper.cpp:6504-6508):
+                # one discrete_distribution draw per active decoder.
+                from ..utils import mt19937 as MT
+                probs_np = np.asarray(f_probs)
+                lp_np = np.asarray(f_logprobs)
+                pt_a, pts_a, tid_a = (np.asarray(x) for x in
+                                      LR.ts_aggregates(rc, f_probs))
+                tok_a = np.zeros(n_dec_cur, np.int64)
+                for j, d in enumerate(decoders):
+                    if d.completed or d.failed:
+                        continue
+                    tok_a[j] = MT.DiscreteDistribution(probs_np[j])(
+                        ctx._ref_rngs[j])
+                p_a = probs_np[np.arange(n_dec_cur), tok_a]
+                lp_a = lp_np[np.arange(n_dec_cur), tok_a]
             else:
                 rng_key, sub = jax.random.split(rng_key)
                 out = LR.sample_multinomial(rc, sub, f_logits,
                                             f_logprobs, f_probs)
-            tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (np.asarray(x) for x in out)
+                tok_a, p_a, lp_a, pt_a, pts_a, tid_a = (
+                    np.asarray(x) for x in out)
             for j, d in enumerate(decoders):
                 if d.completed or d.failed:
                     continue
@@ -980,6 +1031,7 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
         use_device_beam = (p.use_device_loops
                            and beam_mode and n_dec_cur > 1
                            and t_cur < 1e-6
+                           and not p.ref_sampling
                            and p.grammar_rules is None
                            and p.logits_filter_callback is None
                            and p.abort_callback is None)

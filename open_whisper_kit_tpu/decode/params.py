@@ -109,6 +109,15 @@ class FullParams:
     i_start_rule: int = 0
     grammar_penalty: float = 100.0
 
+    # Reference-parity RNG sampling: draw beam candidates (and t>0 sampled
+    # tokens) from std::discrete_distribution with per-decoder mt19937
+    # streams, bit-faithful to whisper.cpp:6519-6592 / 6504-6508 (decoder
+    # j seeded with j, whisper.cpp:3470+6929).  Default False keeps the
+    # deterministic top-k expansion (equal-or-better search quality);
+    # True reproduces the reference binary's beam transcripts byte-for-
+    # byte and forces the host-stepped loop for beam windows.
+    ref_sampling: bool = False
+
     vad: bool = False
     vad_model_path: str | None = None
     vad_params: VadParams = dataclasses.field(default_factory=VadParams)
