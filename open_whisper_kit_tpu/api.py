@@ -39,13 +39,18 @@ class Transcriber:
 
     def __init__(self, model_path: str | Path | None = None,
                  preset: str | None = None, dtype=jnp.bfloat16,
-                 decoder_int8: bool = False, mesh=None):
+                 decoder_int8: bool = False, mesh=None,
+                 draft_model_path: str | Path | None = None,
+                 draft_preset: str | None = None):
         """`mesh`: a jax.sharding.Mesh with (dp, tp) axes (parallel/mesh.py
         `make_mesh()`): weights are tensor-parallel-sharded over `tp` and
         batched entry points (transcribe_batched, full_parallel) shard their
         chunk axis over `dp` — the multi-chip serving mode (the TPU-native
         role of ggml_backend_sched placement + ggml-rpc,
-        ggml/include/ggml-backend.h:251-306)."""
+        ggml/include/ggml-backend.h:251-306).
+
+        `draft_model_path`/`draft_preset`: attach a smaller same-vocab
+        model for speculative greedy decoding (FullParams.speculative)."""
         if model_path is not None:
             self.ctx = WhisperContext.from_file(str(model_path), dtype=dtype,
                                                 decoder_int8=decoder_int8,
@@ -56,6 +61,12 @@ class Transcriber:
                                                   mesh=mesh)
         else:
             raise ValueError("model_path or preset required")
+        if draft_model_path is not None:
+            self.ctx.set_draft(
+                WhisperContext.from_file(str(draft_model_path), dtype=dtype))
+        elif draft_preset is not None:
+            self.ctx.set_draft(
+                WhisperContext.from_preset(draft_preset, dtype=dtype))
 
     # -- whisper.h-style surface -------------------------------------------
 

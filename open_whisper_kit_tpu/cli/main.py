@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     # tracks the reference's f32 accumulation closely enough for
     # draw-level parity under --ref-sampling)
     p.add_argument("--dtype", choices=["bf16", "f16", "f32"], default="bf16")
+    # ours-only: speculative greedy decoding — a smaller same-vocab draft
+    # model proposes tokens, the main model verifies them in one pass
+    p.add_argument("--draft-model", default=None)
+    p.add_argument("--spec-tokens", type=int, default=4)
     p.add_argument("files_pos", nargs="*", default=[])
     return p
 
@@ -163,7 +167,10 @@ def main(argv=None) -> int:
     params = params_from_args(args)
     dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16,
              "f32": jnp.float32}[args.dtype]
-    tr = api.Transcriber(model_path=args.model, dtype=dtype)
+    tr = api.Transcriber(model_path=args.model, dtype=dtype,
+                         draft_model_path=args.draft_model)
+    if args.draft_model:
+        params.speculative = args.spec_tokens
 
     for fname in files:
         stereo = None

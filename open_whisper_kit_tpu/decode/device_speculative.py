@@ -1,0 +1,303 @@
+"""Fused on-device speculative greedy segment decoder (draft + verify).
+
+A TPU-only capability with no reference analog: a small DRAFT whisper
+model proposes `gamma` tokens autoregressively (cheap single-token
+steps), and the TARGET model scores all of them in ONE (gamma+1)-token
+decoder pass — the same MXU-friendly multi-token shape as prompt ingest
+(models/whisper/model.py::decode_impl). Accepted prefixes advance the
+output by up to gamma+1 tokens per target pass, so the per-token cost of
+the big model's weight stream (the measured decode bottleneck,
+docs/PERFORMANCE.md) is amortized by the acceptance rate.
+
+Outputs are semantically IDENTICAL to the standard greedy loop
+(decode/device_loop.py): every emitted token is the target's own
+rule-filtered argmax, conditioned on the accepted prefix — the draft
+only chooses which positions get batched together.  (Bit-equality holds
+up to XLA reduction-order ties between the T=1 and T=gamma+1 decode
+shapes.)
+
+Everything — the draft proposal scan, the verify pass, the acceptance
+scan replaying the full logit rule-set (decode/logit_rules.py) and the
+reference's sliding-window state machine (whisper.cpp:7355-7459) — runs
+inside one jitted lax.while_loop; the host sees one buffer bundle per
+30 s window, exactly like decode_segment.
+
+Round invariant: both KV caches contain every emitted token EXCEPT the
+newest (`last_tok`), which each round ingests as the first token of its
+verify pass (and of the draft scan).  After a round that accepted m
+draft tokens and emitted m+1 (the +1 is the correction on mismatch, or
+the free bonus token from the verify pass's last logits row on full
+acceptance), both kv_heads advance by exactly the emission count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.whisper import model as M
+from . import logit_rules as LR
+from .device_loop import SegmentResult
+
+CHUNK_FRAMES = 3000
+
+
+class _RuleState(NamedTuple):
+    """Scalar dynamic-rule inputs (LR.BeamState minus is_initial)."""
+    last_was_ts: jnp.ndarray
+    penult_was_ts: jnp.ndarray
+    has_ts: jnp.ndarray
+    seek_delta: jnp.ndarray
+    result_len: jnp.ndarray
+
+
+def _beam_state(rs: _RuleState, token_beg, is_initial):
+    return LR.BeamState(
+        is_initial=is_initial[None],
+        last_was_ts=rs.last_was_ts[None],
+        penult_was_ts=rs.penult_was_ts[None],
+        has_ts=rs.has_ts[None],
+        ts_min=jnp.where(rs.has_ts, token_beg + rs.seek_delta // 2, 0)[None])
+
+
+def _advance_rule_state(rs: _RuleState, tok, idx, token_beg) -> _RuleState:
+    """Rule-input evolution after emitting `tok` at absolute index `idx`
+    (the take_ts subset of the whisper.cpp:7355-7459 machine; completion
+    flags are handled separately by the acceptance scan)."""
+    is_ts = tok >= token_beg
+    gt_beg = tok > token_beg
+    sd_new = 2 * (tok - token_beg)
+    ts_fail = (gt_beg & rs.has_ts & (rs.seek_delta > sd_new)
+               & (rs.result_len < idx))
+    take_ts = gt_beg & ~ts_fail
+    return _RuleState(
+        last_was_ts=is_ts,
+        penult_was_ts=rs.last_was_ts | (idx == 0),
+        has_ts=rs.has_ts | take_ts,
+        seek_delta=jnp.where(take_ts, sd_new, rs.seek_delta),
+        result_len=jnp.where(take_ts, idx + 1, rs.result_len))
+
+
+class _Carry(NamedTuple):
+    kv_k: jnp.ndarray
+    kv_v: jnp.ndarray
+    dkv_k: jnp.ndarray
+    dkv_v: jnp.ndarray
+    kv_head: jnp.ndarray      # shared by target and draft (same history)
+    i: jnp.ndarray            # emitted tokens
+    last_tok: jnp.ndarray     # newest emitted token, not yet ingested
+    tokens: jnp.ndarray
+    p: jnp.ndarray
+    plog: jnp.ndarray
+    pt: jnp.ndarray
+    ptsum: jnp.ndarray
+    tid: jnp.ndarray
+    sum_logprobs_all: jnp.ndarray
+    rs: _RuleState
+    completed: jnp.ndarray
+    failed: jnp.ndarray
+    n_accepted: jnp.ndarray   # diagnostics: accepted draft tokens total
+
+
+def _choose(rc, logits_row, base_mask, init_mask, st):
+    """Greedy pick from one (V,) raw-logits row under the full rule-set."""
+    f_logits, f_logprobs, f_probs = LR.apply_rules(
+        rc, logits_row[None], base_mask, init_mask, st, jnp.float32(0.0),
+        None)
+    tok, p, plog, pt, ptsum, tid = LR.sample_greedy(
+        rc, f_logits, f_logprobs, f_probs)
+    return tok[0], p[0], plog[0], pt[0], ptsum[0], tid[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dcfg", "rc", "n_max", "gamma", "max_tokens",
+                     "single_segment", "no_timestamps", "cache_dtype"))
+def decode_segment_speculative(
+        cfg: M.WhisperConfig, dcfg: M.WhisperConfig, rc: LR.RuleConfig,
+        dec: M.Params, ddec: M.Params, prompt: jnp.ndarray,
+        xk, xv, dxk, dxv,
+        base_mask: jnp.ndarray, init_mask: jnp.ndarray,
+        scalars: jnp.ndarray, *, n_max: int, gamma: int = 4,
+        max_tokens: int = 0, single_segment: bool = False,
+        no_timestamps: bool = False,
+        cache_dtype=jnp.bfloat16) -> tuple[SegmentResult, jnp.ndarray]:
+    """Speculative greedy decode of one window; returns
+    (SegmentResult, n_accepted).  `scalars` packs (t_real, token_nosp,
+    seek, seek_end) like decode_segment.  dec/ddec are the target/draft
+    decoder params; xk/xv and dxk/dxv their cross-KV for this window."""
+    token_beg = rc.token_beg
+    token_eot = rc.token_eot
+    delta_min = 10
+    t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
+                                          scalars[2], scalars[3])
+
+    pad = gamma + 4  # verify may ingest up to gamma+1 past the final token
+
+    def _cache(c: M.WhisperConfig):
+        shape = (c.n_text_layer, 1, c.n_text_head, c.n_text_ctx + pad,
+                 c.d_text_head)
+        return jnp.zeros(shape, cache_dtype), jnp.zeros(shape, cache_dtype)
+
+    kv_k, kv_v = _cache(cfg)
+    dkv_k, dkv_v = _cache(dcfg)
+
+    # ---- prompt ingest, both models ----
+    logits_all, kv_k, kv_v, _ = M.decode_impl(
+        cfg, dec, prompt, kv_k, kv_v, jnp.int32(0), xk, xv,
+        logits_pos=t_real - 1)
+    last_logits = logits_all[0, 0]                       # (V,)
+    no_speech_prob = LR.compute_no_speech_prob(last_logits, token_nosp)
+    dlogits_all, dkv_k, dkv_v, _ = M.decode_impl(
+        dcfg, ddec, prompt, dkv_k, dkv_v, jnp.int32(0), dxk, dxv,
+        logits_pos=t_real - 1)
+    del dlogits_all
+
+    # ---- prologue: the first token comes straight from the prompt logits
+    rs0 = _RuleState(last_was_ts=jnp.bool_(False),
+                     penult_was_ts=jnp.bool_(True),
+                     has_ts=jnp.bool_(False),
+                     seek_delta=jnp.int32(CHUNK_FRAMES),
+                     result_len=jnp.int32(0))
+    st0 = _beam_state(rs0, token_beg, jnp.bool_(True))
+    tok0, p0, plog0, pt0, ptsum0, tid0 = _choose(
+        rc, last_logits, base_mask, init_mask, st0)
+    is_ts0 = tok0 >= token_beg
+    tid0 = jnp.where(is_ts0, tok0, tid0)
+    pt0 = jnp.where(is_ts0, p0, pt0)
+
+    def _machine(rs: _RuleState, tok, idx):
+        """Completion/failure decision for emitting `tok` at `idx`
+        (the remainder of whisper.cpp:7355-7459 beyond take_ts)."""
+        rs2 = _advance_rule_state(rs, tok, idx, token_beg)
+        gt_beg = tok > token_beg
+        sd_new = 2 * (tok - token_beg)
+        ts_fail = (gt_beg & rs.has_ts & (rs.seek_delta > sd_new)
+                   & (rs.result_len < idx))
+        end_hit = ((tok == token_eot)
+                   | ((max_tokens > 0) & (idx >= max_tokens))
+                   | (rs2.has_ts
+                      & (seek + rs2.seek_delta + delta_min >= seek_end)))
+        end_hit = end_hit & ~ts_fail
+        at_audio_end = seek + rs2.seek_delta + delta_min >= seek_end
+        rl_zero = (rs2.result_len == 0) & jnp.bool_(not no_timestamps)
+        end_fail = end_hit & rl_zero & ~at_audio_end
+        result_len = jnp.where(end_hit & rl_zero & at_audio_end, idx + 1,
+                               rs2.result_len)
+        end_ok = end_hit & ~end_fail
+        seek_delta = rs2.seek_delta
+        if single_segment or no_timestamps:
+            result_len = jnp.where(end_ok, idx + 1, result_len)
+            seek_delta = jnp.where(end_ok, CHUNK_FRAMES, seek_delta)
+        completed = end_ok
+        failed = ts_fail | end_fail
+        rep_fail = ((idx == n_max - 1) & ~completed & ~failed
+                    & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
+        failed = failed | rep_fail
+        return rs2._replace(result_len=result_len, seek_delta=seek_delta), \
+            completed, failed
+
+    rs1, completed0, failed0 = _machine(rs0, tok0, jnp.int32(0))
+
+    nb = lambda: jnp.zeros((n_max,), jnp.float32)
+    carry = _Carry(
+        kv_k=kv_k, kv_v=kv_v, dkv_k=dkv_k, dkv_v=dkv_v, kv_head=t_real,
+        i=jnp.int32(1), last_tok=tok0,
+        tokens=jnp.zeros((n_max,), jnp.int32).at[0].set(tok0),
+        p=nb().at[0].set(p0), plog=nb().at[0].set(plog0),
+        pt=nb().at[0].set(pt0), ptsum=nb().at[0].set(ptsum0),
+        tid=jnp.zeros((n_max,), jnp.int32).at[0].set(tid0),
+        sum_logprobs_all=plog0, rs=rs1,
+        completed=completed0, failed=failed0, n_accepted=jnp.int32(0))
+
+    def cond(c: _Carry):
+        return (~c.completed) & (~c.failed) & (c.i < n_max)
+
+    def body(c: _Carry) -> _Carry:
+        # ---- draft proposal scan: gamma+1 single-token steps; the last
+        # step only ingests g_{gamma-1} (its proposal is discarded) so the
+        # draft cache always holds every proposed token ----
+        def dstep(dc, j):
+            dkv_k, dkv_v, head, tok_in, rs, idx = dc
+            lg, dkv_k, dkv_v, _ = M.decode_impl(
+                dcfg, ddec, tok_in[None, None], dkv_k, dkv_v, head,
+                dxk, dxv)
+            st = _beam_state(rs, token_beg, jnp.bool_(False))
+            g, _, _, _, _, _ = _choose(rc, lg[0, 0], base_mask, init_mask,
+                                       st)
+            rs2 = _advance_rule_state(rs, g, idx, token_beg)
+            return (dkv_k, dkv_v, head + 1, g, rs2, idx + 1), g
+
+        (dkv_k, dkv_v, _, _, _, _), gs = jax.lax.scan(
+            dstep, (c.dkv_k, c.dkv_v, c.kv_head, c.last_tok, c.rs, c.i),
+            jnp.arange(gamma + 1))
+        gs = gs[:gamma]                             # proposals g_0..g_{γ-1}
+
+        # ---- target verify: ONE (gamma+1)-token pass ----
+        vtoks = jnp.concatenate([c.last_tok[None], gs])[None]   # (1, γ+1)
+        vlogits, kv_k, kv_v, _ = M.decode_impl(
+            cfg, dec, vtoks, c.kv_k, c.kv_v, c.kv_head, xk, xv)
+        vrows = vlogits[0]                          # (γ+1, V) f32
+
+        # ---- acceptance scan: slot j emits index c.i+j from V_j ----
+        def aslot(ac, inp):
+            (active, rs, completed, failed, last_tok, n_emit, n_acc,
+             bufs, sum_lp) = ac
+            row, g, j = inp
+            idx = c.i + j
+            st = _beam_state(rs, token_beg, jnp.bool_(False))
+            t, p, plog, pt, ptsum, tid = _choose(rc, row, base_mask,
+                                                 init_mask, st)
+            is_ts = t >= token_beg
+            tid = jnp.where(is_ts, t, tid)
+            pt = jnp.where(is_ts, p, pt)
+            emit = active
+            w = lambda b, v: jnp.where(
+                emit, b.at[idx].set(v, mode="drop"), b)
+            tokens_b, p_b, plog_b, pt_b, ptsum_b, tid_b = bufs
+            bufs = (w(tokens_b, t), w(p_b, p), w(plog_b, plog),
+                    w(pt_b, pt), w(ptsum_b, ptsum), w(tid_b, tid))
+            rs2, comp_j, fail_j = _machine(rs, t, idx)
+            match = (j < gamma) & (t == g)
+            cont = emit & match & ~comp_j & ~fail_j & (idx + 1 < n_max)
+            return ((cont,
+                     jax.tree.map(lambda a, b: jnp.where(emit, b, a), rs,
+                                  rs2),
+                     completed | (emit & comp_j), failed | (emit & fail_j),
+                     jnp.where(emit, t, last_tok),
+                     n_emit + emit.astype(jnp.int32),
+                     n_acc + cont.astype(jnp.int32),
+                     bufs, sum_lp + jnp.where(emit, plog, 0.0)), None)
+
+        bufs0 = (c.tokens, c.p, c.plog, c.pt, c.ptsum, c.tid)
+        (_, rs, completed, failed, last_tok, n_emit, n_acc, bufs,
+         sum_lp), _ = jax.lax.scan(
+            aslot,
+            (jnp.bool_(True), c.rs, jnp.bool_(False), jnp.bool_(False),
+             c.last_tok, jnp.int32(0), jnp.int32(0), bufs0,
+             c.sum_logprobs_all),
+            (vrows, jnp.concatenate([gs, gs[-1:]]),
+             jnp.arange(gamma + 1)))
+
+        tokens_b, p_b, plog_b, pt_b, ptsum_b, tid_b = bufs
+        return _Carry(
+            kv_k=kv_k, kv_v=kv_v, dkv_k=dkv_k, dkv_v=dkv_v,
+            kv_head=c.kv_head + n_emit, i=c.i + n_emit, last_tok=last_tok,
+            tokens=tokens_b, p=p_b, plog=plog_b, pt=pt_b, ptsum=ptsum_b,
+            tid=tid_b, sum_logprobs_all=sum_lp, rs=rs,
+            completed=completed, failed=failed,
+            n_accepted=c.n_accepted + n_acc)
+
+    c = jax.lax.while_loop(cond, body, carry)
+
+    res = SegmentResult(
+        tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,
+        tid=c.tid, n_tokens=c.i, result_len=c.rs.result_len,
+        seek_delta=c.rs.seek_delta, has_ts=c.rs.has_ts,
+        completed=c.completed, failed=c.failed,
+        sum_logprobs_all=c.sum_logprobs_all,
+        no_speech_prob=no_speech_prob)
+    return res, c.n_accepted

@@ -66,6 +66,7 @@ class Timings:
     n_encode: int = 0
     n_decode: int = 0
     n_sample: int = 0
+    n_spec_accepted: int = 0   # draft tokens accepted (speculative mode)
 
 
 @dataclasses.dataclass
@@ -129,6 +130,21 @@ class WhisperContext:
         self._mask_cache: dict = {}
         self._mega = None       # lazy MegaParams (single-kernel decoder)
         self._vad = None
+        self.draft = None       # optional draft WhisperContext (speculative)
+
+    def set_draft(self, draft: "WhisperContext") -> None:
+        """Attach a (smaller) draft model for speculative greedy decoding
+        (decode/device_speculative.py; enable with FullParams.speculative).
+        The draft must share the target's vocabulary and dtype."""
+        if draft.vocab.n_vocab != self.vocab.n_vocab \
+                or draft.vocab.token_beg != self.vocab.token_beg \
+                or draft.vocab.token_eot != self.vocab.token_eot:
+            raise ValueError(
+                "draft model vocabulary does not match the target's "
+                f"({draft.vocab.n_vocab} vs {self.vocab.n_vocab})")
+        if draft.dtype != self.dtype:
+            raise ValueError("draft must be loaded with the target's dtype")
+        self.draft = draft
 
     _MEGA_WEIGHTS = ("qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w")
 
@@ -446,10 +462,14 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
     rng_key = jax.random.PRNGKey(0)
 
     seek = seek_start
+    dmel = None  # draft-model mel, computed lazily (speculative decoding)
+    speculating = p.speculative > 0 and ctx.draft is not None
 
     # fused multi-window device path: K windows per dispatch, host only for
-    # temperature-fallback windows (decode/device_windows.py)
-    if _multiwindow_eligible(ctx, p, temperatures, audio_ctx):
+    # temperature-fallback windows (decode/device_windows.py); the
+    # speculative path replaces it when a draft model is attached
+    if not speculating and _multiwindow_eligible(ctx, p, temperatures,
+                                                 audio_ctx):
         _run_device_windows(
             ctx, p, result, mel, rc, temperatures, seek_start, seek_end,
             prompt_past1, prompt_init, max_prompt_ctx, no_timestamps,
@@ -472,6 +492,13 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
         if p.cross_kv_int8:
             xk = M.quantize_cross_kv(xk)
             xv = M.quantize_cross_kv(xv)
+        dxkv = None
+        if p.speculative > 0 and ctx.draft is not None and ctx.n_loaded > 0:
+            if dmel is None:
+                dmel = mel_mod.log_mel_spectrogram(
+                    np.asarray(samples, np.float32), ctx.draft.filters)
+            _, dxk, dxv = ctx.draft.encode_window(dmel.data, seek, 0)
+            dxkv = (dxk, dxv)
         timings.t_encode_ms += (time.perf_counter() - t0) * 1e3
         timings.n_encode += 1
 
@@ -484,7 +511,8 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             _decode_window_host(
                 ctx, p, rc, temperatures, seek, seek_end, xk, xv,
                 prompt_past0, prompt_past1, max_prompt_ctx, prompt_init,
-                no_timestamps, base_mask, init_mask, timings, rng_key)
+                no_timestamps, base_mask, init_mask, timings, rng_key,
+                dxkv=dxkv)
         if aborted:
             return result
 
@@ -773,6 +801,38 @@ def _device_greedy_window(ctx, p, rc, decoders, prompt, xk, xv,
     return r["no_speech_prob"]
 
 
+def _device_speculative_window(ctx, p, rc, decoders, prompt, xk, xv, dxkv,
+                               base_mask, init_mask, seek, seek_end,
+                               no_timestamps, timings) -> float:
+    """One window through the fused speculative loop (draft proposals +
+    multi-token verify, decode/device_speculative.py); fills decoders[0],
+    returns no_speech_prob."""
+    cfg, vocab = ctx.cfg, ctx.vocab
+    t0 = time.perf_counter()
+    toks, T_real = _pad_prompt(cfg, prompt)
+    from . import device_loop as DL
+    from . import device_speculative as DS
+    n_max = cfg.n_text_ctx // 2 - 4
+    scalars = jnp.asarray(np.array(
+        [T_real, vocab.token_nosp, seek, seek_end], np.int32))
+    dxk, dxv = dxkv
+    res_dev, n_acc = DS.decode_segment_speculative(
+        cfg, ctx.draft.cfg, rc, ctx.params["decoder"],
+        ctx.draft.params["decoder"], toks, xk, xv, dxk, dxv,
+        base_mask, init_mask, scalars, n_max=n_max,
+        gamma=int(p.speculative), max_tokens=p.max_tokens,
+        single_segment=p.single_segment, no_timestamps=no_timestamps,
+        cache_dtype=ctx.dtype)
+    r = DL.unpack_segment_result(DL.pack_segment_result(res_dev), n_max)
+    n_tok = r["n_tokens"]
+    _fill_decoder(decoders[0], r, n_tok)
+    timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
+    timings.n_decode += n_tok + 1
+    timings.n_sample += n_tok
+    timings.n_spec_accepted += int(np.asarray(n_acc))
+    return r["no_speech_prob"]
+
+
 def _host_stepped_window(ctx, p, rc, decoders, prompt, xk, xv,
                          base_mask, init_mask, seek, seek_end,
                          no_timestamps, t_cur, beam_mode, timings, rng_key):
@@ -972,7 +1032,7 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
                         prompt_past0: list[int], prompt_past1: list[int],
                         max_prompt_ctx: int, prompt_init: list[int],
                         no_timestamps: bool, base_mask, init_mask,
-                        timings: Timings, rng_key):
+                        timings: Timings, rng_key, dxkv=None):
     """Temperature-fallback decode of ONE 30 s window (the body of the
     reference's `for (int it = 0; ...)` loop, whisper.cpp:7069-7605).
 
@@ -1035,7 +1095,17 @@ def _decode_window_host(ctx: WhisperContext, p: FullParams, rc,
                            and p.grammar_rules is None
                            and p.logits_filter_callback is None
                            and p.abort_callback is None)
-        if use_device_beam:
+        # speculative greedy: draft proposals + one multi-token verify pass
+        # per round (decode/device_speculative.py). Same output as the
+        # plain greedy loop; requires the draft cross-KV for this window.
+        use_device_spec = (use_device_loop and dxkv is not None
+                           and p.grammar_rules is None
+                           and ctx.n_loaded > 0)
+        if use_device_spec:
+            no_speech_prob = _device_speculative_window(
+                ctx, p, rc, decoders, prompt, xk, xv, dxkv, base_mask,
+                init_mask, seek, seek_end, no_timestamps, timings)
+        elif use_device_beam:
             no_speech_prob = _device_beam_window(
                 ctx, p, rc, decoders, prompt, xk, xv, base_mask, init_mask,
                 seek, seek_end, no_timestamps, timings)

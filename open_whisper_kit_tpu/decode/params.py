@@ -129,6 +129,13 @@ class FullParams:
     # TPU-specific: allow the fused on-device decode loops (greedy + beam).
     # False forces the host-stepped reference-exact path.
     use_device_loops: bool = True
+    # TPU-specific: speculative greedy decoding lookahead (gamma). >0 with
+    # a draft model attached (WhisperContext.set_draft / Transcriber
+    # draft_model_path) routes t=0 greedy windows through
+    # decode/device_speculative.py: the draft proposes gamma tokens, the
+    # target verifies them in ONE multi-token pass — same output as plain
+    # greedy, up to gamma+1 tokens per target weight-stream. 0 = off.
+    speculative: int = 0
     # TPU-specific: decode up to this many 30 s windows per device dispatch
     # (greedy t=0 path; decode/device_windows.py). 0/1 disables the fused
     # window loop and decodes one window per dispatch.

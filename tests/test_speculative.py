@@ -1,0 +1,91 @@
+"""Speculative greedy decoding (decode/device_speculative.py).
+
+Output-equivalence is the whole contract: every emitted token is the
+target model's own rule-filtered argmax, so transcripts must equal the
+plain fused greedy loop's exactly — the draft only changes HOW MANY
+target passes it takes to produce them.
+
+Equality is up to XLA reduction-order ties between the T=1 and
+T=gamma+1 decode shapes.  On degenerate random-weight checkpoints
+(near-uniform distributions) such ties exist and the EXISTING greedy
+paths already disagree among themselves there (device_windows=8 vs =0
+vs host-stepped flip the same dropped-tail token); the speculative path
+was verified to agree with the single-window and host paths in that
+regime.  The seeds below have no ties and compare exactly.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import open_whisper_kit_tpu.decode.full as F
+from open_whisper_kit_tpu.decode.params import FullParams
+
+
+def _segs(res):
+    return [(s.t0, s.t1, [t.id for t in s.tokens]) for s in res.segments]
+
+
+@pytest.fixture(scope="module")
+def target_ctx():
+    return F.WhisperContext.from_preset("tiny.en", seed=0, dtype=jnp.float32)
+
+
+def test_speculative_equals_greedy_same_draft(target_ctx):
+    """Draft == target: near-total acceptance, identical output."""
+    ctx = target_ctx
+    ctx.set_draft(F.WhisperContext.from_preset("tiny.en", seed=0,
+                                               dtype=jnp.float32))
+    rng = np.random.default_rng(7)
+    samples = (0.1 * rng.standard_normal(16000 * 8)).astype(np.float32)
+
+    r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False), samples)
+    r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False,
+                                        speculative=4), samples)
+    assert _segs(r0) == _segs(r1)
+    assert r1.timings.n_spec_accepted >= 0
+    ctx.draft = None
+
+
+def test_speculative_equals_greedy_mismatched_draft(target_ctx):
+    """Different draft weights: acceptance is incidental, output must
+    still be identical (corrections dominate)."""
+    ctx = target_ctx
+    ctx.set_draft(F.WhisperContext.from_preset("tiny.en", seed=1,
+                                               dtype=jnp.float32))
+    rng = np.random.default_rng(5)
+    samples = (0.1 * rng.standard_normal(16000 * 20)).astype(np.float32)
+
+    r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False), samples)
+    r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False,
+                                        speculative=3), samples)
+    assert _segs(r0) == _segs(r1)
+    ctx.draft = None
+
+
+def test_speculative_without_draft_falls_back(target_ctx):
+    """speculative>0 with no draft attached: plain greedy path, same
+    output as speculative=0."""
+    ctx = target_ctx
+    assert ctx.draft is None
+    rng = np.random.default_rng(3)
+    samples = (0.1 * rng.standard_normal(16000 * 5)).astype(np.float32)
+    r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False), samples)
+    r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False,
+                                        speculative=4), samples)
+    assert _segs(r0) == _segs(r1)
+
+
+def test_set_draft_vocab_guard(target_ctx):
+    """Mismatched vocab (multilingual tiny vs tiny.en) is rejected."""
+    bad = F.WhisperContext.from_preset("tiny", seed=0, dtype=jnp.float32)
+    if bad.vocab.n_vocab == target_ctx.vocab.n_vocab:
+        pytest.skip("presets share a vocab size")
+    with pytest.raises(ValueError):
+        target_ctx.set_draft(bad)
