@@ -61,6 +61,80 @@ def grammar_step(g: "GrammarOps", state: jnp.ndarray,
     return jnp.where(g.skip[tok], state, nxt).astype(jnp.int32)
 
 
+class MachineState(NamedTuple):
+    """Per-decoder token state machine variables (whisper.cpp:7355-7459);
+    all scalars. Shared by the fused greedy loop and the speculative
+    decoder (device_speculative.py); device_beam.py carries the
+    beam-vectorized variant of the same logic."""
+    last_was_ts: jnp.ndarray
+    penult_was_ts: jnp.ndarray
+    has_ts: jnp.ndarray
+    seek_delta: jnp.ndarray
+    result_len: jnp.ndarray
+
+
+def machine_init() -> MachineState:
+    return MachineState(last_was_ts=jnp.bool_(False),
+                        penult_was_ts=jnp.bool_(True),
+                        has_ts=jnp.bool_(False),
+                        seek_delta=jnp.int32(CHUNK_FRAMES),
+                        result_len=jnp.int32(0))
+
+
+def machine_step(ms: MachineState, tok, i, *, token_beg, token_eot,
+                 seek, seek_end, n_max: int, max_tokens: int,
+                 single_segment: bool, no_timestamps: bool,
+                 stub: bool = False):
+    """One token through the whisper.cpp:7355-7459 state machine.
+
+    `tok` was just sampled at segment-token index `i`. Returns
+    (new MachineState, completed, failed). The rule inputs the NEXT
+    step's logit filtering needs (LR.BeamState) are all in the returned
+    state."""
+    delta_min = 10
+    is_ts_tok = tok >= token_beg
+    gt_beg = tok > token_beg
+    sd_new = 2 * (tok - token_beg)
+    ts_fail = (gt_beg & ms.has_ts & (ms.seek_delta > sd_new)
+               & (ms.result_len < i))
+    take_ts = gt_beg & ~ts_fail
+    seek_delta = jnp.where(take_ts, sd_new, ms.seek_delta)
+    result_len = jnp.where(take_ts, i + 1, ms.result_len)
+    has_ts = ms.has_ts | take_ts
+
+    end_hit = ((tok == token_eot)
+               | ((max_tokens > 0) & (i >= max_tokens))
+               | (has_ts & (seek + seek_delta + delta_min >= seek_end)))
+    end_hit = end_hit & ~ts_fail
+    at_audio_end = seek + seek_delta + delta_min >= seek_end
+    rl_zero = (result_len == 0) & jnp.bool_(not no_timestamps)
+    end_fail = end_hit & rl_zero & ~at_audio_end
+    result_len = jnp.where(end_hit & rl_zero & at_audio_end, i + 1,
+                           result_len)
+    end_ok = end_hit & ~end_fail
+    if single_segment or no_timestamps:
+        result_len = jnp.where(end_ok, i + 1, result_len)
+        seek_delta = jnp.where(end_ok, CHUNK_FRAMES, seek_delta)
+    completed = end_ok
+    failed = ts_fail | end_fail
+
+    if stub:  # weightless test checkpoints (whisper.cpp:7426-7431)
+        seek_delta = jnp.where(~completed & ~failed, CHUNK_FRAMES,
+                               seek_delta)
+        completed = jnp.where(failed, completed, jnp.bool_(True))
+
+    # repetition-loop bail-out at the last step (whisper.cpp:7440-7445)
+    rep_fail = ((i == n_max - 1) & ~completed & ~failed
+                & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
+    failed = failed | rep_fail
+
+    return MachineState(
+        last_was_ts=is_ts_tok,
+        penult_was_ts=ms.last_was_ts | (i == 0),
+        has_ts=has_ts, seek_delta=seek_delta,
+        result_len=result_len), completed, failed
+
+
 class SegmentResult(NamedTuple):
     tokens: jnp.ndarray      # (n_max,) i32
     p: jnp.ndarray           # (n_max,) f32
@@ -126,7 +200,6 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     ingest), only the carry shape matters."""
     token_beg = rc.token_beg
     token_eot = rc.token_eot
-    delta_min = 10
 
     # ---- prompt ingest (logits only at the last real position) ----
     if mega is not None:
@@ -197,38 +270,13 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         sum_lp = c.sum_logprobs_all + plog[0]
 
         # ---- state machine (whisper.cpp:7355-7459) ----
-        gt_beg = tok0 > token_beg
-        sd_new = 2 * (tok0 - token_beg)
-        ts_fail = gt_beg & c.has_ts & (c.seek_delta > sd_new) & (c.result_len < i)
-        take_ts = gt_beg & ~ts_fail
-        seek_delta = jnp.where(take_ts, sd_new, c.seek_delta)
-        result_len = jnp.where(take_ts, i + 1, c.result_len)
-        has_ts = c.has_ts | take_ts
-
-        end_hit = ((tok0 == token_eot)
-                   | ((max_tokens > 0) & (i >= max_tokens))
-                   | (has_ts & (seek + seek_delta + delta_min >= seek_end)))
-        end_hit = end_hit & ~ts_fail
-        at_audio_end = seek + seek_delta + delta_min >= seek_end
-        # result_len==0 handling on end
-        rl_zero = (result_len == 0) & jnp.bool_(not no_timestamps)
-        end_fail = end_hit & rl_zero & ~at_audio_end
-        result_len = jnp.where(end_hit & rl_zero & at_audio_end, i + 1, result_len)
-        end_ok = end_hit & ~end_fail
-        if single_segment or no_timestamps:
-            result_len = jnp.where(end_ok, i + 1, result_len)
-            seek_delta = jnp.where(end_ok, CHUNK_FRAMES, seek_delta)
-        completed = end_ok
-        failed = ts_fail | end_fail
-
-        if stub:  # weightless test checkpoints (whisper.cpp:7426-7431)
-            seek_delta = jnp.where(~completed & ~failed, CHUNK_FRAMES, seek_delta)
-            completed = jnp.where(failed, completed, jnp.bool_(True))
-
-        # repetition-loop bail-out at the last step (whisper.cpp:7440-7445)
-        rep_fail = ((i == n_max - 1) & ~completed & ~failed
-                    & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
-        failed = failed | rep_fail
+        ms, completed, failed = machine_step(
+            MachineState(c.last_was_ts, c.penult_was_ts, c.has_ts,
+                         c.seek_delta, c.result_len),
+            tok0, i, token_beg=token_beg, token_eot=token_eot,
+            seek=seek, seek_end=seek_end, n_max=n_max,
+            max_tokens=max_tokens, single_segment=single_segment,
+            no_timestamps=no_timestamps, stub=stub)
 
         # ---- next decode step (result unused on the final iteration) ----
         if mega is not None:
@@ -247,9 +295,10 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             logits=new_logits,
             tokens=tokens, p=p_buf, plog=plog_buf, pt=pt_buf,
             ptsum=ptsum_buf, tid=tid_buf, sum_logprobs_all=sum_lp,
-            last_was_ts=is_ts_tok,
-            penult_was_ts=c.last_was_ts | (i == 0),
-            has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
+            last_was_ts=ms.last_was_ts,
+            penult_was_ts=ms.penult_was_ts,
+            has_ts=ms.has_ts, seek_delta=ms.seek_delta,
+            result_len=ms.result_len,
             completed=completed, failed=failed, gstate=gstate)
 
     c = jax.lax.while_loop(cond, body, carry)

@@ -14,13 +14,14 @@ Outputs are semantically IDENTICAL to the standard greedy loop
 rule-filtered argmax, conditioned on the accepted prefix — the draft
 only chooses which positions get batched together.  (Bit-equality holds
 up to XLA reduction-order ties between the T=1 and T=gamma+1 decode
-shapes.)
+shapes.)  The per-token state machine is the SAME code as the greedy
+loop's (device_loop.machine_step).
 
 Everything — the draft proposal scan, the verify pass, the acceptance
 scan replaying the full logit rule-set (decode/logit_rules.py) and the
-reference's sliding-window state machine (whisper.cpp:7355-7459) — runs
-inside one jitted lax.while_loop; the host sees one buffer bundle per
-30 s window, exactly like decode_segment.
+reference's sliding-window state machine — runs inside one jitted
+lax.while_loop; the host sees one buffer bundle per 30 s window,
+exactly like decode_segment.
 
 Round invariant: both KV caches contain every emitted token EXCEPT the
 newest (`last_tok`), which each round ingests as the first token of its
@@ -40,45 +41,17 @@ import jax.numpy as jnp
 
 from ..models.whisper import model as M
 from . import logit_rules as LR
-from .device_loop import SegmentResult
-
-CHUNK_FRAMES = 3000
-
-
-class _RuleState(NamedTuple):
-    """Scalar dynamic-rule inputs (LR.BeamState minus is_initial)."""
-    last_was_ts: jnp.ndarray
-    penult_was_ts: jnp.ndarray
-    has_ts: jnp.ndarray
-    seek_delta: jnp.ndarray
-    result_len: jnp.ndarray
+from .device_loop import (MachineState, SegmentResult, machine_init,
+                          machine_step)
 
 
-def _beam_state(rs: _RuleState, token_beg, is_initial):
+def _beam_state(ms: MachineState, token_beg, is_initial):
     return LR.BeamState(
         is_initial=is_initial[None],
-        last_was_ts=rs.last_was_ts[None],
-        penult_was_ts=rs.penult_was_ts[None],
-        has_ts=rs.has_ts[None],
-        ts_min=jnp.where(rs.has_ts, token_beg + rs.seek_delta // 2, 0)[None])
-
-
-def _advance_rule_state(rs: _RuleState, tok, idx, token_beg) -> _RuleState:
-    """Rule-input evolution after emitting `tok` at absolute index `idx`
-    (the take_ts subset of the whisper.cpp:7355-7459 machine; completion
-    flags are handled separately by the acceptance scan)."""
-    is_ts = tok >= token_beg
-    gt_beg = tok > token_beg
-    sd_new = 2 * (tok - token_beg)
-    ts_fail = (gt_beg & rs.has_ts & (rs.seek_delta > sd_new)
-               & (rs.result_len < idx))
-    take_ts = gt_beg & ~ts_fail
-    return _RuleState(
-        last_was_ts=is_ts,
-        penult_was_ts=rs.last_was_ts | (idx == 0),
-        has_ts=rs.has_ts | take_ts,
-        seek_delta=jnp.where(take_ts, sd_new, rs.seek_delta),
-        result_len=jnp.where(take_ts, idx + 1, rs.result_len))
+        last_was_ts=ms.last_was_ts[None],
+        penult_was_ts=ms.penult_was_ts[None],
+        has_ts=ms.has_ts[None],
+        ts_min=jnp.where(ms.has_ts, token_beg + ms.seek_delta // 2, 0)[None])
 
 
 class _Carry(NamedTuple):
@@ -96,10 +69,11 @@ class _Carry(NamedTuple):
     ptsum: jnp.ndarray
     tid: jnp.ndarray
     sum_logprobs_all: jnp.ndarray
-    rs: _RuleState
+    ms: MachineState
     completed: jnp.ndarray
     failed: jnp.ndarray
     n_accepted: jnp.ndarray   # diagnostics: accepted draft tokens total
+    n_rounds: jnp.ndarray     # target verify passes (for Timings.n_decode)
 
 
 def _choose(rc, logits_row, base_mask, init_mask, st):
@@ -124,16 +98,21 @@ def decode_segment_speculative(
         scalars: jnp.ndarray, *, n_max: int, gamma: int = 4,
         max_tokens: int = 0, single_segment: bool = False,
         no_timestamps: bool = False,
-        cache_dtype=jnp.bfloat16) -> tuple[SegmentResult, jnp.ndarray]:
+        cache_dtype=jnp.bfloat16
+) -> tuple[SegmentResult, jnp.ndarray, jnp.ndarray]:
     """Speculative greedy decode of one window; returns
-    (SegmentResult, n_accepted).  `scalars` packs (t_real, token_nosp,
-    seek, seek_end) like decode_segment.  dec/ddec are the target/draft
-    decoder params; xk/xv and dxk/dxv their cross-KV for this window."""
+    (SegmentResult, n_accepted, n_rounds).  `scalars` packs (t_real,
+    token_nosp, seek, seek_end) like decode_segment.  dec/ddec are the
+    target/draft decoder params; xk/xv and dxk/dxv their cross-KV for
+    this window."""
     token_beg = rc.token_beg
-    token_eot = rc.token_eot
-    delta_min = 10
     t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
                                           scalars[2], scalars[3])
+
+    step = functools.partial(
+        machine_step, token_beg=token_beg, token_eot=rc.token_eot,
+        seek=seek, seek_end=seek_end, n_max=n_max, max_tokens=max_tokens,
+        single_segment=single_segment, no_timestamps=no_timestamps)
 
     pad = gamma + 4  # verify may ingest up to gamma+1 past the final token
 
@@ -157,50 +136,14 @@ def decode_segment_speculative(
     del dlogits_all
 
     # ---- prologue: the first token comes straight from the prompt logits
-    rs0 = _RuleState(last_was_ts=jnp.bool_(False),
-                     penult_was_ts=jnp.bool_(True),
-                     has_ts=jnp.bool_(False),
-                     seek_delta=jnp.int32(CHUNK_FRAMES),
-                     result_len=jnp.int32(0))
-    st0 = _beam_state(rs0, token_beg, jnp.bool_(True))
+    ms0 = machine_init()
+    st0 = _beam_state(ms0, token_beg, jnp.bool_(True))
     tok0, p0, plog0, pt0, ptsum0, tid0 = _choose(
         rc, last_logits, base_mask, init_mask, st0)
     is_ts0 = tok0 >= token_beg
     tid0 = jnp.where(is_ts0, tok0, tid0)
     pt0 = jnp.where(is_ts0, p0, pt0)
-
-    def _machine(rs: _RuleState, tok, idx):
-        """Completion/failure decision for emitting `tok` at `idx`
-        (the remainder of whisper.cpp:7355-7459 beyond take_ts)."""
-        rs2 = _advance_rule_state(rs, tok, idx, token_beg)
-        gt_beg = tok > token_beg
-        sd_new = 2 * (tok - token_beg)
-        ts_fail = (gt_beg & rs.has_ts & (rs.seek_delta > sd_new)
-                   & (rs.result_len < idx))
-        end_hit = ((tok == token_eot)
-                   | ((max_tokens > 0) & (idx >= max_tokens))
-                   | (rs2.has_ts
-                      & (seek + rs2.seek_delta + delta_min >= seek_end)))
-        end_hit = end_hit & ~ts_fail
-        at_audio_end = seek + rs2.seek_delta + delta_min >= seek_end
-        rl_zero = (rs2.result_len == 0) & jnp.bool_(not no_timestamps)
-        end_fail = end_hit & rl_zero & ~at_audio_end
-        result_len = jnp.where(end_hit & rl_zero & at_audio_end, idx + 1,
-                               rs2.result_len)
-        end_ok = end_hit & ~end_fail
-        seek_delta = rs2.seek_delta
-        if single_segment or no_timestamps:
-            result_len = jnp.where(end_ok, idx + 1, result_len)
-            seek_delta = jnp.where(end_ok, CHUNK_FRAMES, seek_delta)
-        completed = end_ok
-        failed = ts_fail | end_fail
-        rep_fail = ((idx == n_max - 1) & ~completed & ~failed
-                    & ((result_len == 0) | (seek_delta < CHUNK_FRAMES // 2)))
-        failed = failed | rep_fail
-        return rs2._replace(result_len=result_len, seek_delta=seek_delta), \
-            completed, failed
-
-    rs1, completed0, failed0 = _machine(rs0, tok0, jnp.int32(0))
+    ms1, completed0, failed0 = step(ms0, tok0, jnp.int32(0))
 
     nb = lambda: jnp.zeros((n_max,), jnp.float32)
     carry = _Carry(
@@ -210,8 +153,9 @@ def decode_segment_speculative(
         p=nb().at[0].set(p0), plog=nb().at[0].set(plog0),
         pt=nb().at[0].set(pt0), ptsum=nb().at[0].set(ptsum0),
         tid=jnp.zeros((n_max,), jnp.int32).at[0].set(tid0),
-        sum_logprobs_all=plog0, rs=rs1,
-        completed=completed0, failed=failed0, n_accepted=jnp.int32(0))
+        sum_logprobs_all=plog0, ms=ms1,
+        completed=completed0, failed=failed0, n_accepted=jnp.int32(0),
+        n_rounds=jnp.int32(0))
 
     def cond(c: _Carry):
         return (~c.completed) & (~c.failed) & (c.i < n_max)
@@ -220,20 +164,20 @@ def decode_segment_speculative(
         # ---- draft proposal scan: gamma+1 single-token steps; the last
         # step only ingests g_{gamma-1} (its proposal is discarded) so the
         # draft cache always holds every proposed token ----
-        def dstep(dc, j):
-            dkv_k, dkv_v, head, tok_in, rs, idx = dc
+        def dstep(dc, _):
+            dkv_k, dkv_v, head, tok_in, ms, idx = dc
             lg, dkv_k, dkv_v, _ = M.decode_impl(
                 dcfg, ddec, tok_in[None, None], dkv_k, dkv_v, head,
                 dxk, dxv)
-            st = _beam_state(rs, token_beg, jnp.bool_(False))
+            st = _beam_state(ms, token_beg, jnp.bool_(False))
             g, _, _, _, _, _ = _choose(rc, lg[0, 0], base_mask, init_mask,
                                        st)
-            rs2 = _advance_rule_state(rs, g, idx, token_beg)
-            return (dkv_k, dkv_v, head + 1, g, rs2, idx + 1), g
+            ms2, _, _ = step(ms, g, idx)   # rule-input evolution only
+            return (dkv_k, dkv_v, head + 1, g, ms2, idx + 1), g
 
         (dkv_k, dkv_v, _, _, _, _), gs = jax.lax.scan(
-            dstep, (c.dkv_k, c.dkv_v, c.kv_head, c.last_tok, c.rs, c.i),
-            jnp.arange(gamma + 1))
+            dstep, (c.dkv_k, c.dkv_v, c.kv_head, c.last_tok, c.ms, c.i),
+            None, length=gamma + 1)
         gs = gs[:gamma]                             # proposals g_0..g_{γ-1}
 
         # ---- target verify: ONE (gamma+1)-token pass ----
@@ -244,11 +188,11 @@ def decode_segment_speculative(
 
         # ---- acceptance scan: slot j emits index c.i+j from V_j ----
         def aslot(ac, inp):
-            (active, rs, completed, failed, last_tok, n_emit, n_acc,
+            (active, ms, completed, failed, last_tok, n_emit, n_acc,
              bufs, sum_lp) = ac
             row, g, j = inp
             idx = c.i + j
-            st = _beam_state(rs, token_beg, jnp.bool_(False))
+            st = _beam_state(ms, token_beg, jnp.bool_(False))
             t, p, plog, pt, ptsum, tid = _choose(rc, row, base_mask,
                                                  init_mask, st)
             is_ts = t >= token_beg
@@ -260,12 +204,12 @@ def decode_segment_speculative(
             tokens_b, p_b, plog_b, pt_b, ptsum_b, tid_b = bufs
             bufs = (w(tokens_b, t), w(p_b, p), w(plog_b, plog),
                     w(pt_b, pt), w(ptsum_b, ptsum), w(tid_b, tid))
-            rs2, comp_j, fail_j = _machine(rs, t, idx)
+            ms2, comp_j, fail_j = step(ms, t, idx)
             match = (j < gamma) & (t == g)
             cont = emit & match & ~comp_j & ~fail_j & (idx + 1 < n_max)
             return ((cont,
-                     jax.tree.map(lambda a, b: jnp.where(emit, b, a), rs,
-                                  rs2),
+                     jax.tree.map(lambda a, b: jnp.where(emit, b, a), ms,
+                                  ms2),
                      completed | (emit & comp_j), failed | (emit & fail_j),
                      jnp.where(emit, t, last_tok),
                      n_emit + emit.astype(jnp.int32),
@@ -273,10 +217,10 @@ def decode_segment_speculative(
                      bufs, sum_lp + jnp.where(emit, plog, 0.0)), None)
 
         bufs0 = (c.tokens, c.p, c.plog, c.pt, c.ptsum, c.tid)
-        (_, rs, completed, failed, last_tok, n_emit, n_acc, bufs,
+        (_, ms, completed, failed, last_tok, n_emit, n_acc, bufs,
          sum_lp), _ = jax.lax.scan(
             aslot,
-            (jnp.bool_(True), c.rs, jnp.bool_(False), jnp.bool_(False),
+            (jnp.bool_(True), c.ms, jnp.bool_(False), jnp.bool_(False),
              c.last_tok, jnp.int32(0), jnp.int32(0), bufs0,
              c.sum_logprobs_all),
             (vrows, jnp.concatenate([gs, gs[-1:]]),
@@ -287,17 +231,18 @@ def decode_segment_speculative(
             kv_k=kv_k, kv_v=kv_v, dkv_k=dkv_k, dkv_v=dkv_v,
             kv_head=c.kv_head + n_emit, i=c.i + n_emit, last_tok=last_tok,
             tokens=tokens_b, p=p_b, plog=plog_b, pt=pt_b, ptsum=ptsum_b,
-            tid=tid_b, sum_logprobs_all=sum_lp, rs=rs,
+            tid=tid_b, sum_logprobs_all=sum_lp, ms=ms,
             completed=completed, failed=failed,
-            n_accepted=c.n_accepted + n_acc)
+            n_accepted=c.n_accepted + n_acc,
+            n_rounds=c.n_rounds + 1)
 
     c = jax.lax.while_loop(cond, body, carry)
 
     res = SegmentResult(
         tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,
-        tid=c.tid, n_tokens=c.i, result_len=c.rs.result_len,
-        seek_delta=c.rs.seek_delta, has_ts=c.rs.has_ts,
+        tid=c.tid, n_tokens=c.i, result_len=c.ms.result_len,
+        seek_delta=c.ms.seek_delta, has_ts=c.ms.has_ts,
         completed=c.completed, failed=c.failed,
         sum_logprobs_all=c.sum_logprobs_all,
         no_speech_prob=no_speech_prob)
-    return res, c.n_accepted
+    return res, c.n_accepted, c.n_rounds

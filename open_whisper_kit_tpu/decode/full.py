@@ -463,7 +463,17 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
 
     seek = seek_start
     dmel = None  # draft-model mel, computed lazily (speculative decoding)
-    speculating = p.speculative > 0 and ctx.draft is not None
+    # speculative only ever engages on the t=0 single-decoder greedy path
+    # with no host callbacks/grammar (_decode_window_host use_device_spec);
+    # don't pay the per-window draft encode (or lose the fused multi-window
+    # path) in configurations that can never take it
+    speculating = (p.speculative > 0 and ctx.draft is not None
+                   and p.use_device_loops and ctx.n_loaded > 0
+                   and p.strategy == SamplingStrategy.GREEDY
+                   and p.temperature <= 0
+                   and p.grammar_rules is None
+                   and p.abort_callback is None
+                   and p.logits_filter_callback is None)
 
     # fused multi-window device path: K windows per dispatch, host only for
     # temperature-fallback windows (decode/device_windows.py); the
@@ -493,7 +503,7 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
             xk = M.quantize_cross_kv(xk)
             xv = M.quantize_cross_kv(xv)
         dxkv = None
-        if p.speculative > 0 and ctx.draft is not None and ctx.n_loaded > 0:
+        if speculating:
             if dmel is None:
                 dmel = mel_mod.log_mel_spectrogram(
                     np.asarray(samples, np.float32), ctx.draft.filters)
@@ -816,7 +826,7 @@ def _device_speculative_window(ctx, p, rc, decoders, prompt, xk, xv, dxkv,
     scalars = jnp.asarray(np.array(
         [T_real, vocab.token_nosp, seek, seek_end], np.int32))
     dxk, dxv = dxkv
-    res_dev, n_acc = DS.decode_segment_speculative(
+    res_dev, n_acc, n_rounds = DS.decode_segment_speculative(
         cfg, ctx.draft.cfg, rc, ctx.params["decoder"],
         ctx.draft.params["decoder"], toks, xk, xv, dxk, dxv,
         base_mask, init_mask, scalars, n_max=n_max,
@@ -827,7 +837,8 @@ def _device_speculative_window(ctx, p, rc, decoders, prompt, xk, xv, dxkv,
     n_tok = r["n_tokens"]
     _fill_decoder(decoders[0], r, n_tok)
     timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
-    timings.n_decode += n_tok + 1
+    # target passes actually dispatched: prompt ingest + one verify/round
+    timings.n_decode += int(np.asarray(n_rounds)) + 1
     timings.n_sample += n_tok
     timings.n_spec_accepted += int(np.asarray(n_acc))
     return r["no_speech_prob"]

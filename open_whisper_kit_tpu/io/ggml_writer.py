@@ -120,15 +120,11 @@ TYPE_FOR_NAME = {
 def write_checkpoint(path: str | Path, hparams: WhisperHParams,
                      mel_filters: np.ndarray, tokens: list[bytes],
                      tensors: dict[str, np.ndarray],
-                     wtype: int = quant.GGML_TYPE_F16,
-                     wtype_overrides: dict[str, int] | None = None):
+                     wtype: int = quant.GGML_TYPE_F16):
     """Write a whisper ggml-bin. `tensors` maps reference names to float
     arrays in their torch shapes; 2-D (or larger) weights get `wtype`,
     everything else f32 (conv biases already reshaped (n,1) as the
-    reference converter does).  `wtype_overrides` pins specific tensors
-    to a given type regardless of the policy — e.g. keep the encoder
-    conv kernels F16 in an otherwise-F32 checkpoint, matching the ggml
-    CPU backend's im2col_f16 requirement (ggml-cpu/ops.cpp:6130)."""
+    reference converter does)."""
     path = Path(path)
     ftype = FTYPE_FOR_TYPE[wtype]
     with open(path, "wb") as f:
@@ -150,9 +146,7 @@ def write_checkpoint(path: str | Path, hparams: WhisperHParams,
         for name, data in tensors.items():
             data = np.asarray(data, np.float32)
             use = wtype
-            if wtype_overrides and name in wtype_overrides:
-                use = wtype_overrides[name]
-            elif (data.ndim < 2 or name.endswith(_NO_QUANT_SUFFIXES)
+            if (data.ndim < 2 or name.endswith(_NO_QUANT_SUFFIXES)
                     or name in _NO_QUANT_NAMES):
                 use = quant.GGML_TYPE_F32
             elif use not in (quant.GGML_TYPE_F32, quant.GGML_TYPE_F16):
