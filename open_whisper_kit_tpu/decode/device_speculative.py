@@ -98,13 +98,23 @@ def decode_segment_speculative(
         scalars: jnp.ndarray, *, n_max: int, gamma: int = 4,
         max_tokens: int = 0, single_segment: bool = False,
         no_timestamps: bool = False,
-        cache_dtype=jnp.bfloat16
+        cache_dtype=jnp.bfloat16, dmega=None
 ) -> tuple[SegmentResult, jnp.ndarray, jnp.ndarray]:
     """Speculative greedy decode of one window; returns
     (SegmentResult, n_accepted, n_rounds).  `scalars` packs (t_real,
     token_nosp, seek, seek_end) like decode_segment.  dec/ddec are the
     target/draft decoder params; xk/xv and dxk/dxv their cross-KV for
-    this window."""
+    this window.
+
+    `dmega` (ops.decode_megakernel.MegaParams or None): when set, the
+    draft's single-token proposal steps run through the megakernel (one
+    pallas_call per step, weights streamed once) instead of the XLA
+    decoder — the dominant dispatch count of a round is the gamma+1
+    draft steps, so this is where the kernel's weight-stream win lands.
+    The TARGET verify pass stays on XLA: its (gamma+1)-token shape
+    already amortizes the target weight stream.  Draft numerics CANNOT
+    change the transcript (every emitted token is the target's own
+    argmax); a quantized dmega only shifts the acceptance rate."""
     token_beg = rc.token_beg
     t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
                                           scalars[2], scalars[3])
@@ -134,6 +144,25 @@ def decode_segment_speculative(
         dcfg, ddec, prompt, dkv_k, dkv_v, jnp.int32(0), dxk, dxv,
         logits_pos=t_real - 1)
     del dlogits_all
+
+    if dmega is not None:
+        # megakernel draft: convert the head-major ingest cache ONCE per
+        # window to the kernel's natural (L, T, S) layout (16-aligned rows
+        # for Mosaic DMA slabs); the scan carry then stays in kernel
+        # layout end-to-end (reshapes inside the loop would break the
+        # pallas_call's donation aliasing)
+        from ..ops import decode_megakernel as MK
+        dS = dcfg.n_text_state
+        d_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
+            dcfg.n_text_layer, a.shape[3], dS).astype(jnp.bfloat16)
+        dkv_k, dkv_v = d_nat(dkv_k), d_nat(dkv_v)
+        rows = dkv_k.shape[1]
+        rows16 = -(-rows // 16) * 16
+        if rows16 != rows:
+            pr = ((0, 0), (0, rows16 - rows), (0, 0))
+            dkv_k, dkv_v = jnp.pad(dkv_k, pr), jnp.pad(dkv_v, pr)
+        dxk_n, dxv_n = d_nat(dxk), d_nat(dxv)
+        mega_interpret = jax.devices()[0].platform == "cpu"
 
     # ---- prologue: the first token comes straight from the prompt logits
     ms0 = machine_init()
@@ -166,11 +195,20 @@ def decode_segment_speculative(
         # draft cache always holds every proposed token ----
         def dstep(dc, _):
             dkv_k, dkv_v, head, tok_in, ms, idx = dc
-            lg, dkv_k, dkv_v, _ = M.decode_impl(
-                dcfg, ddec, tok_in[None, None], dkv_k, dkv_v, head,
-                dxk, dxv)
+            if dmega is not None:
+                x0 = (ddec["te"][tok_in[None]]
+                      + ddec["pe"][head][None, :]).astype(jnp.bfloat16)
+                row, dkv_k, dkv_v = MK.mega_decode_step(
+                    dcfg, dmega, x0, dkv_k, dkv_v, head, dxk_n, dxv_n,
+                    interpret=mega_interpret)
+                lg_row = row[0]
+            else:
+                lg, dkv_k, dkv_v, _ = M.decode_impl(
+                    dcfg, ddec, tok_in[None, None], dkv_k, dkv_v, head,
+                    dxk, dxv)
+                lg_row = lg[0, 0]
             st = _beam_state(ms, token_beg, jnp.bool_(False))
-            g, _, _, _, _, _ = _choose(rc, lg[0, 0], base_mask, init_mask,
+            g, _, _, _, _, _ = _choose(rc, lg_row, base_mask, init_mask,
                                        st)
             ms2, _, _ = step(ms, g, idx)   # rule-input evolution only
             return (dkv_k, dkv_v, head + 1, g, ms2, idx + 1), g

@@ -148,10 +148,13 @@ class WhisperContext:
 
     _MEGA_WEIGHTS = ("qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w")
 
-    def mega_params(self, p: FullParams):
+    def mega_params(self, p: FullParams, draft: bool = False):
         """MegaParams for the single-kernel per-token decoder
         (ops/decode_megakernel), or None when the configuration is not
-        eligible. Mode policy (measured, docs/PERFORMANCE.md):
+        eligible. `draft=True` resolves params for THIS context acting as
+        the draft model in the speculative loop — the draft's cross-KV is
+        never int8-packed, so `cross_kv_int8` does not exclude it.
+        Mode policy (measured, docs/PERFORMANCE.md):
 
         * megakernel=None (auto): ON with quant="all" when every decoder
           matmul weight is already an int8 QuantLinear plane (quantized
@@ -182,7 +185,7 @@ class WhisperContext:
         blocks = dec["blocks"]
         structural = (
             self.dtype == jnp.bfloat16
-            and not p.cross_kv_int8
+            and (draft or not p.cross_kv_int8)
             and "qkv_w" in blocks
             and cfg.n_text_state % 128 == 0)
         # n_text_layer > 8 runs the GROUPED kernel chain (<=8 fully-
@@ -832,7 +835,7 @@ def _device_speculative_window(ctx, p, rc, decoders, prompt, xk, xv, dxkv,
         base_mask, init_mask, scalars, n_max=n_max,
         gamma=int(p.speculative), max_tokens=p.max_tokens,
         single_segment=p.single_segment, no_timestamps=no_timestamps,
-        cache_dtype=ctx.dtype)
+        cache_dtype=ctx.dtype, dmega=ctx.draft.mega_params(p, draft=True))
     r = DL.unpack_segment_result(DL.pack_segment_result(res_dev), n_max)
     n_tok = r["n_tokens"]
     _fill_decoder(decoders[0], r, n_tok)

@@ -67,6 +67,43 @@ def test_speculative_equals_greedy_mismatched_draft(target_ctx):
     ctx.draft = None
 
 
+def test_speculative_mega_draft_equals_greedy(target_ctx):
+    """Megakernel draft steps (interpret mode on CPU, int8 planes):
+    the draft's numerics CANNOT change the transcript — every emitted
+    token is the target's own rule-filtered argmax — so output must
+    equal plain greedy even though the int8 draft proposes different
+    tokens than its f32 XLA counterpart would."""
+    from open_whisper_kit_tpu.ops.decode_megakernel import prepare_mega
+    ctx = target_ctx
+    draft = F.WhisperContext.from_preset("tiny.en", seed=1,
+                                         dtype=jnp.float32)
+    ctx.set_draft(draft)
+    dmega = prepare_mega(draft.cfg, draft.params["decoder"], quant="all")
+    draft.mega_params = lambda p, draft=False: dmega   # force-eligible
+    rng = np.random.default_rng(11)
+    samples = (0.1 * rng.standard_normal(16000 * 6)).astype(np.float32)
+    try:
+        r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False), samples)
+        r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False,
+                                            speculative=3), samples)
+    finally:
+        ctx.draft = None
+    assert _segs(r0) == _segs(r1)
+
+
+def test_draft_mega_params_ignores_cross_kv_int8(target_ctx):
+    """mega_params(draft=True): the draft's cross-KV is never int8-packed,
+    so cross_kv_int8 must not disqualify the draft megakernel (it DOES
+    disqualify the target's)."""
+    ctx = F.WhisperContext.from_preset("tiny.en", seed=0,
+                                       dtype=jnp.bfloat16)
+    p = FullParams(megakernel="int8", cross_kv_int8=True)
+    assert ctx.mega_params(p) is None
+    assert ctx.mega_params(p, draft=True) is not None
+
+
 def test_speculative_without_draft_falls_back(target_ctx):
     """speculative>0 with no draft attached: plain greedy path, same
     output as speculative=0."""
