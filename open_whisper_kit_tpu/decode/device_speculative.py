@@ -98,7 +98,7 @@ def decode_segment_speculative(
         scalars: jnp.ndarray, *, n_max: int, gamma: int = 4,
         max_tokens: int = 0, single_segment: bool = False,
         no_timestamps: bool = False,
-        cache_dtype=jnp.bfloat16, dmega=None
+        cache_dtype=jnp.bfloat16, dmega=None, tmega=None
 ) -> tuple[SegmentResult, jnp.ndarray, jnp.ndarray]:
     """Speculative greedy decode of one window; returns
     (SegmentResult, n_accepted, n_rounds).  `scalars` packs (t_real,
@@ -111,10 +111,19 @@ def decode_segment_speculative(
     pallas_call per step, weights streamed once) instead of the XLA
     decoder — the dominant dispatch count of a round is the gamma+1
     draft steps, so this is where the kernel's weight-stream win lands.
-    The TARGET verify pass stays on XLA: its (gamma+1)-token shape
-    already amortizes the target weight stream.  Draft numerics CANNOT
-    change the transcript (every emitted token is the target's own
-    argmax); a quantized dmega only shifts the acceptance rate."""
+    Draft numerics CANNOT change the transcript (every emitted token is
+    the target's own argmax); a quantized dmega only shifts the
+    acceptance rate.
+
+    `tmega` (MegaParams or None): when set, the TARGET's (gamma+1)-token
+    verify pass also runs through the megakernel — the gamma+1 rows ride
+    the M=8 sublane rows with per-row causal masking, so each row's math
+    is BIT-IDENTICAL to the single-token kernel at that position (the
+    fused greedy loop's step): verify logits match mega greedy exactly,
+    a stronger guarantee than the XLA T=1-vs-T=gamma+1 tie envelope.
+    Without tmega the verify stays on XLA, whose (gamma+1)-token shape
+    already amortizes the target weight stream.  Requires
+    gamma + 1 <= 8 (the caller gates)."""
     token_beg = rc.token_beg
     t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
                                           scalars[2], scalars[3])
@@ -145,24 +154,29 @@ def decode_segment_speculative(
         logits_pos=t_real - 1)
     del dlogits_all
 
-    if dmega is not None:
-        # megakernel draft: convert the head-major ingest cache ONCE per
-        # window to the kernel's natural (L, T, S) layout (16-aligned rows
-        # for Mosaic DMA slabs); the scan carry then stays in kernel
-        # layout end-to-end (reshapes inside the loop would break the
-        # pallas_call's donation aliasing)
-        from ..ops import decode_megakernel as MK
-        dS = dcfg.n_text_state
-        d_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
-            dcfg.n_text_layer, a.shape[3], dS).astype(jnp.bfloat16)
-        dkv_k, dkv_v = d_nat(dkv_k), d_nat(dkv_v)
-        rows = dkv_k.shape[1]
+    def _nat16(c, a):
+        """Head-major (L, 1, H, T, Dh) -> the kernel's natural (L, T16, S)
+        bf16 layout, rows 16-aligned for Mosaic DMA slabs. Conversion
+        happens ONCE per window, outside the loop: the carries then stay
+        in kernel layout end-to-end (reshapes inside the loop would
+        break the pallas_call's donation aliasing)."""
+        a = jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
+            c.n_text_layer, a.shape[3], c.n_text_state).astype(jnp.bfloat16)
+        rows = a.shape[1]
         rows16 = -(-rows // 16) * 16
         if rows16 != rows:
-            pr = ((0, 0), (0, rows16 - rows), (0, 0))
-            dkv_k, dkv_v = jnp.pad(dkv_k, pr), jnp.pad(dkv_v, pr)
-        dxk_n, dxv_n = d_nat(dxk), d_nat(dxv)
+            a = jnp.pad(a, ((0, 0), (0, rows16 - rows), (0, 0)))
+        return a
+
+    if dmega is not None or tmega is not None:
+        from ..ops import decode_megakernel as MK
         mega_interpret = jax.devices()[0].platform == "cpu"
+    if dmega is not None:
+        dkv_k, dkv_v = _nat16(dcfg, dkv_k), _nat16(dcfg, dkv_v)
+        dxk_n, dxv_n = _nat16(dcfg, dxk), _nat16(dcfg, dxv)
+    if tmega is not None:
+        kv_k, kv_v = _nat16(cfg, kv_k), _nat16(cfg, kv_v)
+        xk_n, xv_n = _nat16(cfg, xk), _nat16(cfg, xv)
 
     # ---- prologue: the first token comes straight from the prompt logits
     ms0 = machine_init()
@@ -219,10 +233,18 @@ def decode_segment_speculative(
         gs = gs[:gamma]                             # proposals g_0..g_{γ-1}
 
         # ---- target verify: ONE (gamma+1)-token pass ----
-        vtoks = jnp.concatenate([c.last_tok[None], gs])[None]   # (1, γ+1)
-        vlogits, kv_k, kv_v, _ = M.decode_impl(
-            cfg, dec, vtoks, c.kv_k, c.kv_v, c.kv_head, xk, xv)
-        vrows = vlogits[0]                          # (γ+1, V) f32
+        vseq = jnp.concatenate([c.last_tok[None], gs])          # (γ+1,)
+        if tmega is not None:
+            x0 = (dec["te"][vseq]
+                  + dec["pe"][c.kv_head + jnp.arange(gamma + 1)]
+                  ).astype(jnp.bfloat16)                        # (γ+1, S)
+            vrows, kv_k, kv_v = MK.mega_decode_step(
+                cfg, tmega, x0, c.kv_k, c.kv_v, c.kv_head, xk_n, xv_n,
+                interpret=mega_interpret)                       # (γ+1, V)
+        else:
+            vlogits, kv_k, kv_v, _ = M.decode_impl(
+                cfg, dec, vseq[None], c.kv_k, c.kv_v, c.kv_head, xk, xv)
+            vrows = vlogits[0]                      # (γ+1, V) f32
 
         # ---- acceptance scan: slot j emits index c.i+j from V_j ----
         def aslot(ac, inp):

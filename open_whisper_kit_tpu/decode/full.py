@@ -829,13 +829,19 @@ def _device_speculative_window(ctx, p, rc, decoders, prompt, xk, xv, dxkv,
     scalars = jnp.asarray(np.array(
         [T_real, vocab.token_nosp, seek, seek_end], np.int32))
     dxk, dxv = dxkv
+    gamma = int(p.speculative)
+    # mega verify rides the M=8 sublane rows: gamma+1 <= 8 only; raw
+    # (non-QuantKV) cross required, same gate as the greedy mega path
+    tmega = (ctx.mega_params(p)
+             if gamma + 1 <= 8 and not isinstance(xk, M.QuantKV) else None)
     res_dev, n_acc, n_rounds = DS.decode_segment_speculative(
         cfg, ctx.draft.cfg, rc, ctx.params["decoder"],
         ctx.draft.params["decoder"], toks, xk, xv, dxk, dxv,
         base_mask, init_mask, scalars, n_max=n_max,
-        gamma=int(p.speculative), max_tokens=p.max_tokens,
+        gamma=gamma, max_tokens=p.max_tokens,
         single_segment=p.single_segment, no_timestamps=no_timestamps,
-        cache_dtype=ctx.dtype, dmega=ctx.draft.mega_params(p, draft=True))
+        cache_dtype=ctx.dtype, dmega=ctx.draft.mega_params(p, draft=True),
+        tmega=tmega)
     r = DL.unpack_segment_result(DL.pack_segment_result(res_dev), n_max)
     n_tok = r["n_tokens"]
     _fill_decoder(decoders[0], r, n_tok)

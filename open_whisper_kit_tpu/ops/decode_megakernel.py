@@ -315,7 +315,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                  attend_pv_t: bool = False, tac: int = 128,
                  self_blocked: bool = True,
                  layer_range: tuple[int, int] | None = None,
-                 with_logits: bool = True):
+                 with_logits: bool = True, n_tokens: int = 1):
     """Build the kernel body. Static dims: L layers, S model width, H heads
     of dh=S/H, Ta cross length (16-aligned), Tc self-cache capacity, Vp
     padded vocab; qmap: field name -> None | "int8" | "int4" (plane kind).
@@ -338,6 +338,16 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     pads). This is the whisper_full_parallel serving analog: one weight
     stream feeds B streams (decode/batch.py wires it).
 
+    n_tokens > 1 (VERIFY mode, the speculative decoder's multi-token
+    target pass): rows 0..n_tokens-1 are CONSECUTIVE positions
+    head..head+n_tokens-1 of ONE stream (B == 1), riding the same M=8
+    sublane rows the beam mode uses for alternatives. All n_tokens new
+    K/V rows are patched into the cache before the self-attend, and the
+    attend's valid-column mask becomes per-row causal (row r sees
+    head+1+r columns) — each row's math is then IDENTICAL to the
+    single-token kernel's at that position, so verify logits are
+    bit-equal to n_tokens sequential mega_decode_step calls.
+
     layer_range (lo, hi) + with_logits (GROUPED mode, models with
     n_text_layer > 8): the kernel runs only layers [lo, hi) of the FULL
     stacked weight/cache operands (no slicing — layer indexing is static
@@ -359,6 +369,8 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     M = 8                                    # sublane-padded token rows
     B = n_beams
     assert 1 <= B <= M
+    R = n_tokens
+    assert 1 <= R <= M and (R == 1 or B == 1)
     kqscale = float(dh) ** -0.25
     NB = 3                                   # tile buffer slots
     LOOKAHEAD = 2                            # tiles in flight ahead of use
@@ -407,10 +419,13 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
     }
     dims = dict(M=M, NB=NB, Tcp=Tcp, Tap=Tap, pools=pools, B=B, TAC=TAC)
 
-    def attend(q16, kbuf, vbuf, n_valid, scale):
+    def attend(q16, kbuf, vbuf, n_valid, scale, causal=False):
         """Packed-slice attention: q16 (M, S) bf16, kbuf/vbuf (Tpad, S)
-        natural layout; returns (M, S) bf16. Head slices contract 64-wide
-        directly (ops/attention._packed_kernel trick: no transposes).
+        natural layout; returns (M, S) bf16. `causal` (verify mode,
+        R > 1): row r's valid width grows to n_valid + r — the rows are
+        consecutive positions, not alternatives. Head slices contract
+        64-wide directly (ops/attention._packed_kernel trick: no
+        transposes).
         PV runs transposed (V^T p^T -> (dh, M); long dim contracts at
         dh-row MXU utilization instead of M=8 — see attend_beams) with
         one (S, M) -> (M, S) relayout in the epilogue; attend_pv_t=False
@@ -424,7 +439,13 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 qa, ka, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale      # (M, Tpad)
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_valid, s, NEG_INF)
+            if R > 1 and causal:
+                # verify rows: row r is position head+r, sees r extra cols
+                rowi = jnp.minimum(
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), R - 1)
+                s = jnp.where(col < n_valid + rowi, s, NEG_INF)
+            else:
+                s = jnp.where(col < n_valid, s, NEG_INF)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(jnp.bfloat16)
@@ -779,7 +800,7 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
             # the HBM cache - 20 KB/layer instead of a cache copy
             blk0 = pl.multiple_of((head // 8) * 8, 8)
             rsel = jax.lax.broadcasted_iota(jnp.int32, (8, S), 0) == head - blk0
-            if B == 1:
+            if B == 1 and R == 1:
                 kbuf[pl.ds(blk0, 8), :] = jnp.where(
                     rsel, k[0:1, :], kbuf[pl.ds(blk0, 8), :])
                 vbuf[pl.ds(blk0, 8), :] = jnp.where(
@@ -790,6 +811,29 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 wv = [pltpu.make_async_copy(vbuf.at[pl.ds(blk0, 8), :],
                                             okvv_ref.at[il, pl.ds(blk0, 8), :],
                                             wrsem.at[1, 0])]
+            elif B == 1:
+                # verify rows: positions head..head+R-1 always fit a
+                # 16-row aligned window (R <= 8); one RMW + one
+                # write-back, same pattern as the beam branch below
+                wstart = pl.multiple_of(jnp.minimum(
+                    (head // 8) * 8, Tc - 16), 8)
+                off = head - wstart                      # in [0, 16 - R]
+                rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, S), 0)
+                kw = kbuf[pl.ds(wstart, 16), :]
+                vw = vbuf[pl.ds(wstart, 16), :]
+                for r in range(R):
+                    kw = jnp.where(rows16 == off + r, k[r:r + 1, :], kw)
+                    vw = jnp.where(rows16 == off + r, v[r:r + 1, :], vw)
+                kbuf[pl.ds(wstart, 16), :] = kw
+                vbuf[pl.ds(wstart, 16), :] = vw
+                wk = [pltpu.make_async_copy(
+                    kbuf.at[pl.ds(wstart, 16), :],
+                    okvk_ref.at[il, pl.ds(wstart, 16), :],
+                    wrsem.at[0, 0])]
+                wv = [pltpu.make_async_copy(
+                    vbuf.at[pl.ds(wstart, 16), :],
+                    okvv_ref.at[il, pl.ds(wstart, 16), :],
+                    wrsem.at[1, 0])]
             else:
                 # row-flat time-major: every slot's new K/V row lives in
                 # B CONSECUTIVE rows starting at head*B — one aligned
@@ -819,7 +863,8 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
                 d.start()
 
             if B == 1:
-                a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0)
+                a16 = attend(q, kbuf[:], vbuf[:], head + 1, 1.0,
+                             causal=R > 1)
             else:
                 # blocked online softmax over valid time blocks only
                 nblk = (head + BT) // BT     # ceil((head+1)/BT)
@@ -944,17 +989,22 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
                      xk: jnp.ndarray, xv: jnp.ndarray,
                      interpret: bool = False, tile_boost: bool = True,
                      attend_pv_t: bool = False):
-    """One greedy decode step for ONE token (B=1).
+    """One decode step for R = x0.shape[0] consecutive tokens (B=1).
 
-    x0: (1, S) bf16 token embedding + positional embedding row.
+    x0: (R, S) bf16 token + positional embedding rows for positions
+    kv_head..kv_head+R-1 (R == 1: the plain greedy step; R in [2, 8]:
+    the speculative VERIFY pass — one weight stream scores all R
+    positions, with per-row causal masking making each row's math
+    identical to R sequential single-token calls).
     kv_k/kv_v: (L, Tc, S) bf16 natural-layout self-KV cache (donated).
     xk/xv: (L, Ta, S) bf16 natural-layout cross KV (xk pre-scaled d**-0.25).
-    Returns (logits (1, V) f32, kv_k, kv_v) with the new K/V rows written
-    at row kv_head of each layer's cache.
+    Returns (logits (R, V) f32, kv_k, kv_v) with the R new K/V rows
+    written at rows kv_head..kv_head+R-1 of each layer's cache.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    R = x0.shape[0]
     S = cfg.n_text_state
     L = cfg.n_text_layer
     Tc = kv_k.shape[1]
@@ -988,7 +1038,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
                                     tile_boost=tile_boost,
                                     attend_pv_t=attend_pv_t,
                                     layer_range=layer_range,
-                                    with_logits=with_logits)
+                                    with_logits=with_logits, n_tokens=R)
         M = dims["M"]
         NB = dims["NB"]
         head2d = jnp.reshape(kv_head.astype(jnp.int32), (1, 1))
@@ -1060,7 +1110,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
             interpret=interpret,
         )(*operands)
 
-    out = jnp.zeros((8, S), jnp.bfloat16).at[0:1].set(x0.astype(jnp.bfloat16))
+    out = jnp.zeros((8, S), jnp.bfloat16).at[0:R].set(x0.astype(jnp.bfloat16))
     if L <= MEGA_GROUP:
         out, kv_k, kv_v = call_group(out, kv_k, kv_v, None, True)
     else:
@@ -1070,7 +1120,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
         for lo in range(0, L, MEGA_GROUP):
             hi = min(lo + MEGA_GROUP, L)
             out, kv_k, kv_v = call_group(out, kv_k, kv_v, (lo, hi), hi == L)
-    return out[0:1, :V], kv_k, kv_v
+    return out[0:R, :V], kv_k, kv_v
 
 
 @functools.partial(jax.jit,

@@ -727,3 +727,53 @@ def test_megakernel_grouped_batch_matches_decode_impl():
             top2 = np.partition(r[b], -2)[-2:]
             if (top2[1] - top2[0]) / scale > 1e-2:
                 assert int(np.argmax(g[b])) == int(np.argmax(r[b])), (i, b)
+
+
+def _verify_vs_sequential(quant, head0, R, seed=3):
+    """R-row verify call == R sequential single-token calls, BITWISE:
+    per-row causal masking makes row r's math identical to the
+    single-token kernel at position head0+r (the speculative verify
+    contract, decode/device_speculative.py)."""
+    rng = np.random.default_rng(seed)
+    params = M.init_params(CFG, seed=seed, dtype=jnp.bfloat16)
+    dec = M.prepare_decoder(params["decoder"])
+    mp = MK.prepare_mega(CFG, dec, quant=quant)
+    enc_out = jnp.asarray(
+        rng.standard_normal((1, CFG.n_audio_ctx, CFG.n_audio_state)),
+        jnp.bfloat16)
+    xk, xv = M.cross_kv(CFG, dec, enc_out)
+    xk_nat, xv_nat = _hm_to_nat(xk), _hm_to_nat(xv)
+    L, S, Tc = CFG.n_text_layer, CFG.n_text_state, CFG.n_text_ctx
+    toks = jnp.asarray(rng.integers(0, CFG.n_vocab, R), jnp.int32)
+    hist = jnp.asarray(rng.standard_normal((L, head0, S)), jnp.bfloat16)
+    base_k = jnp.zeros((L, Tc, S), jnp.bfloat16).at[:, :head0].set(hist)
+    base_v = jnp.zeros((L, Tc, S), jnp.bfloat16).at[:, :head0].set(hist * .5)
+
+    nk, nv = jnp.copy(base_k), jnp.copy(base_v)
+    seq_rows = []
+    for r in range(R):
+        x0 = (dec["te"][toks[r]][None]
+              + dec["pe"][head0 + r][None]).astype(jnp.bfloat16)
+        lg, nk, nv = MK.mega_decode_step(CFG, mp, x0, nk, nv,
+                                         jnp.int32(head0 + r),
+                                         xk_nat, xv_nat, interpret=True)
+        seq_rows.append(lg[0])
+    seq = jnp.stack(seq_rows)
+
+    x0r = (dec["te"][toks]
+           + dec["pe"][head0 + jnp.arange(R)]).astype(jnp.bfloat16)
+    ver, vk, vv = MK.mega_decode_step(CFG, mp, x0r, base_k, base_v,
+                                      jnp.int32(head0), xk_nat, xv_nat,
+                                      interpret=True)
+    assert jnp.array_equal(seq, ver), "verify logits != sequential"
+    assert jnp.array_equal(nk, vk) and jnp.array_equal(nv, vv), \
+        "verify cache != sequential"
+
+
+def test_megakernel_verify_rows_match_sequential():
+    _verify_vs_sequential("none", head0=9, R=5)
+
+
+def test_megakernel_verify_int8_clamp_edge():
+    # head0 = Tc - R puts the 16-row RMW window at its Tc-16 clamp
+    _verify_vs_sequential("all", head0=CFG.n_text_ctx - 8, R=8)

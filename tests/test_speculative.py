@@ -93,6 +93,29 @@ def test_speculative_mega_draft_equals_greedy(target_ctx):
     assert _segs(r0) == _segs(r1)
 
 
+def test_speculative_mega_verify_equals_mega_greedy():
+    """Full megakernel speculative pipeline (bf16 contexts,
+    megakernel='int8' through the REAL policy): the verify kernel's
+    per-row causal masking makes each row bit-identical to the greedy
+    loop's single-token kernel, so transcripts must equal the mega
+    greedy baseline exactly — even in bf16, where the XLA
+    T=1-vs-T=gamma+1 comparison would be tie-prone."""
+    ctx = F.WhisperContext.from_preset("tiny.en", seed=0,
+                                       dtype=jnp.bfloat16)
+    ctx.set_draft(F.WhisperContext.from_preset("tiny.en", seed=1,
+                                               dtype=jnp.bfloat16))
+    rng = np.random.default_rng(9)
+    samples = (0.1 * rng.standard_normal(16000 * 6)).astype(np.float32)
+    r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False,
+                                        megakernel="int8"), samples)
+    r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                        print_progress=False,
+                                        megakernel="int8",
+                                        speculative=3), samples)
+    assert _segs(r0) == _segs(r1)
+
+
 def test_draft_mega_params_ignores_cross_kv_int8(target_ctx):
     """mega_params(draft=True): the draft's cross-KV is never int8-packed,
     so cross_kv_int8 must not disqualify the draft megakernel (it DOES

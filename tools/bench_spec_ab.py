@@ -89,6 +89,37 @@ def mega_loop(cfg, dec, xk, xv, quant):
     return (lambda: loop(mp, te, pe, xkn, xvn).block_until_ready()), K
 
 
+def mega_verify_loop(cfg, dec, xk, xv, quant, T):
+    """Sequential T-row megakernel verify passes (the speculative
+    target's shape with tmega), as many as fit the KV cache."""
+    L, S = cfg.n_text_layer, cfg.n_text_state
+    to_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(L, -1, S)
+    xkn, xvn = to_nat(xk), to_nat(xv)
+    mp = MK.prepare_mega(cfg, dec, quant=quant)
+    te, pe = dec["te"], dec["pe"]
+    steps = min(K, cfg.n_text_ctx // T - 1)
+
+    @jax.jit
+    def loop(mp, te, pe, xkn, xvn):
+        nk = jnp.zeros((L, cfg.n_text_ctx, S), jnp.bfloat16)
+        nv = jnp.zeros((L, cfg.n_text_ctx, S), jnp.bfloat16)
+
+        def body(carry, i):
+            tok, nk, nv = carry
+            pos = i * T + jnp.arange(T)
+            x0 = (te[jnp.broadcast_to(tok, (T,))] + pe[pos]).astype(
+                jnp.bfloat16)
+            logits, nk, nv = MK.mega_decode_step(cfg, mp, x0, nk, nv,
+                                                 i * T, xkn, xvn)
+            return (jnp.argmax(logits[-1]).astype(jnp.int32), nk, nv), ()
+
+        (tok, _, _), _ = jax.lax.scan(body, (jnp.int32(0), nk, nv),
+                                      jnp.arange(steps))
+        return tok
+
+    return (lambda: loop(mp, te, pe, xkn, xvn).block_until_ready()), steps
+
+
 def xla_loop(cfg, dec, xk, xv, T=1):
     """Sequential T-token decode_impl passes (T=1: draft step shape;
     T=gamma+1: the verify-pass shape), as many as fit the KV cache."""
@@ -118,26 +149,27 @@ def main():
     dcfg, ddec, dxk, dxv = _setup(DRAFT)
 
     t_target = _time(mega_loop(tcfg, tdec, txk, txv, "int4"))
-    t_verify = _time(xla_loop(tcfg, tdec, txk, txv, T=GAMMA + 1))
+    t_verify_xla = _time(xla_loop(tcfg, tdec, txk, txv, T=GAMMA + 1))
+    t_verify_mega = _time(mega_verify_loop(tcfg, tdec, txk, txv, "int4",
+                                           T=GAMMA + 1))
     t_draft_xla = _time(xla_loop(dcfg, ddec, dxk, dxv, T=1))
     t_draft_mega = _time(mega_loop(dcfg, ddec, dxk, dxv, "all"))
 
-    print(f"t_target  (turbo int4 mega step) : {t_target:8.3f} ms/token")
-    print(f"t_verify  (turbo {GAMMA + 1}-token XLA)   : {t_verify:8.3f} ms/pass")
-    print(f"t_draft   (tiny XLA step)        : {t_draft_xla:8.3f} ms/token")
-    print(f"t_draft   (tiny int8 mega step)  : {t_draft_mega:8.3f} ms/token")
+    print(f"t_target  (turbo int4 mega step)      : {t_target:8.3f} ms/token")
+    print(f"t_verify  (turbo {GAMMA + 1}-token XLA)        : {t_verify_xla:8.3f} ms/pass")
+    print(f"t_verify  (turbo {GAMMA + 1}-row int4 mega)    : {t_verify_mega:8.3f} ms/pass")
+    print(f"t_draft   (tiny XLA step)             : {t_draft_xla:8.3f} ms/token")
+    print(f"t_draft   (tiny int8 mega step)       : {t_draft_mega:8.3f} ms/token")
 
     print("\nmodeled speculative ms/token (round = (g+1)*draft + verify):")
-    print("accept  draft=XLA  draft=mega   vs plain int4 mega")
+    print("accept   XLA/XLA  mega/XLA  mega/mega   vs plain int4 mega")
     for a in (0.5, 0.7, 0.8, 0.9, 1.0):
         emitted = sum(a ** j for j in range(GAMMA)) + a ** GAMMA
-        for name, td in (("XLA ", t_draft_xla), ("mega", t_draft_mega)):
-            cost = ((GAMMA + 1) * td + t_verify) / emitted
-            if name == "XLA ":
-                row = f"{a:5.2f}  {cost:9.3f}"
-            else:
-                row += f"  {cost:9.3f}   x{t_target / cost:4.2f}"
-        print(row)
+        combos = ((t_draft_xla, t_verify_xla), (t_draft_mega, t_verify_xla),
+                  (t_draft_mega, t_verify_mega))
+        costs = [((GAMMA + 1) * td + tv) / emitted for td, tv in combos]
+        print(f"{a:5.2f}  {costs[0]:9.3f} {costs[1]:9.3f} {costs[2]:10.3f}"
+              f"   x{t_target / costs[2]:4.2f}")
 
 
 if __name__ == "__main__":
