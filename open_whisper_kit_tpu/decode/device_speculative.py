@@ -86,25 +86,24 @@ def _choose(rc, logits_row, base_mask, init_mask, st):
     return tok[0], p[0], plog[0], pt[0], ptsum[0], tid[0]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "dcfg", "rc", "n_max", "gamma", "max_tokens",
-                     "single_segment", "no_timestamps", "cache_dtype"))
-def decode_segment_speculative(
+def speculative_core(
         cfg: M.WhisperConfig, dcfg: M.WhisperConfig, rc: LR.RuleConfig,
         dec: M.Params, ddec: M.Params, prompt: jnp.ndarray,
         xk, xv, dxk, dxv,
         base_mask: jnp.ndarray, init_mask: jnp.ndarray,
-        scalars: jnp.ndarray, *, n_max: int, gamma: int = 4,
+        t_real, token_nosp, seek, seek_end, *, n_max: int, gamma: int = 4,
         max_tokens: int = 0, single_segment: bool = False,
         no_timestamps: bool = False,
         cache_dtype=jnp.bfloat16, dmega=None, tmega=None
-) -> tuple[SegmentResult, jnp.ndarray, jnp.ndarray]:
-    """Speculative greedy decode of one window; returns
-    (SegmentResult, n_accepted, n_rounds).  `scalars` packs (t_real,
-    token_nosp, seek, seek_end) like decode_segment.  dec/ddec are the
-    target/draft decoder params; xk/xv and dxk/dxv their cross-KV for
-    this window.
+) -> tuple["_Carry", jnp.ndarray]:
+    """Traceable speculative greedy decode of one window; returns
+    (final _Carry, no_speech_prob).  Shared by the one-window
+    `decode_segment_speculative` jit below and the K-windows loop in
+    decode/device_windows.py (segment_core's speculative sibling).
+    dec/ddec are the target/draft decoder params; xk/xv and dxk/dxv
+    their cross-KV for this window.  Both models' KV caches are
+    allocated IN-TRACE (fresh per window; the greedy decode_segment's
+    donation lesson).
 
     `dmega` (ops.decode_megakernel.MegaParams or None): when set, the
     draft's single-token proposal steps run through the megakernel (one
@@ -125,8 +124,6 @@ def decode_segment_speculative(
     already amortizes the target weight stream.  Requires
     gamma + 1 <= 8 (the caller gates)."""
     token_beg = rc.token_beg
-    t_real, token_nosp, seek, seek_end = (scalars[0], scalars[1],
-                                          scalars[2], scalars[3])
 
     step = functools.partial(
         machine_step, token_beg=token_beg, token_eot=rc.token_eot,
@@ -297,6 +294,33 @@ def decode_segment_speculative(
             n_rounds=c.n_rounds + 1)
 
     c = jax.lax.while_loop(cond, body, carry)
+    return c, no_speech_prob
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dcfg", "rc", "n_max", "gamma", "max_tokens",
+                     "single_segment", "no_timestamps", "cache_dtype"))
+def decode_segment_speculative(
+        cfg: M.WhisperConfig, dcfg: M.WhisperConfig, rc: LR.RuleConfig,
+        dec: M.Params, ddec: M.Params, prompt: jnp.ndarray,
+        xk, xv, dxk, dxv,
+        base_mask: jnp.ndarray, init_mask: jnp.ndarray,
+        scalars: jnp.ndarray, *, n_max: int, gamma: int = 4,
+        max_tokens: int = 0, single_segment: bool = False,
+        no_timestamps: bool = False,
+        cache_dtype=jnp.bfloat16, dmega=None, tmega=None
+) -> tuple[SegmentResult, jnp.ndarray, jnp.ndarray]:
+    """Speculative greedy decode of one window; returns
+    (SegmentResult, n_accepted, n_rounds).  `scalars` packs (t_real,
+    token_nosp, seek, seek_end) like decode_segment.  See
+    speculative_core for the algorithm and the dmega/tmega knobs."""
+    c, no_speech_prob = speculative_core(
+        cfg, dcfg, rc, dec, ddec, prompt, xk, xv, dxk, dxv,
+        base_mask, init_mask, scalars[0], scalars[1], scalars[2],
+        scalars[3], n_max=n_max, gamma=gamma, max_tokens=max_tokens,
+        single_segment=single_segment, no_timestamps=no_timestamps,
+        cache_dtype=cache_dtype, dmega=dmega, tmega=tmega)
 
     res = SegmentResult(
         tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,

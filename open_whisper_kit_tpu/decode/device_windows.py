@@ -34,6 +34,23 @@ from .device_loop import CHUNK_FRAMES, segment_core
 DELTA_MIN = 10  # 100 ms in 10 ms frames
 
 
+class _SegView(NamedTuple):
+    """The segment fields the window loop consumes, normalized across
+    segment_core's carry (greedy) and speculative_core's (draft+verify)."""
+    tokens: jnp.ndarray
+    p: jnp.ndarray
+    plog: jnp.ndarray
+    pt: jnp.ndarray
+    ptsum: jnp.ndarray
+    tid: jnp.ndarray
+    i: jnp.ndarray
+    result_len: jnp.ndarray
+    seek_delta: jnp.ndarray
+    failed: jnp.ndarray
+    kv_k: jnp.ndarray
+    kv_v: jnp.ndarray
+
+
 class WindowsResult(NamedTuple):
     # per-window buffers, leading axis K
     tokens: jnp.ndarray      # (K, n_max) i32
@@ -55,6 +72,8 @@ class WindowsResult(NamedTuple):
     next_seek: jnp.ndarray   # i32 seek after the last decoded window
     past_buf: jnp.ndarray    # (P,) i32 right-aligned rolling context
     past_len: jnp.ndarray    # i32
+    n_rounds: jnp.ndarray    # i32 speculative verify passes (0 if greedy)
+    n_accepted: jnp.ndarray  # i32 accepted draft tokens (0 if greedy)
 
 
 class _WCarry(NamedTuple):
@@ -91,26 +110,39 @@ def _entropy_last32(tokens: jnp.ndarray, result_len: jnp.ndarray):
     jax.jit,
     static_argnames=("cfg", "rc", "prompt_init", "K", "n_max", "P",
                      "max_tokens", "no_timestamps", "stub", "window_frames",
-                     "fallback_available", "quant_kv", "flash"))
+                     "fallback_available", "quant_kv", "flash", "dcfg",
+                     "gamma"))
 def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    enc_params: M.Params, dec_params: M.Params,
                    mel_data: jnp.ndarray,
                    base_mask: jnp.ndarray, init_mask: jnp.ndarray,
                    past_buf: jnp.ndarray,
                    iscalars: jnp.ndarray, fscalars: jnp.ndarray,
-                   mega=None, *,
+                   mega=None, denc_params=None, ddec_params=None,
+                   dmel_data=None, dmega=None, tmega=None, *,
                    prompt_init: tuple[int, ...], K: int, n_max: int, P: int,
                    max_tokens: int = 0, no_timestamps: bool = False,
                    stub: bool = False, window_frames: int = 2 * 1500,
                    fallback_available: bool = True,
-                   quant_kv: bool = False, flash: bool = True) -> WindowsResult:
+                   quant_kv: bool = False, flash: bool = True,
+                   dcfg: M.WhisperConfig | None = None,
+                   gamma: int = 0) -> WindowsResult:
     """Decode up to K windows greedily in one dispatch.
 
     mel_data (n_pad, n_mels) whole-audio device mel, zero past n_len
     (audio/mel.py); past_buf (P,) right-aligned rolling prompt context.
     iscalars i32: [token_nosp, token_prev, seek, seek_start, seek_end,
     past_len]. fscalars f32: [logprob_thold, entropy_thold, no_speech_thold].
-    """
+
+    dcfg + gamma > 0 (speculative mode): each window decodes through
+    speculative_core (decode/device_speculative.py) instead of
+    segment_core — the draft model's window is encoded IN-LOOP from its
+    own whole-audio mel (dmel_data; the draft may use a different mel
+    bank), so the K-windows-per-dispatch fusion and speculative
+    decoding compose: a draft model no longer costs the multi-window
+    dispatch amortization. Outputs are identical to the greedy path by
+    the speculative contract (every emitted token is the target's own
+    argmax)."""
     token_nosp, token_prev = iscalars[0], iscalars[1]
     seek0, seek_start, seek_end, past_len0 = (
         iscalars[2], iscalars[3], iscalars[4], iscalars[5])
@@ -118,13 +150,30 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     n_init = len(prompt_init)
     T_pad = 1 + P + n_init          # token_prev + past tail + task prompt
     init_arr = jnp.asarray(np.array(prompt_init, np.int32))
+    speculating = dcfg is not None and gamma > 0
+    assert not (speculating and stub)  # gate: spec needs loaded weights
+    cache_dtype = enc_params["conv1_w"].dtype
 
-    if mega is not None:   # natural-layout carry buffers (decode_megakernel)
+    if speculating:
+        from . import device_speculative as DS
+        # carry shapes mirror speculative_core's in-trace allocations
+        pad = gamma + 4
+        if tmega is not None:
+            rows = -(-(cfg.n_text_ctx + pad) // 16) * 16
+            kv_k = jnp.zeros(
+                (cfg.n_text_layer, rows, cfg.n_text_state), jnp.bfloat16)
+            kv_v = kv_k
+        else:
+            kv_k = jnp.zeros(
+                (cfg.n_text_layer, 1, cfg.n_text_head, cfg.n_text_ctx + pad,
+                 cfg.d_text_head), cache_dtype)
+            kv_v = kv_k
+    elif mega is not None:  # natural-layout carry buffers (decode_megakernel)
         kv_k = jnp.zeros((cfg.n_text_layer, cfg.n_text_ctx, cfg.n_text_state),
-                         enc_params["conv1_w"].dtype)
+                         cache_dtype)
         kv_v = kv_k
     else:
-        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=enc_params["conv1_w"].dtype)
+        kv_k, kv_v = M.init_kv_cache(cfg, 1, dtype=cache_dtype)
 
     out = WindowsResult(
         tokens=jnp.zeros((K, n_max), jnp.int32),
@@ -141,7 +190,8 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         avg_logprobs=jnp.zeros((K,), jnp.float32),
         is_no_speech=jnp.zeros((K,), bool),
         n_done=jnp.int32(0), fallback=jnp.bool_(False),
-        next_seek=seek0, past_buf=past_buf, past_len=past_len0)
+        next_seek=seek0, past_buf=past_buf, past_len=past_len0,
+        n_rounds=jnp.int32(0), n_accepted=jnp.int32(0))
 
     carry = _WCarry(w=jnp.int32(0), seek=seek0, past_buf=past_buf,
                     past_len=past_len0, kv_k=kv_k, kv_v=kv_v,
@@ -187,12 +237,32 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             prompt = jnp.concatenate(
                 [init_arr, jnp.zeros((T_pad - n_init,), jnp.int32)])
 
-        # ---- greedy segment decode (shared core) ----
-        seg, nsp = segment_core(
-            cfg, rc, dec_params, prompt[None], c.kv_k, c.kv_v, xk, xv,
-            base_mask, init_mask, t_real, token_nosp, c.seek, seek_end,
-            n_max=n_max, max_tokens=max_tokens, single_segment=False,
-            no_timestamps=no_timestamps, stub=stub, mega=mega)
+        # ---- segment decode (shared cores) ----
+        if speculating:
+            dwindow = jax.lax.dynamic_slice_in_dim(
+                dmel_data, c.seek, window_frames, axis=0)
+            _deo, dxk, dxv = M.encode_with_cross_kv(
+                dcfg, denc_params, ddec_params, dwindow[None], flash=flash)
+            sc, nsp = DS.speculative_core(
+                cfg, dcfg, rc, dec_params, ddec_params, prompt[None],
+                xk, xv, dxk, dxv, base_mask, init_mask,
+                t_real, token_nosp, c.seek, seek_end,
+                n_max=n_max, gamma=gamma, max_tokens=max_tokens,
+                single_segment=False, no_timestamps=no_timestamps,
+                cache_dtype=cache_dtype, dmega=dmega, tmega=tmega)
+            seg = _SegView(tokens=sc.tokens, p=sc.p, plog=sc.plog,
+                           pt=sc.pt, ptsum=sc.ptsum, tid=sc.tid, i=sc.i,
+                           result_len=sc.ms.result_len,
+                           seek_delta=sc.ms.seek_delta, failed=sc.failed,
+                           kv_k=sc.kv_k, kv_v=sc.kv_v)
+            n_rounds_w, n_acc_w = sc.n_rounds, sc.n_accepted
+        else:
+            seg, nsp = segment_core(
+                cfg, rc, dec_params, prompt[None], c.kv_k, c.kv_v, xk, xv,
+                base_mask, init_mask, t_real, token_nosp, c.seek, seek_end,
+                n_max=n_max, max_tokens=max_tokens, single_segment=False,
+                no_timestamps=no_timestamps, stub=stub, mega=mega)
+            n_rounds_w = n_acc_w = jnp.int32(0)
 
         # ---- quality gates (whisper_rank / _score_sequence) ----
         rl = seg.result_len
@@ -254,7 +324,9 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             avg_logprobs=sca(o.avg_logprobs, avg_lp),
             is_no_speech=sca(o.is_no_speech, is_nsp),
             n_done=o.n_done, fallback=o.fallback, next_seek=o.next_seek,
-            past_buf=o.past_buf, past_len=o.past_len)
+            past_buf=o.past_buf, past_len=o.past_len,
+            n_rounds=o.n_rounds + n_rounds_w,
+            n_accepted=o.n_accepted + n_acc_w)
         out_sel = jax.tree.map(
             lambda a, b: jnp.where(commit, a, b), out_new, o)
 
@@ -289,7 +361,9 @@ def pack_windows_result(res: WindowsResult) -> jnp.ndarray:
         res.n_done.astype(jnp.float32),
         res.fallback.astype(jnp.float32),
         res.next_seek.astype(jnp.float32),
-        res.past_len.astype(jnp.float32)])
+        res.past_len.astype(jnp.float32),
+        res.n_rounds.astype(jnp.float32),
+        res.n_accepted.astype(jnp.float32)])
     return jnp.concatenate([mats, per_w, scalars])
 
 
@@ -307,4 +381,4 @@ def unpack_windows_result(flat, K: int, n_max: int) -> dict:
         no_speech_prob=pw[4], avg_logprobs=pw[5],
         is_no_speech=pw[6].astype(bool),
         n_done=int(s[0]), fallback=bool(s[1]), next_seek=int(s[2]),
-        past_len=int(s[3]))
+        past_len=int(s[3]), n_rounds=int(s[4]), n_accepted=int(s[5]))

@@ -479,14 +479,18 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                    and p.logits_filter_callback is None)
 
     # fused multi-window device path: K windows per dispatch, host only for
-    # temperature-fallback windows (decode/device_windows.py); the
-    # speculative path replaces it when a draft model is attached
-    if not speculating and _multiwindow_eligible(ctx, p, temperatures,
-                                                 audio_ctx):
+    # temperature-fallback windows (decode/device_windows.py). Speculative
+    # decoding COMPOSES with it (the draft window is encoded in-loop), so
+    # a draft model keeps the dispatch amortization.
+    if _multiwindow_eligible(ctx, p, temperatures, audio_ctx):
+        draft_mel = None
+        if speculating:
+            draft_mel = mel_mod.log_mel_spectrogram(
+                np.asarray(samples, np.float32), ctx.draft.filters)
         _run_device_windows(
             ctx, p, result, mel, rc, temperatures, seek_start, seek_end,
             prompt_past1, prompt_init, max_prompt_ctx, no_timestamps,
-            base_mask, init_mask, language, rng_key)
+            base_mask, init_mask, language, rng_key, draft_mel=draft_mel)
         if vad_mapping:
             _remap_vad(result, vad_mapping)
         return result
@@ -618,10 +622,13 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
                         temperatures, seek_start: int, seek_end: int,
                         prompt_past1: list[int], prompt_init: list[int],
                         max_prompt_ctx: int, no_timestamps: bool,
-                        base_mask, init_mask, language, rng_key) -> None:
+                        base_mask, init_mask, language, rng_key,
+                        draft_mel=None) -> None:
     """Drive the whole transcription through the fused multi-window device
     loop (decode/device_windows.py); fall out to the host temperature
-    schedule only for windows that trip a quality gate."""
+    schedule only for windows that trip a quality gate. `draft_mel`
+    (speculative mode): the draft model's whole-audio mel — windows then
+    decode through draft proposals + fused multi-token verify."""
     from . import device_windows as DW
     cfg = ctx.cfg
     vocab = ctx.vocab
@@ -632,6 +639,16 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
     fallback_available = len(temperatures) > 1
     fscal = jnp.asarray(np.array(
         [p.logprob_thold, p.entropy_thold, p.no_speech_thold], np.float32))
+    gamma = int(p.speculative) if draft_mel is not None else 0
+    spec_kw = {}
+    if gamma > 0:
+        spec_kw = dict(
+            denc_params=ctx.draft.params["encoder"],
+            ddec_params=ctx.draft.params["decoder"],
+            dmel_data=draft_mel.data,
+            dmega=ctx.draft.mega_params(p, draft=True),
+            tmega=(ctx.mega_params(p) if gamma + 1 <= 8 else None),
+            dcfg=ctx.draft.cfg, gamma=gamma)
 
     def upload_past(past_list: list[int]):
         past_list = past_list[-P:] if P > 0 else []
@@ -655,24 +672,28 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
         res = DW.decode_windows(
             cfg, rc, ctx.params["encoder"], ctx.params["decoder"], mel.data,
             base_mask, init_mask, past_buf, iscal, fscal,
-            mega=ctx.mega_params(p),
+            mega=ctx.mega_params(p) if gamma == 0 else None,
             prompt_init=tuple(prompt_init), K=K, n_max=n_max, P=P,
             max_tokens=p.max_tokens, no_timestamps=no_timestamps,
             stub=ctx.n_loaded == 0, window_frames=2 * cfg.n_audio_ctx,
             fallback_available=fallback_available, quant_kv=p.cross_kv_int8,
-            flash=ctx.mesh is None)
+            flash=ctx.mesh is None, **spec_kw)
         past_buf = res.past_buf   # stays on device for the next dispatch
         r = DW.unpack_windows_result(DW.pack_windows_result(res), K, n_max)
         # one dispatch covers encode+decode of n_done windows; bucket the
         # wall time under decode, count encoder passes separately
         timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
         n_done = r["n_done"]
-        timings.n_encode += n_done
+        timings.n_encode += n_done * (2 if gamma > 0 else 1)
+        timings.n_spec_accepted += r["n_accepted"]
+
+        # speculative: target passes = per-window prompt ingest + rounds
+        timings.n_decode += r["n_rounds"]
 
         for w in range(n_done):
             rl = r["result_len"][w]
             n_tok = int(r["n_tokens"][w])
-            timings.n_decode += n_tok + 1
+            timings.n_decode += (n_tok + 1 if gamma == 0 else 1)
             timings.n_sample += n_tok
             tokens_cur = [
                 TokenData(int(r["tokens"][w, k]), int(r["tid"][w, k]),

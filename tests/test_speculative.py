@@ -127,6 +127,29 @@ def test_draft_mega_params_ignores_cross_kv_int8(target_ctx):
     assert ctx.mega_params(p, draft=True) is not None
 
 
+def test_speculative_fused_windows_equals_per_window(target_ctx):
+    """Speculative + multi-window fusion (decode_windows gamma>0, the
+    default) vs the one-window-per-dispatch speculative driver
+    (device_windows=0): identical output."""
+    ctx = target_ctx
+    ctx.set_draft(F.WhisperContext.from_preset("tiny.en", seed=1,
+                                               dtype=jnp.float32))
+    rng = np.random.default_rng(13)
+    samples = (0.1 * rng.standard_normal(16000 * 20)).astype(np.float32)
+    try:
+        r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False,
+                                            speculative=3,
+                                            device_windows=0), samples)
+        r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False,
+                                            speculative=3), samples)
+    finally:
+        ctx.draft = None
+    assert _segs(r0) == _segs(r1)
+    assert r1.timings.n_spec_accepted == r0.timings.n_spec_accepted
+
+
 def test_speculative_without_draft_falls_back(target_ctx):
     """speculative>0 with no draft attached: plain greedy path, same
     output as speculative=0."""
