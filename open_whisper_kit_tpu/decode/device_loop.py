@@ -204,15 +204,12 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     # ---- prompt ingest (logits only at the last real position) ----
     if mega is not None:
         from ..ops import decode_megakernel as MK
-        S = cfg.n_text_state
-        to_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
-            cfg.n_text_layer, a.shape[3], S)
         hm_k, hm_v = M.init_kv_cache(cfg, 1, dtype=kv_k.dtype)
         logits_all, hm_k, hm_v, _ = M.decode_impl(
             cfg, dec, prompt, hm_k, hm_v, jnp.int32(0), xk, xv,
             logits_pos=t_real - 1)
-        kv_k, kv_v = to_nat(hm_k), to_nat(hm_v)
-        xk_nat, xv_nat = to_nat(xk), to_nat(xv)
+        kv_k, kv_v = MK.hm_to_natural(hm_k), MK.hm_to_natural(hm_v)
+        xk_nat, xv_nat = MK.hm_to_natural(xk), MK.hm_to_natural(xv)
         mega_interpret = jax.devices()[0].platform == "cpu"
     else:
         logits_all, kv_k, kv_v, _ = M.decode_impl(

@@ -151,29 +151,23 @@ def speculative_core(
         logits_pos=t_real - 1)
     del dlogits_all
 
-    def _nat16(c, a):
-        """Head-major (L, 1, H, T, Dh) -> the kernel's natural (L, T16, S)
-        bf16 layout, rows 16-aligned for Mosaic DMA slabs. Conversion
-        happens ONCE per window, outside the loop: the carries then stay
-        in kernel layout end-to-end (reshapes inside the loop would
-        break the pallas_call's donation aliasing)."""
-        a = jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
-            c.n_text_layer, a.shape[3], c.n_text_state).astype(jnp.bfloat16)
-        rows = a.shape[1]
-        rows16 = -(-rows // 16) * 16
-        if rows16 != rows:
-            a = jnp.pad(a, ((0, 0), (0, rows16 - rows), (0, 0)))
-        return a
-
+    # megakernel layouts: converted ONCE per window, outside the loop —
+    # the carries then stay in kernel layout end-to-end (reshapes inside
+    # the loop would break the pallas_call's donation aliasing). Self-KV
+    # carries are 16-row padded (DMA slabs; masked by n_valid); cross-KV
+    # is NOT (the kernel pads internally with the true ta_valid mask —
+    # operand zero-padding would leak phantom columns into the softmax).
     if dmega is not None or tmega is not None:
         from ..ops import decode_megakernel as MK
         mega_interpret = jax.devices()[0].platform == "cpu"
     if dmega is not None:
-        dkv_k, dkv_v = _nat16(dcfg, dkv_k), _nat16(dcfg, dkv_v)
-        dxk_n, dxv_n = _nat16(dcfg, dxk), _nat16(dcfg, dxv)
+        dkv_k = MK.hm_to_natural(dkv_k, pad16=True)
+        dkv_v = MK.hm_to_natural(dkv_v, pad16=True)
+        dxk_n, dxv_n = MK.hm_to_natural(dxk), MK.hm_to_natural(dxv)
     if tmega is not None:
-        kv_k, kv_v = _nat16(cfg, kv_k), _nat16(cfg, kv_v)
-        xk_n, xv_n = _nat16(cfg, xk), _nat16(cfg, xv)
+        kv_k = MK.hm_to_natural(kv_k, pad16=True)
+        kv_v = MK.hm_to_natural(kv_v, pad16=True)
+        xk_n, xv_n = MK.hm_to_natural(xk), MK.hm_to_natural(xv)
 
     # ---- prologue: the first token comes straight from the prompt logits
     ms0 = machine_init()
@@ -224,10 +218,22 @@ def speculative_core(
             ms2, _, _ = step(ms, g, idx)   # rule-input evolution only
             return (dkv_k, dkv_v, head + 1, g, ms2, idx + 1), g
 
-        (dkv_k, dkv_v, _, _, _, _), gs = jax.lax.scan(
+        (dkv_k, dkv_v, dhead, dtok, _, _), gs = jax.lax.scan(
             dstep, (c.dkv_k, c.dkv_v, c.kv_head, c.last_tok, c.ms, c.i),
-            None, length=gamma + 1)
-        gs = gs[:gamma]                             # proposals g_0..g_{γ-1}
+            None, length=gamma)                     # proposals g_0..g_{γ-1}
+        # final draft step is INGEST-ONLY (its proposal would be
+        # discarded): write g_{γ-1}'s K/V without the full-vocab rule
+        # pass + argmax a proposing step would pay
+        if dmega is not None:
+            x0 = (ddec["te"][dtok[None]]
+                  + ddec["pe"][dhead][None, :]).astype(jnp.bfloat16)
+            _, dkv_k, dkv_v = MK.mega_decode_step(
+                dcfg, dmega, x0, dkv_k, dkv_v, dhead, dxk_n, dxv_n,
+                interpret=mega_interpret)
+        else:
+            _, dkv_k, dkv_v, _ = M.decode_impl(
+                dcfg, ddec, dtok[None, None], dkv_k, dkv_v, dhead,
+                dxk, dxv)
 
         # ---- target verify: ONE (gamma+1)-token pass ----
         vseq = jnp.concatenate([c.last_tok[None], gs])          # (γ+1,)
@@ -270,7 +276,9 @@ def speculative_core(
                      completed | (emit & comp_j), failed | (emit & fail_j),
                      jnp.where(emit, t, last_tok),
                      n_emit + emit.astype(jnp.int32),
-                     n_acc + cont.astype(jnp.int32),
+                     # accepted = draft proposal emitted verbatim — even
+                     # when that token also ends the segment
+                     n_acc + (emit & match).astype(jnp.int32),
                      bufs, sum_lp + jnp.where(emit, plog, 0.0)), None)
 
         bufs0 = (c.tokens, c.p, c.plog, c.pt, c.ptsum, c.tid)

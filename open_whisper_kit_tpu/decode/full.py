@@ -144,6 +144,13 @@ class WhisperContext:
                 f"({draft.vocab.n_vocab} vs {self.vocab.n_vocab})")
         if draft.dtype != self.dtype:
             raise ValueError("draft must be loaded with the target's dtype")
+        if draft.cfg.n_audio_ctx != self.cfg.n_audio_ctx:
+            # the fused multi-window loop slices the draft's mel with the
+            # TARGET's window length before encoding with the draft's cfg;
+            # fail here with a clear message instead of deep in the trace
+            raise ValueError(
+                "draft audio context does not match the target's "
+                f"({draft.cfg.n_audio_ctx} vs {self.cfg.n_audio_ctx})")
         self.draft = draft
 
     _MEGA_WEIGHTS = ("qkv_w", "o_w", "cq_w", "co_w", "mlp0_w", "mlp1_w")
@@ -516,6 +523,7 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
                     np.asarray(samples, np.float32), ctx.draft.filters)
             _, dxk, dxv = ctx.draft.encode_window(dmel.data, seek, 0)
             dxkv = (dxk, dxv)
+            timings.n_encode += 1        # the draft's encoder pass
         timings.t_encode_ms += (time.perf_counter() - t0) * 1e3
         timings.n_encode += 1
 

@@ -258,6 +258,24 @@ def prepare_mega(cfg, dec, quant: str = "none") -> MegaParams:
         teT=teT)
 
 
+def hm_to_natural(a: jnp.ndarray, pad16: bool = False) -> jnp.ndarray:
+    """Head-major (L, 1, H, T, Dh) KV -> the kernel's natural (L, T, S)
+    bf16 layout. `pad16` rounds the row count up to a 16 multiple — for
+    SELF-KV carry buffers only (Mosaic DMA slabs want 16-aligned row
+    extents; rows past `head` are masked by n_valid). NEVER pad
+    cross-KV with this: the kernel pads cross internally while masking
+    with the true ta_valid — zero-padding the operand instead would
+    admit phantom zero-score columns into the cross softmax."""
+    L, _, H, T, Dh = a.shape
+    a = jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(
+        L, T, H * Dh).astype(jnp.bfloat16)
+    if pad16:
+        t16 = -(-T // 16) * 16
+        if t16 != T:
+            a = jnp.pad(a, ((0, 0), (0, t16 - T), (0, 0)))
+    return a
+
+
 BT = 128           # self-attention time-block rows (beam/batch modes)
 
 

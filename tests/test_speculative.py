@@ -39,14 +39,16 @@ def test_speculative_equals_greedy_same_draft(target_ctx):
     rng = np.random.default_rng(7)
     samples = (0.1 * rng.standard_normal(16000 * 8)).astype(np.float32)
 
-    r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
-                                        print_progress=False), samples)
-    r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
-                                        print_progress=False,
-                                        speculative=4), samples)
+    try:
+        r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False), samples)
+        r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False,
+                                            speculative=4), samples)
+    finally:
+        ctx.draft = None
     assert _segs(r0) == _segs(r1)
     assert r1.timings.n_spec_accepted >= 0
-    ctx.draft = None
 
 
 def test_speculative_equals_greedy_mismatched_draft(target_ctx):
@@ -58,13 +60,15 @@ def test_speculative_equals_greedy_mismatched_draft(target_ctx):
     rng = np.random.default_rng(5)
     samples = (0.1 * rng.standard_normal(16000 * 20)).astype(np.float32)
 
-    r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
-                                        print_progress=False), samples)
-    r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
-                                        print_progress=False,
-                                        speculative=3), samples)
+    try:
+        r0 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False), samples)
+        r1 = F.whisper_full(ctx, FullParams(temperature_inc=0.0,
+                                            print_progress=False,
+                                            speculative=3), samples)
+    finally:
+        ctx.draft = None
     assert _segs(r0) == _segs(r1)
-    ctx.draft = None
 
 
 def test_speculative_mega_draft_equals_greedy(target_ctx):

@@ -65,8 +65,7 @@ def _time(fn_steps):
 
 def mega_loop(cfg, dec, xk, xv, quant):
     L, S = cfg.n_text_layer, cfg.n_text_state
-    to_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(L, -1, S)
-    xkn, xvn = to_nat(xk), to_nat(xv)
+    xkn, xvn = MK.hm_to_natural(xk), MK.hm_to_natural(xv)
     mp = MK.prepare_mega(cfg, dec, quant=quant)
     te, pe = dec["te"], dec["pe"]
 
@@ -93,8 +92,7 @@ def mega_verify_loop(cfg, dec, xk, xv, quant, T):
     """Sequential T-row megakernel verify passes (the speculative
     target's shape with tmega), as many as fit the KV cache."""
     L, S = cfg.n_text_layer, cfg.n_text_state
-    to_nat = lambda a: jnp.transpose(a[:, 0], (0, 2, 1, 3)).reshape(L, -1, S)
-    xkn, xvn = to_nat(xk), to_nat(xv)
+    xkn, xvn = MK.hm_to_natural(xk), MK.hm_to_natural(xv)
     mp = MK.prepare_mega(cfg, dec, quant=quant)
     te, pe = dec["te"], dec["pe"]
     steps = min(K, cfg.n_text_ctx // T - 1)
