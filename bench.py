@@ -612,6 +612,78 @@ def impl_main():
         detail["baseline_medium_dec_ms"] = 5.14
     _try("grouped_medium", grouped_medium)
 
+    # ---- speculative-decode round components (mechanical; acceptance
+    # needs real weights — tools/bench_spec_ab.py has the full matrix).
+    # Records the tiny mega draft step and the turbo (γ+1)-row int4 mega
+    # verify pass, plus the modeled per-token at 0.8 acceptance. ----
+    def spec_components():
+        if mp4 is None:
+            raise RuntimeError("int4 mega params unavailable")
+        GAMMA = 4
+        dcfg = M.PRESETS["tiny"]
+        dparams = M.init_params(dcfg, seed=0, dtype=jnp.bfloat16)
+        ddec = M.prepare_decoder(dparams["decoder"])
+        denc = jnp.asarray(rng.standard_normal(
+            (1, dcfg.n_audio_ctx, dcfg.n_audio_state)), jnp.bfloat16)
+        dxk, dxv = M.cross_kv(dcfg, ddec, denc)
+        dxkn, dxvn = MK.hm_to_natural(dxk), MK.hm_to_natural(dxv)
+        dmp = MK.prepare_mega(dcfg, ddec, quant="all")
+        dL, dS, dTc = dcfg.n_text_layer, dcfg.n_text_state, dcfg.n_text_ctx
+
+        @jax.jit
+        def draft_loop(mp, te, pe, xkn, xvn):
+            nk = jnp.zeros((dL, dTc, dS), jnp.bfloat16)
+            nv = jnp.zeros((dL, dTc, dS), jnp.bfloat16)
+
+            def body(carry, i):
+                tok, nk, nv = carry
+                x0 = (te[tok][None] + pe[i][None]).astype(jnp.bfloat16)
+                logits, nk, nv = MK.mega_decode_step(dcfg, mp, x0, nk, nv,
+                                                     i, xkn, xvn)
+                return (jnp.argmax(logits[0]).astype(jnp.int32), nk, nv), ()
+
+            (tok, _, _), _ = jax.lax.scan(body, (jnp.int32(0), nk, nv),
+                                          jnp.arange(K))
+            return tok
+
+        Kv = Tc // (GAMMA + 1) - 1
+
+        @jax.jit
+        def verify_loop(mp, te, pe, xkn, xvn):
+            nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+            nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+
+            def body(carry, i):
+                tok, nk, nv = carry
+                pos = i * (GAMMA + 1) + jnp.arange(GAMMA + 1)
+                x0 = (te[jnp.broadcast_to(tok, (GAMMA + 1,))]
+                      + pe[pos]).astype(jnp.bfloat16)
+                logits, nk, nv = MK.mega_decode_step(
+                    cfg, mp, x0, nk, nv, i * (GAMMA + 1), xkn, xvn)
+                return (jnp.argmax(logits[-1]).astype(jnp.int32), nk, nv), ()
+
+            (tok, _, _), _ = jax.lax.scan(body, (jnp.int32(0), nk, nv),
+                                          jnp.arange(Kv))
+            return tok
+
+        dargs = (dmp, ddec["te"], ddec["pe"], dxkn, dxvn)
+        float(draft_loop(*dargs))
+        t0 = time.perf_counter()
+        float(draft_loop(*dargs))
+        t_draft = (time.perf_counter() - t0) / K * 1e3
+        vargs = (mp4, dec_prepared["te"], dec_prepared["pe"], xk_nat, xv_nat)
+        float(verify_loop(*vargs))
+        t0 = time.perf_counter()
+        float(verify_loop(*vargs))
+        t_verify = (time.perf_counter() - t0) / Kv * 1e3
+        detail["spec_draft_tiny_int8_ms_per_token"] = round(t_draft, 3)
+        detail["spec_verify_int4_ms_per_pass"] = round(t_verify, 3)
+        a = 0.8
+        emitted = sum(a ** j for j in range(GAMMA)) + a ** GAMMA
+        detail["spec_modeled_ms_per_token_at_accept_0p8"] = round(
+            ((GAMMA + 1) * t_draft + t_verify) / emitted, 3)
+    _try("spec_components", spec_components)
+
     emit()                      # final, richest artifact line
 
 
