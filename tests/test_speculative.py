@@ -48,7 +48,13 @@ def test_speculative_equals_greedy_same_draft(target_ctx):
     finally:
         ctx.draft = None
     assert _segs(r0) == _segs(r1)
-    assert r1.timings.n_spec_accepted >= 0
+    # acceptance canary: draft numerics cannot change OUTPUT, so a bug in
+    # the draft cache plumbing (e.g. a broken final ingest-only step) is
+    # observable ONLY as an acceptance collapse. With draft == target the
+    # verify argmax matches the draft's almost always (T=1-vs-T=γ+1
+    # reduction ties are the residual), so acceptance must stay high.
+    assert r1.timings.n_spec_accepted >= r1.timings.n_sample * 0.5, (
+        r1.timings.n_spec_accepted, r1.timings.n_sample)
 
 
 def test_speculative_equals_greedy_mismatched_draft(target_ctx):
