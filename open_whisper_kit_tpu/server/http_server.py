@@ -19,16 +19,20 @@ import json
 import re
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class ServerState:
-    def __init__(self, model_path: str, dtype=None, mesh=None):
+    def __init__(self, model_path: str, dtype=None, mesh=None,
+                 batch_window_ms: float = 0.0, max_batch: int = 8):
         self.lock = threading.Lock()
         self.model_path = model_path
         self._dtype = dtype
         self._mesh = mesh
         self._transcriber = None
+        self.batcher = (RequestBatcher(self, batch_window_ms, max_batch)
+                        if batch_window_ms > 0 and max_batch > 1 else None)
 
     @property
     def transcriber(self):
@@ -47,6 +51,117 @@ class ServerState:
             self.model_path = model_path
             self._transcriber = None
             _ = self.transcriber
+
+    def run(self, p, audio):
+        """One /inference request -> TranscribeResult (batched if enabled)."""
+        if self.batcher is not None:
+            return self.batcher.submit(p, audio)
+        with self.lock:
+            return self.transcriber.full(p, audio)
+
+
+class _Req:
+    def __init__(self, p, audio, key):
+        self.p = p
+        self.audio = audio
+        self.key = key
+        self.done = threading.Event()
+        self.result = None
+        self.error: Exception | None = None
+
+
+class RequestBatcher:
+    """Dynamic batching for concurrent /inference requests.
+
+    The reference server serializes requests behind a mutex
+    (examples/server/server.cpp whisper_mutex) — one request occupies the
+    whole backend. On a TPU the decode step is weight-stream-bound, so B
+    concurrent requests cost nearly the same as one if their windows ride
+    one lockstep dispatch. Requests arriving within `window_ms` of each
+    other whose decode params are identical are grouped and run through
+    decode/batch.py::transcribe_chunks_with_timings — each request keeps
+    its OWN mel context and per-chunk host-fallback fidelity, so every
+    response is identical to a serial whisper_full run (test-pinned).
+    Ineligible requests (beam search, t>0 start, token timestamps, ...)
+    fall back to the serial path under the state lock."""
+
+    def __init__(self, state: ServerState, window_ms: float = 50.0,
+                 max_batch: int = 8):
+        self.state = state
+        self.window_s = window_ms / 1e3
+        self.max_batch = max_batch
+        self.cv = threading.Condition()
+        self.pending: list[_Req] = []
+        self.n_dispatches = 0       # stats: lockstep groups run
+        self.max_group = 0          # stats: largest group size seen
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="owk-batcher")
+        self._thread.start()
+
+    @staticmethod
+    def _key(p):
+        """Requests batch together only with IDENTICAL decode params
+        (one FullParams drives the whole lockstep group)."""
+        return (p.language, p.translate, p.temperature, p.temperature_inc,
+                p.no_timestamps, p.audio_ctx, p.initial_prompt,
+                p.greedy.best_of)
+
+    def submit(self, p, audio):
+        from ..parallel.dp import _batch_route_eligible
+        if not _batch_route_eligible(self.state.transcriber.ctx, p):
+            with self.state.lock:
+                return self.state.transcriber.full(p, audio)
+        req = _Req(p, audio, self._key(p))
+        with self.cv:
+            self.pending.append(req)
+            self.cv.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _run(self):
+        while True:
+            with self.cv:
+                while not self.pending:
+                    self.cv.wait()
+                # batching window arms at the first pending arrival
+                deadline = time.monotonic() + self.window_s
+                while len(self.pending) < self.max_batch:
+                    rem = deadline - time.monotonic()
+                    if rem <= 0:
+                        break
+                    self.cv.wait(timeout=rem)
+                batch = self.pending[:self.max_batch]
+                del self.pending[:len(batch)]
+            groups: dict[tuple, list[_Req]] = {}
+            for r in batch:
+                groups.setdefault(r.key, []).append(r)
+            for reqs in groups.values():
+                self._run_group(reqs)
+
+    def _run_group(self, reqs: list[_Req]):
+        from ..decode.full import TranscribeResult
+        self.n_dispatches += 1
+        self.max_group = max(self.max_group, len(reqs))
+        try:
+            with self.state.lock:
+                tr = self.state.transcriber
+                if len(reqs) == 1:
+                    results = [tr.full(reqs[0].p, reqs[0].audio)]
+                else:
+                    from ..decode.batch import transcribe_chunks_with_timings
+                    segs, tims = transcribe_chunks_with_timings(
+                        tr.ctx, reqs[0].p, [r.audio for r in reqs])
+                    results = [TranscribeResult(segments=s, timings=t)
+                               for s, t in zip(segs, tims)]
+            for r, res in zip(reqs, results):
+                r.result = res
+                r.done.set()
+        except Exception as e:  # noqa: BLE001
+            for r in reqs:
+                r.error = e
+                r.done.set()
 
 
 def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
@@ -158,9 +273,7 @@ def make_handler(state: ServerState):
 
                 response_format = fval("response_format", str, "json")
 
-                with state.lock:
-                    tr = state.transcriber
-                    res = tr.full(p, audio)
+                res = state.run(p, audio)
 
                 from ..cli import outputs as O
 
@@ -198,11 +311,17 @@ def make_handler(state: ServerState):
 
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
-          dtype=None, mesh=None) -> ThreadingHTTPServer:
+          dtype=None, mesh=None, batch_window_ms: float = 0.0,
+          max_batch: int = 8) -> ThreadingHTTPServer:
     """`mesh`: serve with dp/tp-sharded weights (api.Transcriber(mesh=));
-    the multi-chip serving entry point (--mesh on the CLI)."""
-    state = ServerState(model_path, dtype, mesh=mesh)
+    the multi-chip serving entry point (--mesh on the CLI).
+    `batch_window_ms` > 0 enables dynamic batching: concurrent greedy
+    requests arriving within the window run as ONE lockstep device
+    dispatch (RequestBatcher) instead of serializing behind the lock."""
+    state = ServerState(model_path, dtype, mesh=mesh,
+                        batch_window_ms=batch_window_ms, max_batch=max_batch)
     server = ThreadingHTTPServer((host, port), make_handler(state))
+    server.state = state        # introspection (tests, shutdown hooks)
     return server
 
 
@@ -220,12 +339,20 @@ def main(argv=None) -> int:
                          "serving")
     ap.add_argument("--tp", type=int, default=None,
                     help="tensor-parallel width within the mesh")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="dynamic batching: group concurrent greedy "
+                         "requests arriving within this window into one "
+                         "lockstep device dispatch (0 = off)")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="max requests per batched dispatch")
     args = ap.parse_args(argv)
     mesh = None
     if args.mesh:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(tp=args.tp)
-    server = serve(args.model, args.host, args.port, mesh=mesh)
+    server = serve(args.model, args.host, args.port, mesh=mesh,
+                   batch_window_ms=args.batch_window_ms,
+                   max_batch=args.max_batch)
     print(f"whisper server listening on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

@@ -217,3 +217,151 @@ class TestBindingWireFormats:
         status, resp = self._post(f"{server}/load", body,
                                   "application/x-www-form-urlencoded")
         assert status == 200
+
+
+class TestBatchingServer:
+    """Dynamic request batching (server --batch-window-ms): concurrent
+    greedy requests run as ONE lockstep device dispatch. The batched
+    responses must equal a direct transcribe_chunks run on the same
+    weights (the server plumbing under test adds nothing numerically);
+    the lockstep primitive's own equality vs serial whisper_full is
+    pinned on a REAL-size model by test_batch.py — this fixture's
+    degenerate 64-state model has near-uniform logits where the batched
+    vs single encoder's reduction-order ties flip tokens by design."""
+
+    @pytest.fixture(scope="class")
+    def rand_ckpt(self, tmp_path_factory, ref_models):
+        """Small random model with the real vocab (emits real segments,
+        unlike the stub checkpoints)."""
+        import jax.numpy as jnp  # noqa: F811
+        from open_whisper_kit_tpu.io import ggml_whisper, quant
+        from open_whisper_kit_tpu.io.ggml_writer import write_checkpoint
+        from open_whisper_kit_tpu.models.whisper import model as M
+        from open_whisper_kit_tpu.models.whisper.export import (
+            tensors_from_params)
+        cfg = M.WhisperConfig(
+            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
+            n_text_layer=2, n_mels=80)
+        hp = ggml_whisper.WhisperHParams(
+            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
+            n_text_layer=2, n_mels=80, ftype=1, qntvr=0)
+        real = ggml_whisper.load_checkpoint(
+            ref_models / "for-tests-ggml-tiny.en.bin", load_tensors=False)
+        params = M.init_params(cfg, seed=0, dtype=jnp.float32)
+        path = tmp_path_factory.mktemp("bsrv") / "tiny-rand-f16.bin"
+        write_checkpoint(path, hp, real.mel_filters, real.tokens,
+                         tensors_from_params(cfg, params),
+                         wtype=quant.GGML_TYPE_F16)
+        return path
+
+    @pytest.fixture(scope="class")
+    def pair(self, rand_ckpt):
+        """(serial_url, batched_url, batched_server) on the same weights."""
+        from open_whisper_kit_tpu.server.http_server import serve
+        srv_s = serve(str(rand_ckpt), port=0, dtype=jnp.float32)
+        srv_b = serve(str(rand_ckpt), port=0, dtype=jnp.float32,
+                      batch_window_ms=300.0, max_batch=4)
+        for s in (srv_s, srv_b):
+            threading.Thread(target=s.serve_forever, daemon=True).start()
+        yield (f"http://127.0.0.1:{srv_s.server_address[1]}",
+               f"http://127.0.0.1:{srv_b.server_address[1]}", srv_b)
+        srv_s.shutdown()
+        srv_b.shutdown()
+
+    @staticmethod
+    def _wav_bytes(seed, seconds=3):
+        import io as _io
+        import wave
+        rng = np.random.default_rng(seed)
+        x = (0.1 * rng.standard_normal(16000 * seconds) * 32767).astype(
+            np.int16)
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    @staticmethod
+    def _post(url, wav):
+        body, ctype = _multipart({"file": wav,
+                                  "response_format": b"verbose_json"})
+        req = urllib.request.Request(f"{url}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    def test_batched_equals_direct_lockstep(self, pair, rand_ckpt):
+        url_s, url_b, srv_b = pair
+        wavs = [self._wav_bytes(s) for s in (1, 2, 3)]
+
+        out = [None] * len(wavs)
+        errs = []
+
+        def hit(i):
+            try:
+                out[i] = self._post(url_b, wavs[i])
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(len(wavs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        # the batcher must actually have grouped ALL concurrent requests
+        # (otherwise the direct 3-chunk reference below is not comparable
+        # on this tie-prone degenerate model)
+        assert srv_b.state.batcher.max_group == 3
+
+        # direct lockstep reference on the same weights + handler params
+        import dataclasses as _dc
+        from open_whisper_kit_tpu.decode import full as F
+        from open_whisper_kit_tpu.decode.batch import (
+            transcribe_chunks_with_timings)
+        from open_whisper_kit_tpu.decode.params import FullParams
+        from open_whisper_kit_tpu.audio.wav import load_wav
+        import tempfile as _tf
+        ctx = F.WhisperContext.from_file(str(rand_ckpt), dtype=jnp.float32)
+        p = FullParams(print_progress=False)
+        p.language, p.temperature_inc = "en", 0.2
+        p.greedy = _dc.replace(p.greedy, best_of=2)
+        audios = []
+        for w in wavs:
+            with _tf.NamedTemporaryFile(suffix=".wav") as f:
+                f.write(w)
+                f.flush()
+                audios.append(load_wav(f.name))
+        segs, _t = transcribe_chunks_with_timings(ctx, p, audios)
+        for got, want_segs in zip(out, segs):
+            want = [{"id": i, "start": s.t0 / 100.0, "end": s.t1 / 100.0,
+                     "text": s.text, "no_speech_prob": s.no_speech_prob,
+                     "tokens": [t.id for t in s.tokens]}
+                    for i, s in enumerate(want_segs)]
+            got_cmp = [dict(g) for g in got["segments"]]
+            for g, wseg in zip(got_cmp, want):
+                g["no_speech_prob"] = round(g["no_speech_prob"], 5)
+                wseg["no_speech_prob"] = round(wseg["no_speech_prob"], 5)
+            assert got_cmp == want, (got_cmp, want)
+
+    def test_ineligible_params_fall_back(self, pair):
+        """Beam-search requests take the serial path (still correct)."""
+        url_s, url_b, _ = pair
+        wav = self._wav_bytes(9)
+        body, ctype = _multipart({"file": wav,
+                                  "response_format": b"verbose_json",
+                                  "beam_size": b"2"})
+        req = urllib.request.Request(f"{url_b}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            got = json.loads(r.read())
+        req = urllib.request.Request(f"{url_s}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            want = json.loads(r.read())
+        assert got["segments"] == want["segments"]
