@@ -39,6 +39,9 @@ def _batch_route_eligible(ctx: F.WhisperContext, p: FullParams) -> bool:
     the QA gates, EXCEPT features that change the step program itself."""
     return (p.strategy == SamplingStrategy.GREEDY
             and p.temperature == 0.0
+            and not p.vad          # lockstep has no VAD pre-filter/remap;
+                                   # full_parallel applies VAD up front and
+                                   # re-routes with vad=False
             and p.no_context
             and not p.token_timestamps
             and not p.dtw_token_timestamps

@@ -25,12 +25,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 class ServerState:
     def __init__(self, model_path: str, dtype=None, mesh=None,
-                 batch_window_ms: float = 0.0, max_batch: int = 8):
+                 batch_window_ms: float = 0.0, max_batch: int = 8,
+                 vad_model: str | None = None):
         self.lock = threading.Lock()
         self.model_path = model_path
         self._dtype = dtype
         self._mesh = mesh
         self._transcriber = None
+        self.vad_model = vad_model     # --vad-model (server.cpp -vm)
         self.batcher = (RequestBatcher(self, batch_window_ms, max_batch)
                         if batch_window_ms > 0 and max_batch > 1 else None)
 
@@ -183,12 +185,12 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
     return fields
 
 
-def _load_audio_bytes(data: bytes):
+def _load_audio_bytes(data: bytes, stereo: bool = False):
     from ..audio.wav import load_wav
     with tempfile.NamedTemporaryFile(suffix=".wav") as f:
         f.write(data)
         f.flush()
-        return load_wav(f.name)
+        return load_wav(f.name, stereo=stereo)
 
 
 def make_handler(state: ServerState):
@@ -241,7 +243,8 @@ def make_handler(state: ServerState):
                     self._send(400, json.dumps(
                         {"error": "no 'file' field in multipart form data"}))
                     return
-                audio = _load_audio_bytes(fields["file"])
+
+                import dataclasses
 
                 from ..decode.params import FullParams, SamplingStrategy
                 p = FullParams(print_progress=False)
@@ -254,12 +257,33 @@ def make_handler(state: ServerState):
                             return default
                     return default
 
+                # parse_str_to_bool (server.cpp:476-482)
+                fbool = lambda s: s in ("true", "1", "yes", "y")
+
+                # full /inference parameter surface (server.cpp:483-615)
                 p.language = fval("language", str, "en")
-                p.translate = fval("translate", lambda s: s in ("1", "true"), False)
+                if fval("detect_language", fbool, False):
+                    p.language = "auto"
+                    p.detect_language = True
+                p.translate = fval("translate", fbool, False)
                 p.temperature = fval("temperature", float, 0.0)
                 p.temperature_inc = fval("temperature_inc", float, 0.2)
-                p.no_timestamps = fval("no_timestamps", lambda s: s in ("1", "true"), False)
+                p.no_timestamps = fval("no_timestamps", fbool, False)
                 p.audio_ctx = fval("audio_ctx", int, 0)
+                p.offset_ms = fval("offset_t", int, 0)
+                offset_n = fval("offset_n", int, 0)
+                p.duration_ms = fval("duration", int, 0)
+                mc = fval("max_context", int, -1)
+                if mc >= 0:
+                    p.n_max_text_ctx = mc
+                p.split_on_word = fval("split_on_word", fbool, False)
+                p.entropy_thold = fval("entropy_thold", float, 2.4)
+                p.logprob_thold = fval("logprob_thold", float, -1.0)
+                p.debug_mode = fval("debug_mode", fbool, False)
+                p.suppress_nst = (fval("suppress_non_speech", fbool, False)
+                                  or fval("suppress_nst", fbool, False))
+                p.tdrz_enable = fval("tinydiarize", fbool, False)
+                diarize = fval("diarize", fbool, False)
                 p.initial_prompt = (fields.get("prompt") or b"").decode() or None
                 best_of = fval("best_of", int, 2)
                 beam_size = fval("beam_size", int, -1)
@@ -267,42 +291,115 @@ def make_handler(state: ServerState):
                     p.strategy = SamplingStrategy.BEAM_SEARCH
                     p.beam_search.beam_size = beam_size
                 p.greedy.best_of = best_of
-                if fval("word_thold", float, -1.0) >= 0:
-                    p.token_timestamps = True
-                    p.thold_pt = fval("word_thold", float, 0.01)
-
                 response_format = fval("response_format", str, "json")
+                # verbose_json always carries word timings (server.cpp:939)
+                p.thold_pt = fval("word_thold", float, 0.01)
+                p.token_timestamps = (not p.no_timestamps
+                                      and response_format == "verbose_json")
+                ml = fval("max_len", int, 0)
+                p.max_len = 60 if ml == 0 else ml      # server.cpp:919
+                p.vad = fval("vad", fbool, False)
+                p.vad_model_path = state.vad_model
+                p.vad_params = dataclasses.replace(
+                    p.vad_params,
+                    threshold=fval("vad_threshold", float, 0.5),
+                    min_speech_duration_ms=fval(
+                        "vad_min_speech_duration_ms", int, 250),
+                    min_silence_duration_ms=fval(
+                        "vad_min_silence_duration_ms", int, 100),
+                    max_speech_duration_s=fval(
+                        "vad_max_speech_duration_s", float, float("inf")),
+                    speech_pad_ms=fval("vad_speech_pad_ms", int, 30),
+                    samples_overlap=fval("vad_samples_overlap", float, 0.1))
+                no_lang_probs = fval("no_language_probabilities", fbool,
+                                     False)
+
+                stereo = None
+                if diarize:
+                    data = _load_audio_bytes(fields["file"], stereo=True)
+                    if data.ndim == 2 and data.shape[1] == 2:
+                        stereo = data
+                        audio = data.mean(axis=1)
+                    else:
+                        audio = data if data.ndim == 1 else data[:, 0]
+                else:
+                    audio = _load_audio_bytes(fields["file"])
 
                 res = state.run(p, audio)
 
                 from ..cli import outputs as O
 
+                def txt():
+                    buf = io.StringIO()
+                    O.write_txt(res, buf, stereo)   # = output_str
+                    return buf.getvalue()
+
                 if response_format == "text":
-                    self._send(200, res.text, ctype="text/plain")
+                    self._send(200, txt(),
+                               ctype="text/html; charset=utf-8")
                 elif response_format == "srt":
                     buf = io.StringIO()
-                    O.write_srt(res, buf)
+                    O.write_srt(res, buf, stereo, offset_n=offset_n)
                     self._send(200, buf.getvalue(), ctype="application/x-subrip")
                 elif response_format == "vtt":
                     buf = io.StringIO()
-                    O.write_vtt(res, buf)
+                    O.write_vtt(res, buf, stereo)
                     self._send(200, buf.getvalue(), ctype="text/vtt")
                 elif response_format == "verbose_json":
-                    segs = [{
-                        "id": i, "start": s.t0 / 100.0, "end": s.t1 / 100.0,
-                        "text": s.text,
-                        "no_speech_prob": s.no_speech_prob,
-                        "tokens": [t.id for t in s.tokens],
-                    } for i, s in enumerate(res.segments)]
-                    self._send(200, json.dumps({
+                    from ..compat import whisper_lang_str_full
+                    from ..decode import tokenizer as tok_mod
+                    jres = {
                         "task": "translate" if p.translate else "transcribe",
-                        "language": p.language,
+                        "language": whisper_lang_str_full(
+                            res.lang_id if res.lang_id >= 0
+                            else tok_mod.lang_id(p.language or "en")),
                         "duration": len(audio) / 16000.0,
-                        "text": res.text,
-                        "segments": segs,
-                    }, ensure_ascii=False))
+                        "text": txt(),
+                        "segments": [],
+                    }
+                    if not no_lang_probs:
+                        # language probabilities block (server.cpp:1051-1063)
+                        from ..audio import mel as mel_mod
+                        from ..decode import full as Fmod
+                        with state.lock:
+                            tr = state.transcriber
+                            mel = mel_mod.log_mel_spectrogram(
+                                audio, tr.ctx.filters)
+                            lid, probs = Fmod.detect_language(tr.ctx, mel)
+                        jres["detected_language"] = whisper_lang_str_full(lid)
+                        jres["detected_language_probability"] = float(
+                            probs[lid])
+                        jres["language_probabilities"] = {
+                            tok_mod.LANGUAGES[i][0]: float(probs[i])
+                            for i in range(len(probs)) if probs[i] > 0.001}
+                    for i, s in enumerate(res.segments):
+                        seg = {"id": i, "text": s.text, "tokens": [],
+                               "words": []}
+                        if not p.no_timestamps:
+                            seg["start"] = s.t0 / 100.0
+                            seg["end"] = s.t1 / 100.0
+                        total_logprob = 0.0
+                        vocab = state.transcriber.ctx.vocab
+                        for t in s.tokens:
+                            if t.id >= vocab.token_eot:  # server.cpp:1081
+                                continue
+                            seg["tokens"].append(t.id)
+                            word = {"word": vocab.token_to_str(t.id)}
+                            if not p.no_timestamps:
+                                word["start"] = t.t0 / 100.0
+                                word["end"] = t.t1 / 100.0
+                                word["t_dtw"] = t.t_dtw
+                            word["probability"] = t.p
+                            total_logprob += t.plog
+                            seg["words"].append(word)
+                        seg["temperature"] = p.temperature
+                        seg["avg_logprob"] = (total_logprob
+                                              / max(1, len(s.tokens)))
+                        seg["no_speech_prob"] = s.no_speech_prob
+                        jres["segments"].append(seg)
+                    self._send(200, json.dumps(jres, ensure_ascii=False))
                 else:
-                    self._send(200, json.dumps({"text": res.text},
+                    self._send(200, json.dumps({"text": txt()},
                                                ensure_ascii=False))
             except Exception as e:  # noqa: BLE001
                 self._send(500, json.dumps({"error": str(e)}))
@@ -312,14 +409,16 @@ def make_handler(state: ServerState):
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           dtype=None, mesh=None, batch_window_ms: float = 0.0,
-          max_batch: int = 8) -> ThreadingHTTPServer:
+          max_batch: int = 8, vad_model: str | None = None
+          ) -> ThreadingHTTPServer:
     """`mesh`: serve with dp/tp-sharded weights (api.Transcriber(mesh=));
     the multi-chip serving entry point (--mesh on the CLI).
     `batch_window_ms` > 0 enables dynamic batching: concurrent greedy
     requests arriving within the window run as ONE lockstep device
     dispatch (RequestBatcher) instead of serializing behind the lock."""
     state = ServerState(model_path, dtype, mesh=mesh,
-                        batch_window_ms=batch_window_ms, max_batch=max_batch)
+                        batch_window_ms=batch_window_ms, max_batch=max_batch,
+                        vad_model=vad_model)
     server = ThreadingHTTPServer((host, port), make_handler(state))
     server.state = state        # introspection (tests, shutdown hooks)
     return server
@@ -345,6 +444,8 @@ def main(argv=None) -> int:
                          "lockstep device dispatch (0 = off)")
     ap.add_argument("--max-batch", type=int, default=8,
                     help="max requests per batched dispatch")
+    ap.add_argument("-vm", "--vad-model", default=None,
+                    help="Silero VAD model for requests with vad=true")
     args = ap.parse_args(argv)
     mesh = None
     if args.mesh:
@@ -352,7 +453,7 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp)
     server = serve(args.model, args.host, args.port, mesh=mesh,
                    batch_window_ms=args.batch_window_ms,
-                   max_batch=args.max_batch)
+                   max_batch=args.max_batch, vad_model=args.vad_model)
     print(f"whisper server listening on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

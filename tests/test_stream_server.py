@@ -287,12 +287,14 @@ class TestBatchingServer:
 
     @staticmethod
     def _post(url, wav):
-        body, ctype = _multipart({"file": wav,
-                                  "response_format": b"verbose_json"})
+        # srt keeps timestamps+text comparable AND stays lockstep-eligible
+        # (verbose_json implies token_timestamps per server.cpp:939, which
+        # correctly routes to the serial path)
+        body, ctype = _multipart({"file": wav, "response_format": b"srt"})
         req = urllib.request.Request(f"{url}/inference", data=body,
                                      headers={"Content-Type": ctype})
         with urllib.request.urlopen(req, timeout=600) as r:
-            return json.loads(r.read())
+            return r.read().decode()
 
     def test_batched_equals_direct_lockstep(self, pair, rand_ckpt):
         url_s, url_b, srv_b = pair
@@ -321,6 +323,8 @@ class TestBatchingServer:
 
         # direct lockstep reference on the same weights + handler params
         import dataclasses as _dc
+        import io as _io
+        from open_whisper_kit_tpu.cli import outputs as O
         from open_whisper_kit_tpu.decode import full as F
         from open_whisper_kit_tpu.decode.batch import (
             transcribe_chunks_with_timings)
@@ -330,6 +334,7 @@ class TestBatchingServer:
         ctx = F.WhisperContext.from_file(str(rand_ckpt), dtype=jnp.float32)
         p = FullParams(print_progress=False)
         p.language, p.temperature_inc = "en", 0.2
+        p.max_len = 60
         p.greedy = _dc.replace(p.greedy, best_of=2)
         audios = []
         for w in wavs:
@@ -339,15 +344,9 @@ class TestBatchingServer:
                 audios.append(load_wav(f.name))
         segs, _t = transcribe_chunks_with_timings(ctx, p, audios)
         for got, want_segs in zip(out, segs):
-            want = [{"id": i, "start": s.t0 / 100.0, "end": s.t1 / 100.0,
-                     "text": s.text, "no_speech_prob": s.no_speech_prob,
-                     "tokens": [t.id for t in s.tokens]}
-                    for i, s in enumerate(want_segs)]
-            got_cmp = [dict(g) for g in got["segments"]]
-            for g, wseg in zip(got_cmp, want):
-                g["no_speech_prob"] = round(g["no_speech_prob"], 5)
-                wseg["no_speech_prob"] = round(wseg["no_speech_prob"], 5)
-            assert got_cmp == want, (got_cmp, want)
+            buf = _io.StringIO()
+            O.write_srt(F.TranscribeResult(segments=want_segs), buf)
+            assert got == buf.getvalue(), (got, buf.getvalue())
 
     def test_ineligible_params_fall_back(self, pair):
         """Beam-search requests take the serial path (still correct)."""
@@ -365,3 +364,135 @@ class TestBatchingServer:
         with urllib.request.urlopen(req, timeout=600) as r:
             want = json.loads(r.read())
         assert got["segments"] == want["segments"]
+
+
+class TestServerParamParity:
+    """The /inference parameter surface of server.cpp:483-615 and the
+    verbose_json response shape of server.cpp:1040-1106."""
+
+    @pytest.fixture(scope="class")
+    def server(self, ref_models):
+        from open_whisper_kit_tpu.server.http_server import serve
+        srv = serve(str(ref_models / "for-tests-ggml-tiny.en.bin"),
+                    port=0, dtype=jnp.float32)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    @staticmethod
+    def _post_fields(url, fields):
+        body, ctype = _multipart(fields)
+        req = urllib.request.Request(f"{url}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.read().decode(), r.headers.get("Content-Type")
+
+    def test_verbose_json_language_block(self, server, jfk_wav):
+        out, _ = self._post_fields(server, {
+            "file": jfk_wav.read_bytes(),
+            "response_format": b"verbose_json"})
+        data = json.loads(out)
+        # openai-style top level (server.cpp:1040-1063)
+        for key in ("task", "language", "duration", "text", "segments",
+                    "detected_language", "detected_language_probability",
+                    "language_probabilities"):
+            assert key in data, key
+        assert data["language"] == "english"     # full name, not code
+        assert isinstance(data["language_probabilities"], dict)
+
+    def test_verbose_json_no_language_probabilities(self, server, jfk_wav):
+        out, _ = self._post_fields(server, {
+            "file": jfk_wav.read_bytes(),
+            "response_format": b"verbose_json",
+            "no_language_probabilities": b"true"})
+        data = json.loads(out)
+        assert "detected_language" not in data
+        assert "language_probabilities" not in data
+
+    def test_text_content_type_and_params_accepted(self, server, jfk_wav):
+        """The reference's odd text/html content type, plus every scalar
+        param parsing without error (stub model -> empty body is fine)."""
+        out, ctype = self._post_fields(server, {
+            "file": jfk_wav.read_bytes(),
+            "response_format": b"text",
+            "offset_t": b"0", "offset_n": b"3", "duration": b"0",
+            "max_context": b"64", "max_len": b"30",
+            "split_on_word": b"true", "entropy_thold": b"2.8",
+            "logprob_thold": b"-0.5", "debug_mode": b"false",
+            "suppress_nst": b"true", "tinydiarize": b"false",
+            "temperature": b"0.0", "temperature_inc": b"0.2",
+            "vad_threshold": b"0.6"})
+        assert ctype == "text/html; charset=utf-8"
+        assert isinstance(out, str)
+
+
+class TestServerDiarizeStereo:
+    """diarize=true + stereo wav: channel-energy speaker prefixes in the
+    text/srt outputs (server.cpp output_str + estimate_diarization_speaker),
+    exercised on a random-weight model that emits real segments."""
+
+    @pytest.fixture(scope="class")
+    def server(self, tmp_path_factory, ref_models):
+        import jax.numpy as jnp  # noqa: F811
+        from open_whisper_kit_tpu.io import ggml_whisper, quant
+        from open_whisper_kit_tpu.io.ggml_writer import write_checkpoint
+        from open_whisper_kit_tpu.models.whisper import model as M
+        from open_whisper_kit_tpu.models.whisper.export import (
+            tensors_from_params)
+        cfg = M.WhisperConfig(
+            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
+            n_text_layer=2, n_mels=80)
+        hp = ggml_whisper.WhisperHParams(
+            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
+            n_text_layer=2, n_mels=80, ftype=1, qntvr=0)
+        real = ggml_whisper.load_checkpoint(
+            ref_models / "for-tests-ggml-tiny.en.bin", load_tensors=False)
+        params = M.init_params(cfg, seed=0, dtype=jnp.float32)
+        path = tmp_path_factory.mktemp("dsrv") / "tiny-rand-f16.bin"
+        write_checkpoint(path, hp, real.mel_filters, real.tokens,
+                         tensors_from_params(cfg, params),
+                         wtype=quant.GGML_TYPE_F16)
+        from open_whisper_kit_tpu.server.http_server import serve
+        srv = serve(str(path), port=0, dtype=jnp.float32)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    @staticmethod
+    def _stereo_wav(seconds=2):
+        import io as _io
+        import wave
+        rng = np.random.default_rng(5)
+        left = 0.2 * rng.standard_normal(16000 * seconds)
+        right = 0.002 * rng.standard_normal(16000 * seconds)
+        x = (np.stack([left, right], axis=1) * 32767).astype(np.int16)
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    def test_diarize_speaker_prefix(self, server):
+        body, ctype = _multipart({"file": self._stereo_wav(),
+                                  "response_format": b"text",
+                                  "diarize": b"true"})
+        req = urllib.request.Request(f"{server}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = r.read().decode()
+        assert "(speaker 0)" in out    # left channel carries the energy
+
+    def test_srt_offset_n(self, server):
+        body, ctype = _multipart({"file": self._stereo_wav(),
+                                  "response_format": b"srt",
+                                  "offset_n": b"7"})
+        req = urllib.request.Request(f"{server}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = r.read().decode()
+        first_idx = out.splitlines()[0].strip()
+        assert first_idx == "8"        # i + 1 + offset_n (server.cpp:1013)
