@@ -26,13 +26,19 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 class ServerState:
     def __init__(self, model_path: str, dtype=None, mesh=None,
                  batch_window_ms: float = 0.0, max_batch: int = 8,
-                 vad_model: str | None = None):
+                 vad_model: str | None = None, request_path: str = "",
+                 inference_path: str = "/inference",
+                 public_path: str | None = None, convert: bool = False):
         self.lock = threading.Lock()
         self.model_path = model_path
         self._dtype = dtype
         self._mesh = mesh
         self._transcriber = None
         self.vad_model = vad_model     # --vad-model (server.cpp -vm)
+        self.request_path = request_path        # server.cpp --request-path
+        self.inference_path = inference_path    # server.cpp --inference-path
+        self.public_path = public_path          # server.cpp --public
+        self.convert = convert                  # server.cpp --convert
         self.batcher = (RequestBatcher(self, batch_window_ms, max_batch)
                         if batch_window_ms > 0 and max_batch > 1 else None)
 
@@ -185,8 +191,29 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
     return fields
 
 
-def _load_audio_bytes(data: bytes, stereo: bool = False):
+def _load_audio_bytes(data: bytes, stereo: bool = False,
+                      convert: bool = False):
+    """Decode an uploaded payload; `convert` transcodes via ffmpeg first
+    (server.cpp --convert / convert_to_wav, server.cpp:321-343)."""
     from ..audio.wav import load_wav
+    if convert:
+        import shutil
+        import subprocess
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError(
+                "--convert requires ffmpeg on the server (not found)")
+        with tempfile.NamedTemporaryFile(suffix=".bin") as src, \
+                tempfile.NamedTemporaryFile(suffix=".wav") as dst:
+            src.write(data)
+            src.flush()
+            r = subprocess.run(
+                ["ffmpeg", "-y", "-i", src.name, "-ar", "16000",
+                 "-ac", "1", "-c:a", "pcm_s16le", dst.name],
+                capture_output=True, text=True)
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"ffmpeg conversion failed: {r.stderr[-300:]}")
+            return load_wav(dst.name, stereo=stereo)
     with tempfile.NamedTemporaryFile(suffix=".wav") as f:
         f.write(data)
         f.flush()
@@ -207,15 +234,42 @@ def make_handler(state: ServerState):
             pass
 
         def do_GET(self):
-            if self.path == "/health":
+            rp = state.request_path
+            if self.path == rp + "/health":
                 self._send(200, json.dumps({"status": "ok"}))
+            elif state.public_path is not None:
+                # static demo assets (server.cpp --public)
+                import mimetypes
+                import os.path
+                rel = self.path[len(rp):].lstrip("/") or "index.html"
+                full = os.path.realpath(
+                    os.path.join(state.public_path, rel))
+                root = os.path.realpath(state.public_path)
+                if not full.startswith(root + os.sep) and full != root:
+                    self._send(404, json.dumps({"error": "not found"}))
+                    return
+                if os.path.isdir(full):
+                    full = os.path.join(full, "index.html")
+                if not os.path.isfile(full):
+                    self._send(404, json.dumps({"error": "not found"}))
+                    return
+                ctype = (mimetypes.guess_type(full)[0]
+                         or "application/octet-stream")
+                with open(full, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             else:
                 self._send(404, json.dumps({"error": "not found"}))
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
-            if self.path == "/load":
+            rp = state.request_path
+            if self.path == rp + "/load":
                 try:
                     ctype = self.headers.get("Content-Type", "")
                     if ctype.startswith("application/x-www-form-urlencoded"):
@@ -232,7 +286,7 @@ def make_handler(state: ServerState):
                 except Exception as e:  # noqa: BLE001
                     self._send(500, json.dumps({"error": str(e)}))
                 return
-            if self.path != "/inference":
+            if self.path != rp + state.inference_path:
                 self._send(404, json.dumps({"error": "not found"}))
                 return
 
@@ -316,14 +370,16 @@ def make_handler(state: ServerState):
 
                 stereo = None
                 if diarize:
-                    data = _load_audio_bytes(fields["file"], stereo=True)
+                    data = _load_audio_bytes(fields["file"], stereo=True,
+                                             convert=state.convert)
                     if data.ndim == 2 and data.shape[1] == 2:
                         stereo = data
                         audio = data.mean(axis=1)
                     else:
                         audio = data if data.ndim == 1 else data[:, 0]
                 else:
-                    audio = _load_audio_bytes(fields["file"])
+                    audio = _load_audio_bytes(fields["file"],
+                                              convert=state.convert)
 
                 res = state.run(p, audio)
 
@@ -409,7 +465,9 @@ def make_handler(state: ServerState):
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           dtype=None, mesh=None, batch_window_ms: float = 0.0,
-          max_batch: int = 8, vad_model: str | None = None
+          max_batch: int = 8, vad_model: str | None = None,
+          request_path: str = "", inference_path: str = "/inference",
+          public_path: str | None = None, convert: bool = False
           ) -> ThreadingHTTPServer:
     """`mesh`: serve with dp/tp-sharded weights (api.Transcriber(mesh=));
     the multi-chip serving entry point (--mesh on the CLI).
@@ -418,7 +476,9 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     dispatch (RequestBatcher) instead of serializing behind the lock."""
     state = ServerState(model_path, dtype, mesh=mesh,
                         batch_window_ms=batch_window_ms, max_batch=max_batch,
-                        vad_model=vad_model)
+                        vad_model=vad_model, request_path=request_path,
+                        inference_path=inference_path,
+                        public_path=public_path, convert=convert)
     server = ThreadingHTTPServer((host, port), make_handler(state))
     server.state = state        # introspection (tests, shutdown hooks)
     return server
@@ -446,14 +506,29 @@ def main(argv=None) -> int:
                     help="max requests per batched dispatch")
     ap.add_argument("-vm", "--vad-model", default=None,
                     help="Silero VAD model for requests with vad=true")
+    ap.add_argument("--request-path", default="",
+                    help="prefix for all routes (server.cpp --request-path)")
+    ap.add_argument("--inference-path", default="/inference")
+    ap.add_argument("--public", default=None,
+                    help="serve static files from this folder on GET")
+    ap.add_argument("--convert", action="store_true",
+                    help="transcode uploads to 16 kHz wav via ffmpeg")
     args = ap.parse_args(argv)
+    if args.convert:
+        import shutil
+        if shutil.which("ffmpeg") is None:
+            print("warning: --convert requested but ffmpeg was not found; "
+                  "non-wav uploads will fail")
     mesh = None
     if args.mesh:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(tp=args.tp)
     server = serve(args.model, args.host, args.port, mesh=mesh,
                    batch_window_ms=args.batch_window_ms,
-                   max_batch=args.max_batch, vad_model=args.vad_model)
+                   max_batch=args.max_batch, vad_model=args.vad_model,
+                   request_path=args.request_path,
+                   inference_path=args.inference_path,
+                   public_path=args.public, convert=args.convert)
     print(f"whisper server listening on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

@@ -496,3 +496,75 @@ class TestServerDiarizeStereo:
             out = r.read().decode()
         first_idx = out.splitlines()[0].strip()
         assert first_idx == "8"        # i + 1 + offset_n (server.cpp:1013)
+
+
+class TestServerRouting:
+    """--request-path / --inference-path / --public / --convert
+    (server.cpp sparams)."""
+
+    @pytest.fixture(scope="class")
+    def server(self, ref_models, tmp_path_factory):
+        pub = tmp_path_factory.mktemp("public")
+        (pub / "index.html").write_text("<html>demo</html>")
+        (pub / "app.js").write_text("var x = 1;")
+        from open_whisper_kit_tpu.server.http_server import serve
+        srv = serve(str(ref_models / "for-tests-ggml-tiny.en.bin"),
+                    port=0, dtype=jnp.float32, request_path="/v1",
+                    inference_path="/transcribe", public_path=str(pub))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_prefixed_health_and_inference(self, server, jfk_wav):
+        with urllib.request.urlopen(f"{server}/v1/health") as r:
+            assert json.loads(r.read()) == {"status": "ok"}
+        body, ctype = _multipart({"file": jfk_wav.read_bytes(),
+                                  "response_format": b"json"})
+        req = urllib.request.Request(f"{server}/v1/transcribe", data=body,
+                                     headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert "text" in json.loads(r.read())
+        # the unprefixed route is gone
+        req = urllib.request.Request(f"{server}/inference", data=body,
+                                     headers={"Content-Type": ctype})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "unprefixed route should 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+    def test_static_public_files(self, server):
+        with urllib.request.urlopen(f"{server}/v1/") as r:
+            assert b"demo" in r.read()
+        with urllib.request.urlopen(f"{server}/v1/app.js") as r:
+            assert r.headers.get("Content-Type").startswith(
+                ("text/javascript", "application/javascript"))
+        try:
+            urllib.request.urlopen(f"{server}/v1/../../etc/passwd")
+            traversal_blocked = False
+        except urllib.error.HTTPError as e:
+            traversal_blocked = e.code == 404
+        assert traversal_blocked
+
+    def test_convert_without_ffmpeg_errors_cleanly(self, ref_models,
+                                                   jfk_wav):
+        import shutil
+        if shutil.which("ffmpeg"):
+            pytest.skip("ffmpeg present; conversion would succeed")
+        from open_whisper_kit_tpu.server.http_server import serve
+        srv = serve(str(ref_models / "for-tests-ggml-tiny.en.bin"),
+                    port=0, dtype=jnp.float32, convert=True)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            body, ctype = _multipart({"file": jfk_wav.read_bytes()})
+            req = urllib.request.Request(f"{url}/inference", data=body,
+                                         headers={"Content-Type": ctype})
+            try:
+                urllib.request.urlopen(req, timeout=120)
+                assert False, "expected 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "ffmpeg" in json.loads(e.read())["error"]
+        finally:
+            srv.shutdown()
