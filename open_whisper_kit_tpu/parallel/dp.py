@@ -42,6 +42,13 @@ def _batch_route_eligible(ctx: F.WhisperContext, p: FullParams) -> bool:
             and not p.vad          # lockstep has no VAD pre-filter/remap;
                                    # full_parallel applies VAD up front and
                                    # re-routes with vad=False
+            and p.offset_ms == 0   # no seek-start handling: seeking keeps
+                                   # the skipped prefix in the chunk's
+                                   # mel-normalization window, which the
+                                   # lockstep per-chunk mel cannot reproduce
+            and not p.detect_language
+            and p.language != "auto"  # lockstep prompts have no per-chunk
+                                      # language auto-detection
             and p.no_context
             and not p.token_timestamps
             and not p.dtw_token_timestamps
@@ -100,23 +107,21 @@ def full_parallel(ctx: F.WhisperContext, params: FullParams,
         params, vad=False, offset_ms=0, print_progress=False,
         new_segment_callback=None, progress_callback=None)
 
-    if _batch_route_eligible(ctx, params):
-        # chunk 0 keeps its offset_ms semantics by pre-slicing
-        off0 = offset_samples
-        b_chunks = [chunks[0][off0:]] + chunks[1:]
+    # eligibility is judged with vad cleared (it was applied above) but
+    # offset_ms as-is: seeking changes chunk 0's mel-normalization window
+    # (the skipped prefix still participates in the whole-chunk mel max,
+    # whisper.cpp whisper_full seeks AFTER pcm_to_mel), so a non-zero
+    # offset routes to the threaded path, which reproduces that exactly.
+    # print/callback fields also keep their original values so those
+    # route sequentially too (chunk 0 prints live there, as in the
+    # reference thread model).
+    if _batch_route_eligible(ctx, dataclasses.replace(params, vad=False)):
         from ..decode.batch import transcribe_chunks_with_timings
         seg_lists, timings = transcribe_chunks_with_timings(
-            ctx, dataclasses.replace(p_rest, offset_ms=0), b_chunks,
-            cross_kv_int8=params.cross_kv_int8)
-        chunk_results = []
-        for i, segs in enumerate(seg_lists):
-            if i == 0 and off0:
-                # re-apply chunk 0's offset (timestamps are chunk-local)
-                for s in segs:
-                    s.t0 += 100 * off0 // SAMPLE_RATE
-                    s.t1 += 100 * off0 // SAMPLE_RATE
-            chunk_results.append(F.TranscribeResult(segments=segs,
-                                                    timings=timings[i]))
+            ctx, p_rest, chunks, cross_kv_int8=params.cross_kv_int8)
+        chunk_results = [
+            F.TranscribeResult(segments=segs, timings=timings[i])
+            for i, segs in enumerate(seg_lists)]
     else:
         # the reference's model: one OS thread per chunk, shared read-only
         # weights, independent states (whisper.cpp:7856-7861)

@@ -29,7 +29,8 @@ class ServerState:
                  vad_model: str | None = None, request_path: str = "",
                  inference_path: str = "/inference",
                  public_path: str | None = None, convert: bool = False):
-        self.lock = threading.Lock()
+        # RLock: load() holds it while the transcriber property re-enters
+        self.lock = threading.RLock()
         self.model_path = model_path
         self._dtype = dtype
         self._mesh = mesh
@@ -45,13 +46,15 @@ class ServerState:
     @property
     def transcriber(self):
         if self._transcriber is None:
-            import jax.numpy as jnp
+            with self.lock:         # one lazy init even under concurrency
+                if self._transcriber is None:
+                    import jax.numpy as jnp
 
-            from ..api import Transcriber
-            self._transcriber = Transcriber(
-                model_path=self.model_path,
-                dtype=self._dtype or jnp.bfloat16,
-                mesh=self._mesh)
+                    from ..api import Transcriber
+                    self._transcriber = Transcriber(
+                        model_path=self.model_path,
+                        dtype=self._dtype or jnp.bfloat16,
+                        mesh=self._mesh)
         return self._transcriber
 
     def load(self, model_path: str):
@@ -61,11 +64,15 @@ class ServerState:
             _ = self.transcriber
 
     def run(self, p, audio):
-        """One /inference request -> TranscribeResult (batched if enabled)."""
+        """One /inference request -> (TranscribeResult, transcriber).
+        The transcriber that produced the result is returned so response
+        formatting (vocab lookups, language detection) stays pinned to
+        the SAME model even if POST /load hot-swaps it mid-flight."""
         if self.batcher is not None:
             return self.batcher.submit(p, audio)
         with self.lock:
-            return self.transcriber.full(p, audio)
+            tr = self.transcriber
+            return tr.full(p, audio), tr
 
 
 class _Req:
@@ -75,6 +82,7 @@ class _Req:
         self.key = key
         self.done = threading.Event()
         self.result = None
+        self.transcriber = None
         self.error: Exception | None = None
 
 
@@ -109,16 +117,22 @@ class RequestBatcher:
     @staticmethod
     def _key(p):
         """Requests batch together only with IDENTICAL decode params
-        (one FullParams drives the whole lockstep group)."""
+        (one FullParams drives the whole lockstep group) — every scalar
+        the /inference handler can set that affects decoding or the QA
+        gates must appear here."""
         return (p.language, p.translate, p.temperature, p.temperature_inc,
                 p.no_timestamps, p.audio_ctx, p.initial_prompt,
-                p.greedy.best_of)
+                p.greedy.best_of, p.suppress_nst, p.tdrz_enable,
+                p.entropy_thold, p.logprob_thold, p.no_speech_thold,
+                p.max_len, p.split_on_word, p.n_max_text_ctx,
+                p.duration_ms, p.debug_mode)
 
     def submit(self, p, audio):
         from ..parallel.dp import _batch_route_eligible
         if not _batch_route_eligible(self.state.transcriber.ctx, p):
             with self.state.lock:
-                return self.state.transcriber.full(p, audio)
+                tr = self.state.transcriber
+                return tr.full(p, audio), tr
         req = _Req(p, audio, self._key(p))
         with self.cv:
             self.pending.append(req)
@@ -126,7 +140,7 @@ class RequestBatcher:
         req.done.wait()
         if req.error is not None:
             raise req.error
-        return req.result
+        return req.result, req.transcriber
 
     def _run(self):
         while True:
@@ -165,6 +179,7 @@ class RequestBatcher:
                                for s, t in zip(segs, tims)]
             for r, res in zip(reqs, results):
                 r.result = res
+                r.transcriber = tr
                 r.done.set()
         except Exception as e:  # noqa: BLE001
             for r in reqs:
@@ -234,14 +249,18 @@ def make_handler(state: ServerState):
             pass
 
         def do_GET(self):
+            from urllib.parse import unquote, urlsplit
             rp = state.request_path
-            if self.path == rp + "/health":
+            path = urlsplit(self.path).path     # drop any query string
+            if path == rp + "/health":
                 self._send(200, json.dumps({"status": "ok"}))
+            elif rp and path != rp and not path.startswith(rp + "/"):
+                self._send(404, json.dumps({"error": "not found"}))
             elif state.public_path is not None:
                 # static demo assets (server.cpp --public)
                 import mimetypes
                 import os.path
-                rel = self.path[len(rp):].lstrip("/") or "index.html"
+                rel = unquote(path[len(rp):]).lstrip("/") or "index.html"
                 full = os.path.realpath(
                     os.path.join(state.public_path, rel))
                 root = os.path.realpath(state.public_path)
@@ -381,7 +400,7 @@ def make_handler(state: ServerState):
                     audio = _load_audio_bytes(fields["file"],
                                               convert=state.convert)
 
-                res = state.run(p, audio)
+                res, tr = state.run(p, audio)
 
                 from ..cli import outputs as O
 
@@ -417,8 +436,7 @@ def make_handler(state: ServerState):
                         # language probabilities block (server.cpp:1051-1063)
                         from ..audio import mel as mel_mod
                         from ..decode import full as Fmod
-                        with state.lock:
-                            tr = state.transcriber
+                        with state.lock:   # serialize device access
                             mel = mel_mod.log_mel_spectrogram(
                                 audio, tr.ctx.filters)
                             lid, probs = Fmod.detect_language(tr.ctx, mel)
@@ -435,7 +453,7 @@ def make_handler(state: ServerState):
                             seg["start"] = s.t0 / 100.0
                             seg["end"] = s.t1 / 100.0
                         total_logprob = 0.0
-                        vocab = state.transcriber.ctx.vocab
+                        vocab = tr.ctx.vocab
                         for t in s.tokens:
                             if t.id >= vocab.token_eot:  # server.cpp:1081
                                 continue

@@ -219,6 +219,33 @@ class TestBindingWireFormats:
         assert status == 200
 
 
+def _write_rand_ckpt(tmp_dir, ref_models):
+    """Small random model with the real vocab (emits real segments,
+    unlike the stub checkpoints). Shared by the batching and diarize
+    server fixtures."""
+    from open_whisper_kit_tpu.io import ggml_whisper, quant
+    from open_whisper_kit_tpu.io.ggml_writer import write_checkpoint
+    from open_whisper_kit_tpu.models.whisper import model as M
+    from open_whisper_kit_tpu.models.whisper.export import (
+        tensors_from_params)
+    cfg = M.WhisperConfig(
+        n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
+        n_text_layer=2, n_mels=80)
+    hp = ggml_whisper.WhisperHParams(
+        n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
+        n_text_layer=2, n_mels=80, ftype=1, qntvr=0)
+    real = ggml_whisper.load_checkpoint(
+        ref_models / "for-tests-ggml-tiny.en.bin", load_tensors=False)
+    params = M.init_params(cfg, seed=0, dtype=jnp.float32)
+    path = tmp_dir / "tiny-rand-f16.bin"
+    write_checkpoint(path, hp, real.mel_filters, real.tokens,
+                     tensors_from_params(cfg, params),
+                     wtype=quant.GGML_TYPE_F16)
+    return path
+
+
 class TestBatchingServer:
     """Dynamic request batching (server --batch-window-ms): concurrent
     greedy requests run as ONE lockstep device dispatch. The batched
@@ -231,30 +258,7 @@ class TestBatchingServer:
 
     @pytest.fixture(scope="class")
     def rand_ckpt(self, tmp_path_factory, ref_models):
-        """Small random model with the real vocab (emits real segments,
-        unlike the stub checkpoints)."""
-        import jax.numpy as jnp  # noqa: F811
-        from open_whisper_kit_tpu.io import ggml_whisper, quant
-        from open_whisper_kit_tpu.io.ggml_writer import write_checkpoint
-        from open_whisper_kit_tpu.models.whisper import model as M
-        from open_whisper_kit_tpu.models.whisper.export import (
-            tensors_from_params)
-        cfg = M.WhisperConfig(
-            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
-            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
-            n_text_layer=2, n_mels=80)
-        hp = ggml_whisper.WhisperHParams(
-            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
-            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
-            n_text_layer=2, n_mels=80, ftype=1, qntvr=0)
-        real = ggml_whisper.load_checkpoint(
-            ref_models / "for-tests-ggml-tiny.en.bin", load_tensors=False)
-        params = M.init_params(cfg, seed=0, dtype=jnp.float32)
-        path = tmp_path_factory.mktemp("bsrv") / "tiny-rand-f16.bin"
-        write_checkpoint(path, hp, real.mel_filters, real.tokens,
-                         tensors_from_params(cfg, params),
-                         wtype=quant.GGML_TYPE_F16)
-        return path
+        return _write_rand_ckpt(tmp_path_factory.mktemp("bsrv"), ref_models)
 
     @pytest.fixture(scope="class")
     def pair(self, rand_ckpt):
@@ -433,27 +437,7 @@ class TestServerDiarizeStereo:
 
     @pytest.fixture(scope="class")
     def server(self, tmp_path_factory, ref_models):
-        import jax.numpy as jnp  # noqa: F811
-        from open_whisper_kit_tpu.io import ggml_whisper, quant
-        from open_whisper_kit_tpu.io.ggml_writer import write_checkpoint
-        from open_whisper_kit_tpu.models.whisper import model as M
-        from open_whisper_kit_tpu.models.whisper.export import (
-            tensors_from_params)
-        cfg = M.WhisperConfig(
-            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
-            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
-            n_text_layer=2, n_mels=80)
-        hp = ggml_whisper.WhisperHParams(
-            n_vocab=51864, n_audio_ctx=64, n_audio_state=64, n_audio_head=4,
-            n_audio_layer=2, n_text_ctx=32, n_text_state=64, n_text_head=4,
-            n_text_layer=2, n_mels=80, ftype=1, qntvr=0)
-        real = ggml_whisper.load_checkpoint(
-            ref_models / "for-tests-ggml-tiny.en.bin", load_tensors=False)
-        params = M.init_params(cfg, seed=0, dtype=jnp.float32)
-        path = tmp_path_factory.mktemp("dsrv") / "tiny-rand-f16.bin"
-        write_checkpoint(path, hp, real.mel_filters, real.tokens,
-                         tensors_from_params(cfg, params),
-                         wtype=quant.GGML_TYPE_F16)
+        path = _write_rand_ckpt(tmp_path_factory.mktemp("dsrv"), ref_models)
         from open_whisper_kit_tpu.server.http_server import serve
         srv = serve(str(path), port=0, dtype=jnp.float32)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -533,8 +517,24 @@ class TestServerRouting:
         except urllib.error.HTTPError as e:
             assert e.code == 404
 
+    def test_query_string_and_prefix_gate(self, server):
+        # query strings are stripped before route matching (server.cpp
+        # uses the parsed path; ours must too)
+        with urllib.request.urlopen(f"{server}/v1/health?probe=1") as r:
+            assert json.loads(r.read()) == {"status": "ok"}
+        # GETs outside the prefix 404 instead of falling through to the
+        # static handler
+        try:
+            urllib.request.urlopen(f"{server}/other/health")
+            assert False, "outside-prefix GET should 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
     def test_static_public_files(self, server):
         with urllib.request.urlopen(f"{server}/v1/") as r:
+            assert b"demo" in r.read()
+        # percent-encoded paths are decoded before the filesystem lookup
+        with urllib.request.urlopen(f"{server}/v1/%69ndex.html") as r:
             assert b"demo" in r.read()
         with urllib.request.urlopen(f"{server}/v1/app.js") as r:
             assert r.headers.get("Content-Type").startswith(
