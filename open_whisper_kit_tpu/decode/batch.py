@@ -348,7 +348,8 @@ def _lockstep_chunks(ctx: F.WhisperContext, p: FullParams,
                    jnp.asarray(active_np), prompt, kv_k, kv_v,
                    base_mask, init_mask, jnp.int32(vocab.token_nosp),
                    jnp.asarray(ends), mega=mega)
-        res = jax.tree.map(np.asarray, res)
+        from ..parallel.mesh import fetch_np
+        res = jax.tree.map(fetch_np, res)
         round_ms = (_time.perf_counter() - t0) * 1e3
         n_active = max(1, int(active_np.sum()))
 

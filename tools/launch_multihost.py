@@ -26,6 +26,9 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(argv=None) -> int:
@@ -63,18 +66,22 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     mesh = X.make_mesh(tp=args.tp)
-    tr = api.Transcriber(model_path=args.model, dtype=jnp.bfloat16)
-    specs = X.prepared_param_specs(tr.ctx.cfg)
-    tr.ctx.params = X.shard_params(tr.ctx.params, mesh, specs)
+    # production mesh path: the constructor shards the prepared weights
+    # (parallel/mesh.py shard_context_params) and every batched entry
+    # point dp-shards its chunk axis — same code path as single-host
+    # Transcriber(mesh=), validated multi-process by tests/test_multihost.py
+    tr = api.Transcriber(model_path=args.model, dtype=jnp.bfloat16, mesh=mesh)
 
     # every host must execute the same jitted programs in the same order;
     # files are therefore broadcast (each host reads its own copy) and the
-    # windows inside each file are what parallelize over dp.
-    params = FullParams()
+    # chunks inside each file are what parallelize over dp
+    # (whisper_full_parallel chunk-split semantics, src/whisper.cpp:7801).
+    params = FullParams(print_progress=False)
     with mesh:
         for fname in args.files:
             audio = load_wav(fname)
-            res = tr.full(params, audio)
+            res = tr.full_parallel(params, audio,
+                                   n_processors=mesh.shape["dp"])
             if pid == 0:
                 for s in res.segments:
                     print(f"[{s.t0/100:8.2f} --> {s.t1/100:8.2f}] {s.text}")
