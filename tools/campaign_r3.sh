@@ -24,6 +24,8 @@ run grouped_large_v2 python tools/bench_grouped_ab.py large-v2
 run batch_ab python tools/bench_batch_ab.py
 # 4. beam kernel re-verify
 run beam_ab python tools/bench_beam_ab.py
+# 4a. beam-5 e2e component breakdown (VERDICT #5's fallback deliverable)
+run beam_profile python tools/profile_beam_e2e.py
 # 4b. speculative-decode components (draft XLA vs mega; modeled speedup)
 run spec_ab python tools/bench_spec_ab.py
 # 5. clean second bench pass (fully warm cache)
