@@ -28,7 +28,8 @@ def params():
 
 
 def t(x):
-    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+    # np.asarray of a jax.Array is read-only; copy so torch doesn't warn
+    return torch.from_numpy(np.array(x, dtype=np.float32))
 
 
 def torch_ln(x, w, b, eps=1e-5):
@@ -132,7 +133,7 @@ def test_decoder_matches_torch_oracle(params):
         CFG, params["decoder"], jnp.asarray(tokens), kv_k, kv_v,
         jnp.int32(0), xk, xv)
 
-    want = torch_decode(params, tokens, torch.from_numpy(np.asarray(enc_out))).numpy()
+    want = torch_decode(params, tokens, torch.from_numpy(np.array(enc_out))).numpy()
     np.testing.assert_allclose(np.asarray(logits), want, atol=5e-3)
 
 
@@ -182,7 +183,7 @@ def test_beam_reorder(params):
 
     # oracle: full decode of the source beams with the same next token
     toks_src = np.concatenate([toks[np.asarray(src)], nxt], axis=1)
-    enc_src = torch.from_numpy(np.asarray(enc_out))[torch.from_numpy(np.asarray(src))]
+    enc_src = torch.from_numpy(np.array(enc_out))[torch.from_numpy(np.array(src))]
     want = torch_decode(params, toks_src, enc_src).numpy()[:, -1]
     np.testing.assert_allclose(np.asarray(logits2)[:, -1], want, atol=5e-3)
 
