@@ -45,6 +45,10 @@ def _encode_tensor(data: np.ndarray, ttype: int) -> bytes:
         return _quantize_q4_1(flat)
     if ttype == quant.GGML_TYPE_Q5_1:
         return _quantize_q5_1(flat)
+    if ttype == quant.GGML_TYPE_Q2_K:
+        return quant.quantize_q2_K(flat)
+    if ttype == quant.GGML_TYPE_Q3_K:
+        return quant.quantize_q3_K(flat)
     if ttype == quant.GGML_TYPE_Q4_K:
         return quant.quantize_q4_K(flat)
     if ttype == quant.GGML_TYPE_Q5_K:
@@ -104,15 +108,18 @@ def _quantize_q5_1(x: np.ndarray) -> bytes:
 FTYPE_FOR_TYPE = {
     quant.GGML_TYPE_F32: 0, quant.GGML_TYPE_F16: 1, quant.GGML_TYPE_Q4_0: 2,
     quant.GGML_TYPE_Q4_1: 3, quant.GGML_TYPE_Q8_0: 7, quant.GGML_TYPE_Q5_0: 8,
-    quant.GGML_TYPE_Q5_1: 9, quant.GGML_TYPE_Q4_K: 12, quant.GGML_TYPE_Q5_K: 13,
-    quant.GGML_TYPE_Q6_K: 14,   # ggml.h:450-454 GGML_FTYPE_MOSTLY_Q*_K
+    quant.GGML_TYPE_Q5_1: 9, quant.GGML_TYPE_Q2_K: 10,
+    quant.GGML_TYPE_Q3_K: 11, quant.GGML_TYPE_Q4_K: 12,
+    quant.GGML_TYPE_Q5_K: 13,
+    quant.GGML_TYPE_Q6_K: 14,   # ggml.h:448-454 GGML_FTYPE_MOSTLY_Q*_K
 }
 
 TYPE_FOR_NAME = {
     "f32": quant.GGML_TYPE_F32, "f16": quant.GGML_TYPE_F16,
     "q4_0": quant.GGML_TYPE_Q4_0, "q4_1": quant.GGML_TYPE_Q4_1,
     "q5_0": quant.GGML_TYPE_Q5_0, "q5_1": quant.GGML_TYPE_Q5_1,
-    "q8_0": quant.GGML_TYPE_Q8_0, "q4_k": quant.GGML_TYPE_Q4_K,
+    "q8_0": quant.GGML_TYPE_Q8_0, "q2_k": quant.GGML_TYPE_Q2_K,
+    "q3_k": quant.GGML_TYPE_Q3_K, "q4_k": quant.GGML_TYPE_Q4_K,
     "q5_k": quant.GGML_TYPE_Q5_K, "q6_k": quant.GGML_TYPE_Q6_K,
 }
 

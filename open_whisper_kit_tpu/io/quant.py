@@ -702,6 +702,18 @@ def _nearest_int(x: np.ndarray) -> np.ndarray:
     return np.rint(x).astype(np.int32)
 
 
+def _seq_sum(a: np.ndarray) -> np.ndarray:
+    """(G, n) float32 -> (G,) float32, accumulated STRICTLY left-to-right
+    over n.  numpy's .sum() uses 8-way-unrolled pairwise accumulation even
+    for tiny n, which differs from the reference coder's sequential C
+    loops at the last ulp — enough to flip nearest_int/grid-search
+    decisions and break byte parity with quantize_row_*_ref."""
+    acc = a[:, 0].astype(np.float32).copy()
+    for i in range(1, a.shape[1]):
+        acc += a[:, i]
+    return acc
+
+
 def _make_qx_quants(x: np.ndarray, nmax: int):
     """Signed symmetric quant with weighted-RMSE scale search (rmse_type=1).
 
@@ -718,8 +730,8 @@ def _make_qx_quants(x: np.ndarray, nmax: int):
     def trial(iscale):
         l = np.clip(_nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
         lf = l.astype(np.float32)
-        sumlx = (w * x * lf).sum(axis=1, dtype=np.float32)
-        suml2 = (w * lf * lf).sum(axis=1, dtype=np.float32)
+        sumlx = _seq_sum(w * x * lf)
+        suml2 = _seq_sum(w * lf * lf)
         return l, sumlx, suml2
 
     L, sumlx, suml2 = trial((np.float32(-nmax) / maxv_safe).astype(np.float32))
@@ -743,33 +755,46 @@ def _make_qx_quants(x: np.ndarray, nmax: int):
 
 
 def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
-                      rmin: float, rdelta: float, nstep: int):
+                      rmin: float, rdelta: float, nstep: int,
+                      use_mad: bool = False):
     """Asymmetric (scale, min) quant with grid search over iscale candidates.
 
     x, weights: (G, n) float32. Returns (scale (G,), the_min (G,), L (G, n)).
+    use_mad selects weighted |err| instead of err^2 (q2_K's variant).
     """
     x = x.astype(np.float32)
     weights = weights.astype(np.float32)
     minv = np.minimum(x.min(axis=1), np.float32(0))
     maxv = x.max(axis=1)
-    sum_w = weights.sum(axis=1, dtype=np.float32)
-    sum_x = (weights * x).sum(axis=1, dtype=np.float32)
+    sum_w = _seq_sum(weights)
+    sum_x = _seq_sum(weights * x)
     flat = maxv == minv
     rng = np.where(flat, np.float32(1), maxv - minv)
+
+    def err_of(diff):
+        e = np.abs(diff) if use_mad else diff * diff
+        return _seq_sum(weights * e)
 
     iscale = (np.float32(nmax) / rng).astype(np.float32)
     scale = np.float32(1) / iscale
     L = np.clip(_nearest_int(iscale[:, None] * (x - minv[:, None])), 0, nmax)
-    diff = scale[:, None] * L.astype(np.float32) + minv[:, None] - x
-    best_err = (weights * diff * diff).sum(axis=1, dtype=np.float32)
+    best_err = err_of(scale[:, None] * L.astype(np.float32)
+                      + minv[:, None] - x)
 
     for step in range(nstep + 1):
-        isc = ((np.float32(rmin + rdelta * step) + nmax) / rng).astype(np.float32)
+        # the C coder mutates `min` on every accepted step, so the range
+        # (max - min) must be recomputed per step, and the whole iscale
+        # expression must stay float32 with the C's association
+        # (rmin + rdelta*is + nmax)/(max - min) — both details flip
+        # nearest_int decisions and break byte parity otherwise
+        denom = np.where(flat, np.float32(1), maxv - minv)
+        isc = ((np.float32(rmin) + np.float32(rdelta) * np.float32(step)
+                + np.float32(nmax)) / denom).astype(np.float32)
         Laux = np.clip(_nearest_int(isc[:, None] * (x - minv[:, None])), 0, nmax)
         lf = Laux.astype(np.float32)
-        sum_l = (weights * lf).sum(axis=1, dtype=np.float32)
-        sum_l2 = (weights * lf * lf).sum(axis=1, dtype=np.float32)
-        sum_xl = (weights * lf * x).sum(axis=1, dtype=np.float32)
+        sum_l = _seq_sum(weights * lf)
+        sum_l2 = _seq_sum(weights * lf * lf)
+        sum_xl = _seq_sum(weights * lf * x)
         D = sum_w * sum_l2 - sum_l * sum_l
         Dok = D > 0
         Dsafe = np.where(Dok, D, np.float32(1))
@@ -779,8 +804,7 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
         l2safe = np.where(sum_l2 == 0, np.float32(1), sum_l2)
         ts = np.where(pos, sum_xl / l2safe, ts).astype(np.float32)
         tm = np.where(pos, np.float32(0), tm).astype(np.float32)
-        diff = ts[:, None] * lf + tm[:, None] - x
-        cur_err = (weights * diff * diff).sum(axis=1, dtype=np.float32)
+        cur_err = err_of(ts[:, None] * lf + tm[:, None] - x)
         upd = Dok & (cur_err < best_err) & ~flat
         L = np.where(upd[:, None], Laux, L)
         best_err = np.where(upd, cur_err, best_err)
@@ -827,11 +851,155 @@ def _kquant_scales_requant(x3, scales, mins, L, inv_max, nmax):
 
 def _qkx2_groups(x3: np.ndarray, nmax, rmin, rdelta, nstep):
     g = x3.reshape(-1, 32)
-    av = np.sqrt((g * g).sum(axis=1, dtype=np.float32) / np.float32(32))
+    av = np.sqrt(_seq_sum(g * g) / np.float32(32))
     w = av[:, None] + np.abs(g)
     scale, the_min, L = _make_qkx2_quants(g, w, nmax, rmin, rdelta, nstep)
     nb = x3.shape[0]
     return scale.reshape(nb, 8), the_min.reshape(nb, 8), L.reshape(nb, 8, 32)
+
+
+def _make_q3_quants_rmse(x: np.ndarray, nmax: int):
+    """Signed quant with per-element coordinate-descent RMSE refinement
+    (make_q3_quants do_rmse=true, ggml-quants.c:520). x: (G, n) float32.
+    Returns (scale (G,), L (G, n) in [0, 2*nmax-1])."""
+    x = x.astype(np.float32)
+    G, n = x.shape
+    aidx = np.abs(x).argmax(axis=1)
+    maxv = x[np.arange(G), aidx]
+    dead = np.abs(maxv) < _GROUP_EPS
+    iscale = np.float32(-nmax) / np.where(dead, np.float32(1), maxv)
+    L = np.clip(_nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
+    w = x * x
+    lf = L.astype(np.float32)
+    sumlx = _seq_sum(w * x * lf)
+    suml2 = _seq_sum(w * lf * lf)
+    # 5 sweeps of sequential per-element improvement; groups vectorized.
+    # (A group that converges early just no-ops through later sweeps.)
+    for _ in range(5):
+        for i in range(n):
+            wi, xi = w[:, i], x[:, i]
+            li = L[:, i].astype(np.float32)
+            slx = sumlx - wi * xi * li
+            sl2 = suml2 - wi * li * li
+            pos = slx > 0
+            new_l = np.clip(
+                _nearest_int(xi * sl2 / np.where(pos, slx, np.float32(1))),
+                -nmax, nmax - 1)
+            nlf = new_l.astype(np.float32)
+            slx2 = slx + wi * xi * nlf
+            sl22 = sl2 + wi * nlf * nlf
+            accept = (pos & (new_l != L[:, i]) & (sl22 > 0)
+                      & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22))
+            L[:, i] = np.where(accept, new_l, L[:, i])
+            sumlx = np.where(accept, slx2, sumlx)
+            suml2 = np.where(accept, sl22, suml2)
+    scale = np.where(suml2 > 0,
+                     sumlx / np.where(suml2 > 0, suml2, np.float32(1)),
+                     np.float32(0)).astype(np.float32)
+    L = L + nmax
+    return (np.where(dead, np.float32(0), scale),
+            np.where(dead[:, None], 0, L))
+
+
+def _pack_2bit(Lf: np.ndarray) -> np.ndarray:
+    """(nb, 256) codes in [0,3] -> (nb, 64) qs bytes (two 128-halves,
+    each byte packing elements l, l+32, l+64, l+96)."""
+    nb = Lf.shape[0]
+    qs = np.zeros((nb, 64), np.uint8)
+    for h in range(2):
+        b = Lf[:, 128 * h:128 * (h + 1)]
+        qs[:, 32 * h:32 * h + 32] = (b[:, :32] | (b[:, 32:64] << 2)
+                                     | (b[:, 64:96] << 4) | (b[:, 96:128] << 6))
+    return qs
+
+
+def quantize_q2_K(x: np.ndarray) -> bytes:
+    """Encode as q2_K super-blocks (ggml-quants.c:714 quantize_row_q2_K_ref):
+    16x 16-elem groups, MAD-metric (scale,min) search at nmax=3, 4-bit coded
+    group scales/mins, requantized 2-bit codes."""
+    x3 = np.ascontiguousarray(x, np.float32).reshape(-1, 16, 16)
+    nb = x3.shape[0]
+    g = x3.reshape(-1, 16)
+    scale, the_min, L = _make_qkx2_quants(
+        g, np.abs(g), 3, -0.5, 0.1, 15, use_mad=True)
+    scales = scale.reshape(nb, 16)
+    mins = the_min.reshape(nb, 16)
+    L = L.reshape(nb, 16, 16)
+
+    q4scale = np.float32(15)
+    max_scale, max_min = scales.max(axis=1), mins.max(axis=1)
+    has_s, has_m = max_scale > 0, max_min > 0
+    isc = q4scale / np.where(has_s, max_scale, np.float32(1))
+    ls = np.where(has_s[:, None], _nearest_int(isc[:, None] * scales), 0)
+    d16 = np.where(has_s, (max_scale / q4scale).astype(np.float16),
+                   np.float16(0))
+    ism = q4scale / np.where(has_m, max_min, np.float32(1))
+    lm = np.where(has_m[:, None], _nearest_int(ism[:, None] * mins), 0)
+    dmin16 = np.where(has_m, (max_min / q4scale).astype(np.float16),
+                      np.float16(0))
+    sb = (ls.astype(np.uint8) | (lm.astype(np.uint8) << 4))
+
+    deff = d16.astype(np.float32)[:, None] * (sb & 0xF)
+    dm = dmin16.astype(np.float32)[:, None] * (sb >> 4)
+    lq = np.clip(_nearest_int((x3 + dm[:, :, None])
+                              / np.where(deff == 0, 1, deff)[:, :, None]),
+                 0, 3)
+    L = np.where((deff != 0)[:, :, None], lq, L)
+    qs = _pack_2bit(L.reshape(nb, 256).astype(np.uint8))
+    blk = np.concatenate([sb, qs, d16.reshape(nb, 1).view(np.uint8),
+                          dmin16.reshape(nb, 1).view(np.uint8)], axis=1)
+    return blk.tobytes()
+
+
+def quantize_q3_K(x: np.ndarray) -> bytes:
+    """Encode as q3_K super-blocks (ggml-quants.c:1052 quantize_row_q3_K_ref):
+    16x 16-elem signed groups at nmax=4 with RMSE refinement, 6-bit packed
+    group scales, high bits split into hmask."""
+    x3 = np.ascontiguousarray(x, np.float32).reshape(-1, 16, 16)
+    nb = x3.shape[0]
+    scale, L = _make_q3_quants_rmse(x3.reshape(-1, 16), 4)
+    scales = scale.reshape(nb, 16)
+    L = L.reshape(nb, 16, 16)
+
+    aidx = np.abs(scales).argmax(axis=1)
+    max_scale = scales[np.arange(nb), aidx]
+    nz = max_scale != 0
+    iscale = np.float32(-32) / np.where(nz, max_scale, np.float32(1))
+    l6 = np.where(nz[:, None],
+                  np.clip(_nearest_int(iscale[:, None] * scales), -32, 31)
+                  + 32, 0).astype(np.uint8)
+    sb = np.zeros((nb, 12), np.uint8)
+    for j in range(16):
+        lj = l6[:, j]
+        if j < 8:
+            sb[:, j] |= lj & 0xF
+        else:
+            sb[:, j - 8] |= (lj & 0xF) << 4
+        sb[:, 8 + j % 4] |= (lj >> 4) << (2 * (j // 4))
+    d16 = np.where(nz, (np.float32(1) / iscale).astype(np.float16),
+                   np.float16(0))
+
+    # decode the 6-bit scales back exactly as the requant pass does
+    sc = np.empty((nb, 16), np.int32)
+    for j in range(16):
+        base = (sb[:, j] & 0xF) if j < 8 else (sb[:, j - 8] >> 4)
+        hi = (sb[:, 8 + j % 4] >> (2 * (j // 4))) & 3
+        sc[:, j] = (base.astype(np.int32) | (hi.astype(np.int32) << 4)) - 32
+    deff = d16.astype(np.float32)[:, None] * sc
+    lq = np.clip(_nearest_int(x3 / np.where(deff == 0, 1, deff)[:, :, None]),
+                 -4, 3) + 4
+    L = np.where((deff != 0)[:, :, None], lq, L)
+
+    Lf = L.reshape(nb, 256)
+    high = Lf > 3
+    Lf = np.where(high, Lf - 4, Lf).astype(np.uint8)
+    hmask = np.zeros((nb, 32), np.uint8)
+    for bit in range(8):
+        hmask |= (high[:, 32 * bit:32 * (bit + 1)].astype(np.uint8) << bit)
+    qs = _pack_2bit(Lf)
+    blk = np.concatenate([hmask, qs, sb,
+                          d16.reshape(nb, 1).view(np.uint8)], axis=1)
+    return blk.tobytes()
 
 
 def quantize_q4_K(x: np.ndarray) -> bytes:

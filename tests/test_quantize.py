@@ -100,24 +100,28 @@ def test_quantize_cli(ckpt_f16, tmp_path, capsys):
     assert main([str(ckpt_f16), str(out), "zzz"]) == 1
 
 
-@pytest.mark.parametrize("qtype", ["q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("qtype", ["q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 def test_kquant_checkpoint_loads(ckpt_f16, tmp_path, qtype):
     qpath = tmp_path / f"tiny-rand-{qtype}.bin"
     requantize(ckpt_f16, qpath, qtype)
     assert qpath.stat().st_size < ckpt_f16.stat().st_size
     ck = ggml_whisper.load_checkpoint(qpath)
-    assert ck.hparams.ftype == {"q4_k": 12, "q5_k": 13, "q6_k": 14}[qtype]
+    assert ck.hparams.ftype == {"q2_k": 10, "q3_k": 11, "q4_k": 12,
+                                "q5_k": 13, "q6_k": 14}[qtype]
     ref = ggml_whisper.load_checkpoint(ckpt_f16)
     name = "decoder.blocks.0.mlp.0.weight"
     w_ref, w_q = ref.to_float(name), ck.to_float(name)
     err = np.abs(w_ref - w_q).max() / (np.abs(w_ref).max() + 1e-9)
-    assert err < {"q4_k": 0.15, "q5_k": 0.08, "q6_k": 0.04}[qtype]
+    assert err < {"q2_k": 0.6, "q3_k": 0.3, "q4_k": 0.15, "q5_k": 0.08,
+                  "q6_k": 0.04}[qtype]
     # loads into a working model
     params = M.params_from_checkpoint(ck, dtype=jnp.float32)
     assert np.isfinite(np.asarray(params["decoder"]["te"], np.float32)).all()
 
 
 @pytest.mark.parametrize("enc,t,thr", [
+    (quant.quantize_q2_K, quant.GGML_TYPE_Q2_K, 0.45),
+    (quant.quantize_q3_K, quant.GGML_TYPE_Q3_K, 0.25),
     (quant.quantize_q4_K, quant.GGML_TYPE_Q4_K, 0.11),
     (quant.quantize_q5_K, quant.GGML_TYPE_Q5_K, 0.06),
     (quant.quantize_q6_K, quant.GGML_TYPE_Q6_K, 0.03),

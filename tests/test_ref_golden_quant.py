@@ -94,9 +94,37 @@ def test_decode_matches_reference(harness, t, tmp_path):
 
 
 WRITER_TYPES = [
-    quant.GGML_TYPE_Q8_0, quant.GGML_TYPE_Q5_0, quant.GGML_TYPE_Q4_K,
-    quant.GGML_TYPE_Q5_K, quant.GGML_TYPE_Q6_K,
+    quant.GGML_TYPE_Q8_0, quant.GGML_TYPE_Q5_0, quant.GGML_TYPE_Q2_K,
+    quant.GGML_TYPE_Q3_K, quant.GGML_TYPE_Q4_K, quant.GGML_TYPE_Q5_K,
+    quant.GGML_TYPE_Q6_K,
 ]
+
+
+@pytest.mark.parametrize("t", WRITER_TYPES,
+                         ids=[quant.type_name(t) for t in WRITER_TYPES])
+def test_our_encoding_matches_reference_bytes(harness, t, tmp_path):
+    """STRONGEST writer check: our encoder's bytes == the reference
+    quantize_row_*_ref bytes on the same input (the harness encodes with
+    ggml_quantize_chunk, which routes to the _ref coder when no imatrix
+    is given) — bit-exact coder parity, not just decodable layout."""
+    from open_whisper_kit_tpu.io.ggml_writer import _encode_tensor
+    n = 1024
+    rng = np.random.default_rng(200 + t)
+    src = (rng.standard_normal(n) * 0.5).astype(np.float32)
+    inp = tmp_path / "in.f32"
+    inp.write_bytes(src.tobytes())
+    out_q = tmp_path / "row.q"
+    out_f = tmp_path / "row.f32"
+    r = subprocess.run(
+        [str(harness), str(t), str(n), str(inp), str(out_q), str(out_f)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:]
+    ours = _encode_tensor(src, t)
+    theirs = out_q.read_bytes()
+    assert ours == theirs, (
+        f"{quant.type_name(t)}: first differing byte at "
+        f"{next(i for i, (a, b) in enumerate(zip(ours, theirs)) if a != b)}"
+        f" of {len(theirs)}")
 
 
 @pytest.mark.parametrize("t", WRITER_TYPES,
