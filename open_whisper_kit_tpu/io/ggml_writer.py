@@ -158,11 +158,14 @@ def write_checkpoint(path: str | Path, hparams: WhisperHParams,
                 use = quant.GGML_TYPE_F32
             elif use not in (quant.GGML_TYPE_F32, quant.GGML_TYPE_F16):
                 blk, _ = quant.block_info(use)
-                if data.size % blk != 0:
-                    # K-quants need 256-element super-blocks; the reference
-                    # tool would abort here (ggml_quantize_chunk asserts) —
-                    # we keep the tensor f16 instead so e.g. tiny (d=384)
-                    # still converts.
+                if data.shape[-1] % blk != 0:
+                    # every ggml row op assumes a row is a whole number of
+                    # blocks (ne[0] % block == 0; ggml_quantize_chunk
+                    # asserts n_per_row % QK_K), so gate per ROW — a
+                    # size-divisible 384-row K-quant tensor would encode
+                    # but misparse in the reference runtime. Fall back to
+                    # f16 (e.g. tiny's d=384 attn weights under K-quants);
+                    # the reference tool itself just aborts here.
                     use = quant.GGML_TYPE_F16
             blob = _encode_tensor(data, use)
             dims = list(reversed(data.shape))

@@ -100,14 +100,43 @@ def test_quantize_cli(ckpt_f16, tmp_path, capsys):
     assert main([str(ckpt_f16), str(out), "zzz"]) == 1
 
 
+CFG256 = M.WhisperConfig(
+    n_vocab=1024, n_audio_ctx=64, n_audio_state=256, n_audio_head=4,
+    n_audio_layer=1, n_text_ctx=32, n_text_state=256, n_text_head=4,
+    n_text_layer=1, n_mels=80)
+
+
+@pytest.fixture(scope="module")
+def ckpt_f16_256(tmp_path_factory, ref_models):
+    """256-state random model: rows divisible by QK_K so the K-quants
+    actually engage (the writer falls back to f16 per-row otherwise,
+    matching the reference runtime's ne[0] %% 256 layout requirement)."""
+    real = ggml_whisper.load_checkpoint(
+        ref_models / "for-tests-ggml-tiny.en.bin", load_tensors=False)
+    hp = ggml_whisper.WhisperHParams(
+        n_vocab=1024, n_audio_ctx=64, n_audio_state=256, n_audio_head=4,
+        n_audio_layer=1, n_text_ctx=32, n_text_state=256, n_text_head=4,
+        n_text_layer=1, n_mels=80, ftype=1, qntvr=0)
+    params = M.init_params(CFG256, seed=0, dtype=jnp.float32)
+    tensors = tensors_from_params(CFG256, params)
+    path = tmp_path_factory.mktemp("ck256") / "rand256-f16.bin"
+    write_checkpoint(path, hp, real.mel_filters, real.tokens[:1024], tensors,
+                     wtype=quant.GGML_TYPE_F16)
+    return path
+
+
 @pytest.mark.parametrize("qtype", ["q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
-def test_kquant_checkpoint_loads(ckpt_f16, tmp_path, qtype):
-    qpath = tmp_path / f"tiny-rand-{qtype}.bin"
+def test_kquant_checkpoint_loads(ckpt_f16_256, tmp_path, qtype):
+    ckpt_f16 = ckpt_f16_256
+    qpath = tmp_path / f"rand256-{qtype}.bin"
     requantize(ckpt_f16, qpath, qtype)
     assert qpath.stat().st_size < ckpt_f16.stat().st_size
     ck = ggml_whisper.load_checkpoint(qpath)
     assert ck.hparams.ftype == {"q2_k": 10, "q3_k": 11, "q4_k": 12,
                                 "q5_k": 13, "q6_k": 14}[qtype]
+    # the K-quant must actually engage on the 256-row weights
+    name = "decoder.blocks.0.mlp.0.weight"
+    assert quant.type_name(ck.tensors[name].ggml_type) == qtype.replace("k", "K")
     ref = ggml_whisper.load_checkpoint(ckpt_f16)
     name = "decoder.blocks.0.mlp.0.weight"
     w_ref, w_q = ref.to_float(name), ck.to_float(name)

@@ -206,3 +206,67 @@ def test_full_transcript_matches_reference(harness, checkpoint, jfk_pcm, ctx,
     assert [t for *_ , t in ours] == [t for *_, t in ref_segs], (
         f"transcripts differ:\n  ref={ref_segs}\n  ours={ours}")
     assert [(a, b) for a, b, _ in ours] == [(a, b) for a, b, _ in ref_segs]
+
+
+@pytest.fixture(scope="module")
+def checkpoint_base(tmp_path_factory):
+    """Random-weight base.en checkpoint: 512-state, the smallest whisper
+    whose rows divide QK_K=256 — the reference can only represent K-quant
+    models when EVERY 2D weight is the global wtype (the loader creates
+    all of them with ftype's type, src/whisper.cpp:1677,1775+), so tiny's
+    d=384 can never be K-quantized for it."""
+    from open_whisper_kit_tpu.io import quant
+    from open_whisper_kit_tpu.io.ggml_whisper import load_checkpoint
+    from open_whisper_kit_tpu.io.ggml_writer import (
+        random_reference_tensors, write_checkpoint)
+
+    stub = REF / "models" / "for-tests-ggml-base.en.bin"
+    if not stub.exists():
+        pytest.skip("reference stub model not available")
+    ck = load_checkpoint(stub)
+    tensors = random_reference_tensors(ck.hparams, seed=1234)
+    path = tmp_path_factory.mktemp("ckpt") / "random-base.en.bin"
+    write_checkpoint(path, ck.hparams, ck.mel_filters, ck.tokens, tensors,
+                     wtype=quant.GGML_TYPE_F16)
+    return path
+
+
+@pytest.mark.parametrize("src,qtype,strict", [
+    ("tiny", "q5_0", True),
+    ("tiny", "q8_0", True),
+    ("base", "q3_k", True),
+    ("base", "q5_k", True),
+    # q2_k loads and runs, but 2-bit noise on random weights plus the
+    # reference's q8_K-activation integer dots (vs our dequant-to-f32
+    # matmuls) flips the near-uniform logits — transcripts only match on
+    # peaked real-weight distributions, so assert load+run here
+    ("base", "q2_k", False),
+])
+def test_reference_consumes_our_quantized_checkpoints(
+        harness, checkpoint, checkpoint_base, jfk_pcm, tmp_path,
+        src, qtype, strict):
+    """Cross-runtime interop for the WRITER: quantize with OUR coders
+    (byte-identical to quantize_row_*_ref, tests/test_ref_golden_quant.py)
+    and have the REFERENCE binary load and transcribe the file; greedy
+    transcripts must equal ours on the same audio."""
+    from open_whisper_kit_tpu.decode.full import WhisperContext, whisper_full
+    from open_whisper_kit_tpu.decode.params import FullParams, GreedyParams
+    from open_whisper_kit_tpu.io.ggml_writer import requantize
+
+    pcm, raw = jfk_pcm
+    qpath = tmp_path / f"{src}-{qtype}.bin"
+    requantize(checkpoint if src == "tiny" else checkpoint_base, qpath, qtype)
+    ref_segs = _run_full(harness, qpath, raw, tmp_path)
+
+    if not strict:
+        assert len(ref_segs) >= 1   # loaded + decoded to completion
+        return
+    ctx2 = WhisperContext.from_file(str(qpath), dtype=jnp.float32)
+    p = FullParams(temperature=0.0, temperature_inc=-1.0,
+                   greedy=GreedyParams(best_of=1), language="en",
+                   print_progress=False)
+    res = whisper_full(ctx2, p, pcm)
+    ours = [(s.t0, s.t1, s.text) for s in res.segments]
+    assert [t for *_, t in ours] == [t for *_, t in ref_segs], (
+        f"transcripts differ:\n  ref={ref_segs}\n  ours={ours}")
+    assert [(a, b) for a, b, _ in ours] == [(a, b) for a, b, _ in ref_segs]
