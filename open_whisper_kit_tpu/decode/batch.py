@@ -25,6 +25,7 @@ import numpy as np
 
 from ..audio import mel as mel_mod
 from ..models.whisper import model as M
+from ..parallel.mesh import fetch_np
 from . import full as F
 from . import logit_rules as LR
 from .params import FullParams
@@ -348,7 +349,6 @@ def _lockstep_chunks(ctx: F.WhisperContext, p: FullParams,
                    jnp.asarray(active_np), prompt, kv_k, kv_v,
                    base_mask, init_mask, jnp.int32(vocab.token_nosp),
                    jnp.asarray(ends), mega=mega)
-        from ..parallel.mesh import fetch_np
         res = jax.tree.map(fetch_np, res)
         round_ms = (_time.perf_counter() - t0) * 1e3
         n_active = max(1, int(active_np.sum()))

@@ -832,7 +832,13 @@ def _pack_kquant_scales(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
 def _kquant_scales_requant(x3, scales, mins, L, inv_max, nmax):
     """Shared q4_K/q5_K tail: 6-bit code the scales/mins, requantize L."""
     nb = x3.shape[0]
-    max_scale, max_min = scales.max(axis=1), mins.max(axis=1)
+    # C runs `if (v > max) max = v` from max=+0.0f, so an all-flat group
+    # row keeps +0.0 — np.max over [-0.0, ...] yields -0.0, whose f16 is
+    # 0x8000 and breaks byte parity with the reference coder
+    max_scale = np.where(scales.max(axis=1) > 0, scales.max(axis=1),
+                         np.float32(0.0))
+    max_min = np.where(mins.max(axis=1) > 0, mins.max(axis=1),
+                       np.float32(0.0))
     inv_scale = np.where(max_scale > 0, np.float32(inv_max)
                          / np.where(max_scale <= 0, 1, max_scale), 0)
     inv_min = np.where(max_min > 0, np.float32(inv_max)

@@ -195,14 +195,15 @@ def cross_kv_sharding(mesh: Mesh) -> NamedSharding:
 def fetch_np(x):
     """Host-fetch that works on multi-process (multi-host) meshes.
 
-    Single-process arrays (and fully-replicated multi-process ones) fetch
+    Single-process arrays and fully-replicated multi-process ones fetch
     directly; arrays dp-sharded across processes are assembled with an
     allgather first — every process gets the full value, preserving the
     SPMD invariant that all hosts see identical results (the TPU-native
     analog of ggml-rpc's tensor-get round trip,
     ggml/src/ggml-rpc/ggml-rpc.cpp:92-111).
     """
-    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated):
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)

@@ -19,6 +19,7 @@ Run standalone children: python tests/test_multihost.py --child <pid>
 from __future__ import annotations
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -107,15 +108,24 @@ def _child(pid: int, port: int, out_path: str) -> None:
         np.save(out_path, logits)
 
 
-def test_two_process_sharded_step_matches_single_process(tmp_path):
-    out = tmp_path / "mh_logits.npy"
-    port = _free_port()
+def _child_env() -> dict:
+    """CPU-pinned child environment with exactly one device-count flag
+    (strip ANY inherited count, not just conftest's 8)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   env.get("XLA_FLAGS", ""))
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "").replace("--xla_force_host_platform_device_count=8", "")
-        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}").strip()
+        flags + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+    return env
+
+
+def test_two_process_sharded_step_matches_single_process(tmp_path):
+    out = tmp_path / "mh_logits.npy"
+    port = _free_port()
+    env = _child_env()
     outputs = _run_children(
         [[sys.executable, __file__, "--child", str(pid), str(port), str(out)]
          for pid in range(N_PROCS)], env)
@@ -156,13 +166,7 @@ def test_two_process_full_parallel_launcher(tmp_path):
             (rng.standard_normal(16000 * 6) * 1500).astype(np.int16).tobytes())
 
     port = _free_port()
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "").replace(
-            "--xla_force_host_platform_device_count=8", "")
-        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}").strip()
+    env = _child_env()
     outputs = _run_children(
         [[sys.executable, str(REPO / "tools" / "launch_multihost.py"),
           "--coordinator", f"127.0.0.1:{port}",

@@ -100,17 +100,32 @@ WRITER_TYPES = [
 ]
 
 
+def _writer_inputs(t: int, kind: str) -> np.ndarray:
+    n = 1024
+    rng = np.random.default_rng(200 + t)
+    if kind == "random":
+        return (rng.standard_normal(n) * 0.5).astype(np.float32)
+    # degenerate rows: zero blocks, constant groups, negative-constant
+    # groups, and a zero-padded tail — the flat-group paths where sign-of-
+    # zero/init-value divergences hide (C runs `if (v > max)` from +0.0f)
+    src = np.zeros(n, np.float32)
+    src[256:512] = 0.75
+    src[512:768] = -1.25
+    src[768:768 + 113] = (rng.standard_normal(113) * 0.5).astype(np.float32)
+    return src
+
+
+@pytest.mark.parametrize("kind", ["random", "degenerate"])
 @pytest.mark.parametrize("t", WRITER_TYPES,
                          ids=[quant.type_name(t) for t in WRITER_TYPES])
-def test_our_encoding_matches_reference_bytes(harness, t, tmp_path):
+def test_our_encoding_matches_reference_bytes(harness, t, kind, tmp_path):
     """STRONGEST writer check: our encoder's bytes == the reference
     quantize_row_*_ref bytes on the same input (the harness encodes with
     ggml_quantize_chunk, which routes to the _ref coder when no imatrix
     is given) — bit-exact coder parity, not just decodable layout."""
     from open_whisper_kit_tpu.io.ggml_writer import _encode_tensor
     n = 1024
-    rng = np.random.default_rng(200 + t)
-    src = (rng.standard_normal(n) * 0.5).astype(np.float32)
+    src = _writer_inputs(t, kind)
     inp = tmp_path / "in.f32"
     inp.write_bytes(src.tobytes())
     out_q = tmp_path / "row.q"
