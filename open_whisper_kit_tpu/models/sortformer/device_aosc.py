@@ -372,14 +372,12 @@ def diarize_device(diarizer, samples: np.ndarray,
         return np.zeros((0, N_SPK), np.float32)
     mel_max, ch_max, t_comb, xs = _scan_args(cfg, scfg, starts, t_mels,
                                              lcs, useds)
-    mel_np = np.asarray(mel)
-    n_pad = starts[-1] + mel_max - mel_np.shape[0]
-    if n_pad > 0:
-        mel_np = np.concatenate(
-            [mel_np, np.zeros((n_pad, mel_np.shape[1]), mel_np.dtype)])
+    n_pad = starts[-1] + mel_max - mel.shape[0]
+    if n_pad > 0:       # pad on device — no host round trip for the mel
+        mel = jnp.pad(mel, ((0, n_pad), (0, 0)))
 
     preds = np.asarray(_diarize_scan_jit(
-        cfg, _scfg_key(scfg), diarizer.params, jnp.asarray(mel_np), *xs,
+        cfg, _scfg_key(scfg), diarizer.params, mel, *xs,
         mel_max, ch_max, t_comb))
     return np.concatenate([preds[i, :useds[i]] for i in range(len(useds))])
 
@@ -398,7 +396,7 @@ def diarize_device_batch(diarizer, audios: list[np.ndarray],
     mels, seq_lens = [], []
     for a in audios:
         m, s = SM.compute_mel(cfg, diarizer.params, np.asarray(a, np.float32))
-        mels.append(np.asarray(m))
+        mels.append(m)
         seq_lens.append(int(s))
     feat_len = max(seq_lens)
     starts, t_mels, lcs, useds = _chunk_schedule(cfg, scfg, feat_len)
@@ -407,12 +405,12 @@ def diarize_device_batch(diarizer, audios: list[np.ndarray],
     mel_max, ch_max, t_comb, xs = _scan_args(cfg, scfg, starts, t_mels,
                                              lcs, useds)
     rows = max(max(m.shape[0] for m in mels), starts[-1] + mel_max)
-    mel_b = np.zeros((len(audios), rows, cfg.n_mels), np.float32)
-    for i, m in enumerate(mels):
-        mel_b[i, :m.shape[0]] = m
+    # pad + stack on device (no host round trip for the mels)
+    mel_b = jnp.stack([jnp.pad(m, ((0, rows - m.shape[0]), (0, 0)))
+                       for m in mels])
 
     preds = np.asarray(_diarize_scan_batch_jit(
-        cfg, _scfg_key(scfg), diarizer.params, jnp.asarray(mel_b), *xs,
+        cfg, _scfg_key(scfg), diarizer.params, mel_b, *xs,
         mel_max, ch_max, t_comb))           # (B, n_chunks, ch_max, 4)
     out = []
     for b, sl in enumerate(seq_lens):

@@ -251,9 +251,10 @@ def compute_mel(cfg: SortformerConfig, params: Params,
     else:
         mel = jnp.zeros((0, cfg.n_mels), jnp.float32)
 
-    out = np.zeros((n_out, cfg.n_mels), np.float32)
-    out[:n_compute] = np.asarray(mel)
-    return jnp.asarray(out), seq_len
+    # zero-pad to n_out ON DEVICE: fetching the mel to host and re-uploading
+    # costs a sync round trip + 2x the mel bytes on a relayed link
+    out = jnp.pad(mel, ((0, n_out - mel.shape[0]), (0, 0)))
+    return out, seq_len
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "n_fft", "hop"))

@@ -71,7 +71,7 @@ def main():
                 body, (jnp.zeros((1, 1), jnp.int32), kv_k, kv_v,
                        jnp.int32(0)), None, length=K)
             return jnp.sum(tok)
-        return functools.partial(loop, d)
+        return functools.partial(loop, d, xk, xv)
 
     # ---- grouped megakernel loop ----
     def make_mega_loop(mp):
