@@ -8,15 +8,24 @@ vs_baseline compares against the reference's best published number for the
 same model (M2 Ultra Metal FA=1: Enc 148.79 ms, Dec 1.30 ms/token
 -> RTF ~= 73.4x; BASELINE.md / scripts/bench-all-gg.txt:166).
 
-Hardened against backend faults (the round-2 lesson: one transient
-"Unable to initialize backend" erased a whole round's artifact):
+Hardened against backend faults AND against the wrapper itself being
+killed (the round-3 lesson: the driver's timeout killed the wrapper,
+which had buffered the child's output with capture_output — rc=124,
+empty artifact, a whole round with no captured number):
 
+* the `--impl` child's stdout is STREAMED line-by-line straight through
+  to this process's stdout as it arrives (tee, not capture_output) — any
+  external kill of the wrapper leaves the last flushed JSON line in the
+  driver's capture;
+* a hard overall budget (`OWK_BENCH_BUDGET_S`, default 780 s) bounds the
+  whole run: the child gets the remaining budget and SKIPS lower-priority
+  sections once past its deadline; the wrapper additionally terminates
+  the child at the budget (the already-streamed lines stand);
+* sections run in priority order: headline enc/dec -> megakernel
+  int8/int4 -> beam5 -> e2e whisper_full -> sortformer -> extras;
 * this entry process never touches the TPU itself — it probes backend
-  health with a small matmul in a SUBPROCESS under a hard timeout (the
-  tunnel can fail partially: jax.devices() succeeds while every compute
-  hangs), retrying with backoff;
-* the measurement body (`--impl`) also runs in a subprocess under a
-  watchdog timeout, with one retry;
+  health with a small matmul in a SUBPROCESS under a hard timeout,
+  retrying with (budget-bounded) backoff;
 * on total failure it still exits 0 and prints a well-formed JSON line
   with value 0.0, an "error" field, and host-side (CPU) metrics — the
   artifact is never unparseable.
@@ -39,19 +48,21 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-MODEL = "large-v3-turbo"
+MODEL = os.environ.get("OWK_BENCH_MODEL", "large-v3-turbo")  # override for plumbing tests
 BASELINE_ENC_MS = 148.79
 BASELINE_DEC_MS = 1.30
 N_DEC_TOKENS = 200
 # streaming-sortformer/README.md:21 — ~110x RT, F16 CoreML/ANE, M3 MBP
 BASELINE_SORTFORMER_RTF = 110.0
 
-PROBE_TIMEOUT_S = int(os.environ.get("OWK_BENCH_PROBE_TIMEOUT", "300"))
-IMPL_TIMEOUT_S = int(os.environ.get("OWK_BENCH_IMPL_TIMEOUT", "3300"))
-# 5 probe attempts; sleeps between them total ~6.5 min (retry-with-backoff)
+# Overall wall-clock budget for the WHOLE bench run (probe + impl + retry).
+# The driver's own timeout is unknown; default well under plausible limits.
+BUDGET_S = float(os.environ.get("OWK_BENCH_BUDGET_S", "780"))
+PROBE_TIMEOUT_S = int(os.environ.get("OWK_BENCH_PROBE_TIMEOUT", "120"))
+# 3 probe attempts; sleeps between them total ~60 s (retry-with-backoff)
 PROBE_SLEEPS_S = tuple(
     int(s) for s in os.environ.get(
-        "OWK_BENCH_PROBE_SLEEPS", "0,30,60,120,180").split(","))
+        "OWK_BENCH_PROBE_SLEEPS", "0,20,40").split(","))
 
 _PROBE_SRC = """
 import jax, jax.numpy as jnp
@@ -129,78 +140,116 @@ def _emit_failure(attempts: list[str]) -> None:
     }))
 
 
+def _stream_impl(deadline: float, attempts: list[str]) -> tuple[bool, bool]:
+    """Run `--impl` in a subprocess, tee-ing its stdout straight through.
+
+    Every line the child flushes is immediately re-printed (flushed) on OUR
+    stdout — so even if this wrapper is killed externally mid-run, the
+    driver's capture already holds the last JSON line. Returns
+    (emitted_any_json, clean_exit).
+    """
+    remain = deadline - time.monotonic()
+    if remain <= 10:
+        attempts.append("no budget left for impl")
+        return False, False
+    env = dict(os.environ, OWK_BENCH_IMPL_BUDGET_S=str(max(10.0, remain - 10)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--impl"],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, bufsize=1,
+        cwd=REPO, env=env)
+    emitted = False
+    killed = False
+    import threading
+
+    def _watchdog():
+        while proc.poll() is None:
+            if time.monotonic() >= deadline:
+                nonlocal_kill()
+                return
+            time.sleep(1.0)
+
+    def nonlocal_kill():
+        nonlocal killed
+        killed = True
+        try:
+            proc.terminate()
+        except OSError:
+            pass
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+    wd = threading.Thread(target=_watchdog, daemon=True)
+    wd.start()
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        line = line.rstrip("\n")
+        if line.startswith("{"):
+            try:
+                json.loads(line)
+            except ValueError:
+                print(line, file=sys.stderr, flush=True)
+            else:
+                print(line, flush=True)    # straight through to the driver
+                emitted = True
+                continue
+        if line:
+            print(line, file=sys.stderr, flush=True)
+    rc = proc.wait()
+    if killed:
+        attempts.append("impl terminated at budget (streamed lines stand)")
+    elif rc != 0:
+        attempts.append(f"impl rc={rc}")
+    return emitted, (rc == 0 and not killed)
+
+
 def main() -> None:
     if "--impl" in sys.argv:
         impl_main()
         return
 
+    deadline = time.monotonic() + BUDGET_S
     attempts: list[str] = []
     ok = False
     for sleep_s in PROBE_SLEEPS_S:
         if sleep_s:
-            time.sleep(sleep_s)
-        ok, info = _probe(PROBE_TIMEOUT_S)
+            time.sleep(min(sleep_s, max(0.0, deadline - time.monotonic())))
+        if time.monotonic() >= deadline:
+            break
+        ok, info = _probe(min(PROBE_TIMEOUT_S,
+                              max(5.0, deadline - time.monotonic())))
         attempts.append(info)
         if ok:
             break
 
-    def _last_json(text: str | None):
-        for ln in reversed((text or "").strip().splitlines()):
-            if ln.startswith("{"):
-                try:
-                    json.loads(ln)
-                    return ln
-                except ValueError:
-                    continue
-        return None
-
-    best_line: str | None = None
-
-    def _keep(line):
-        nonlocal best_line
-        # the impl emits monotonically richer lines; across attempts the
-        # longest valid one carries the most measured columns
-        if line and (best_line is None or len(line) > len(best_line)):
-            best_line = line
-
+    emitted = False
     if ok:
-        for _retry in range(2):
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--impl"],
-                    capture_output=True, text=True, timeout=IMPL_TIMEOUT_S,
-                    cwd=REPO)
-            except subprocess.TimeoutExpired as e:
-                # the impl prints a complete headline JSON EARLY and keeps
-                # appending richer ones — salvage the last one, then retry
-                # (warm compile cache makes the second pass much faster)
-                partial = e.stdout
-                if isinstance(partial, bytes):
-                    partial = partial.decode("utf-8", "replace")
-                _keep(_last_json(partial))
-                attempts.append(f"impl timed out after {IMPL_TIMEOUT_S}s")
-            else:
-                line = _last_json(r.stdout)
-                if r.returncode == 0 and line is not None:
-                    print(line)
-                    return
-                _keep(line)     # crashed mid-run: keep what it printed
-                attempts.append(
-                    f"impl rc={r.returncode}: ...{(r.stderr or '')[-600:]}")
-            # re-probe before the single retry; a dead backend ends it
-            ok2, info2 = _probe(PROBE_TIMEOUT_S)
+        emitted, clean = _stream_impl(deadline, attempts)
+        if clean and emitted:
+            return
+        # one retry if the child crashed early with budget to spare
+        # (warm compile cache makes the second pass much faster)
+        if not clean and deadline - time.monotonic() > 60:
+            ok2, info2 = _probe(min(PROBE_TIMEOUT_S,
+                                    max(5.0, deadline - time.monotonic())))
             attempts.append(info2)
-            if not ok2:
-                break
+            if ok2:
+                emitted2, _ = _stream_impl(deadline, attempts)
+                emitted = emitted or emitted2
 
-    if best_line is not None:
-        print(best_line)
-        return
-    _emit_failure(attempts)
+    if not emitted:
+        _emit_failure(attempts)
 
 
 def impl_main():
     import jax
+
+    # hard per-child budget handed down by the wrapper: once past the
+    # deadline, remaining (lower-priority) sections are skipped so the
+    # final emitted line is the artifact
+    impl_deadline = time.monotonic() + float(
+        os.environ.get("OWK_BENCH_IMPL_BUDGET_S", "1e9"))
 
     # persistent compile cache: cold compiles via the remote compile service
     # can take minutes; caching makes repeat bench runs warm-start
@@ -295,7 +344,19 @@ def impl_main():
 
     emit()                      # headline locked in
 
+    sections: dict[str, object] = {}
+
     def _try(name, fn):
+        # register only — sections run in PRIORITY order at the bottom
+        sections[name] = fn
+
+    def _run(name):
+        fn = sections.get(name)
+        if fn is None:
+            return
+        if time.monotonic() >= impl_deadline:
+            errors[name] = "skipped (budget)"
+            return
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — one column never sinks the rest
@@ -684,6 +745,15 @@ def impl_main():
             ((GAMMA + 1) * t_draft + t_verify) / emitted, 3)
     _try("spec_components", spec_components)
 
+    # priority order (VERDICT r3 #1c): headline already emitted, then
+    # megakernel serving numbers -> beam -> end-to-end -> sortformer ->
+    # extras. Budget exhaustion skips from wherever we are.
+    for name in ("mega_int8", "mega_int4", "mega_beam5",
+                 "e2e_greedy", "e2e_int4", "e2e_beam5",
+                 "sortformer",
+                 "batched16", "batched16_int8", "bch5", "pp", "dec_int8",
+                 "grouped_medium", "spec_components"):
+        _run(name)
     emit()                      # final, richest artifact line
 
 
