@@ -367,6 +367,22 @@ def pack_windows_result(res: WindowsResult) -> jnp.ndarray:
     return jnp.concatenate([mats, per_w, scalars])
 
 
+@functools.partial(
+    jax.jit, static_argnums=(0, 1),
+    static_argnames=("prompt_init", "K", "n_max", "P",
+                     "max_tokens", "no_timestamps", "stub", "window_frames",
+                     "fallback_available", "quant_kv", "flash", "dcfg",
+                     "gamma"))
+def decode_windows_packed(*args, **kwargs):
+    """decode_windows with the result already packed, in the SAME dispatch.
+
+    Returns (flat, past_buf): one device program + one device->host fetch
+    per K-window round instead of two dispatches — on a relayed link each
+    extra dispatch costs a round trip."""
+    res = decode_windows(*args, **kwargs)
+    return pack_windows_result(res), res.past_buf
+
+
 def unpack_windows_result(flat, K: int, n_max: int) -> dict:
     flat = np.asarray(flat)
     mats = flat[:K * 6 * n_max].reshape(K, 6 * n_max)

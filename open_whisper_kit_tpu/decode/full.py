@@ -677,7 +677,7 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
         iscal = jnp.asarray(np.array(
             [vocab.token_nosp, vocab.token_prev, seek, seek_start, seek_end,
              past_len], np.int32))
-        res = DW.decode_windows(
+        flat, past_buf = DW.decode_windows_packed(
             cfg, rc, ctx.params["encoder"], ctx.params["decoder"], mel.data,
             base_mask, init_mask, past_buf, iscal, fscal,
             mega=ctx.mega_params(p) if gamma == 0 else None,
@@ -686,8 +686,8 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
             stub=ctx.n_loaded == 0, window_frames=2 * cfg.n_audio_ctx,
             fallback_available=fallback_available, quant_kv=p.cross_kv_int8,
             flash=ctx.mesh is None, **spec_kw)
-        past_buf = res.past_buf   # stays on device for the next dispatch
-        r = DW.unpack_windows_result(DW.pack_windows_result(res), K, n_max)
+        # past_buf stays on device for the next dispatch
+        r = DW.unpack_windows_result(flat, K, n_max)
         # one dispatch covers encode+decode of n_done windows; bucket the
         # wall time under decode, count encoder passes separately
         timings.t_decode_ms += (time.perf_counter() - t0) * 1e3

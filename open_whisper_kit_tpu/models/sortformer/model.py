@@ -262,8 +262,8 @@ def _mel_jit(padded, window, fb, n_frames: int, n_fft: int, hop: int,
              log_guard: float):
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     frames = padded[idx] * window[None, :]
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    power = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
+    from ...audio.mel import rdft_power
+    power = rdft_power(frames, n_fft)
     mel = jnp.dot(power, fb.T, preferred_element_type=jnp.float32)
     return jnp.log(mel + log_guard)
 
