@@ -32,6 +32,10 @@ jax.jit(fn).lower(*args)   # trace+lower proves shapes/dtypes compose
 print("entry lowers ok")
 EOF
 
+log "native sanitizers (ASan+UBSan, TSan — reference CMakeLists.txt:74-76)"
+make -C native/owk_audio sanitize || exit 1
+make -C bindings/c sanitize || exit 1
+
 log "graft entry: 8-virtual-device multichip dryrun"
 python -c "import __graft_entry__ as G; G.dryrun_multichip(8)" || exit 1
 
