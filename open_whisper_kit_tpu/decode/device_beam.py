@@ -74,7 +74,7 @@ class _Carry(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "rc", "beam_size", "n_max", "max_tokens",
                      "single_segment", "no_timestamps", "stub",
-                     "cache_dtype"))
+                     "cache_dtype", "mesh"))
 def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                         dec: M.Params, prompt: jnp.ndarray,
                         xk, xv,
@@ -83,7 +83,7 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                         single_segment: bool = False,
                         no_timestamps: bool = False,
                         stub: bool = False, mega=None,
-                        cache_dtype=jnp.bfloat16) -> BeamSegmentResult:
+                        cache_dtype=jnp.bfloat16, mesh=None) -> BeamSegmentResult:
     """Beam-search one window. prompt (1, Tp);
     xk/xv (L, B, H, Ta, dh) with identical rows (broadcast cross-KV).
     `scalars` packs (t_real, token_nosp, seek, seek_end) i32.
@@ -324,7 +324,7 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             bias = MK.beam_attn_bias(origin2, t_real + i, cfg.n_text_ctx)
             new_logits, kv_k2, kv_v2 = MK.mega_decode_step_beam(
                 cfg, mega, x0, kv_k2, kv_v2, t_real + i, xk_nat, xv_nat,
-                attn_bias=bias, interpret=mega_interpret)
+                attn_bias=bias, interpret=mega_interpret, mesh=mesh)
         else:
             step_logits, kv_k2, kv_v2, _ = M.decode_impl(
                 cfg, dec, new_tok[:, None], kv_k2, kv_v2, t_real + i, xk, xv)

@@ -184,7 +184,7 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                  max_tokens: int = 0, single_segment: bool = False,
                  no_timestamps: bool = False,
                  stub: bool = False,
-                 mega=None, grammar=None) -> tuple["_Carry", jnp.ndarray]:
+                 mega=None, grammar=None, mesh=None) -> tuple["_Carry", jnp.ndarray]:
     """Traceable greedy segment decode; returns (final carry, no_speech_prob).
 
     Shared by the one-window `decode_segment` jit below and the K-windows
@@ -281,7 +281,7 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                   + dec["pe"][c.kv_head][None, :]).astype(jnp.bfloat16)
             new_logits, kv_k, kv_v = MK.mega_decode_step(
                 cfg, mega, x0, c.kv_k, c.kv_v, c.kv_head, xk_nat, xv_nat,
-                interpret=mega_interpret)
+                interpret=mega_interpret, mesh=mesh)
         else:
             step_logits, kv_k, kv_v, _ = M.decode_impl(
                 cfg, dec, tok[:, None], c.kv_k, c.kv_v, c.kv_head, xk, xv)
@@ -305,7 +305,7 @@ def segment_core(cfg: M.WhisperConfig, rc: LR.RuleConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "rc", "n_max", "max_tokens", "single_segment",
-                     "no_timestamps", "stub", "cache_dtype"))
+                     "no_timestamps", "stub", "cache_dtype", "mesh"))
 def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    dec: M.Params, prompt: jnp.ndarray,
                    xk: jnp.ndarray, xv: jnp.ndarray,
@@ -314,7 +314,7 @@ def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    max_tokens: int = 0, single_segment: bool = False,
                    no_timestamps: bool = False,
                    stub: bool = False, mega=None, grammar=None,
-                   cache_dtype=jnp.bfloat16) -> SegmentResult:
+                   cache_dtype=jnp.bfloat16, mesh=None) -> SegmentResult:
     """Greedy-decode one window. prompt (1, T_pad) i32; `scalars` packs
     (t_real, token_nosp, seek, seek_end) into one i32 upload (each separate
     scalar transfer costs a full round-trip on relayed links).
@@ -334,7 +334,8 @@ def decode_segment(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         cfg, rc, dec, prompt, kv_k, kv_v, xk, xv, base_mask, init_mask,
         scalars[0], scalars[1], scalars[2], scalars[3], n_max=n_max,
         max_tokens=max_tokens, single_segment=single_segment,
-        no_timestamps=no_timestamps, stub=stub, mega=mega, grammar=grammar)
+        no_timestamps=no_timestamps, stub=stub, mega=mega, grammar=grammar,
+        mesh=mesh)
 
     return SegmentResult(
         tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,

@@ -111,7 +111,7 @@ def _entropy_last32(tokens: jnp.ndarray, result_len: jnp.ndarray):
     static_argnames=("cfg", "rc", "prompt_init", "K", "n_max", "P",
                      "max_tokens", "no_timestamps", "stub", "window_frames",
                      "fallback_available", "quant_kv", "flash", "dcfg",
-                     "gamma"))
+                     "gamma", "mesh"))
 def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    enc_params: M.Params, dec_params: M.Params,
                    mel_data: jnp.ndarray,
@@ -126,7 +126,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    fallback_available: bool = True,
                    quant_kv: bool = False, flash: bool = True,
                    dcfg: M.WhisperConfig | None = None,
-                   gamma: int = 0) -> WindowsResult:
+                   gamma: int = 0, mesh=None) -> WindowsResult:
     """Decode up to K windows greedily in one dispatch.
 
     mel_data (n_pad, n_mels) whole-audio device mel, zero past n_len
@@ -209,7 +209,8 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         window = jax.lax.dynamic_slice_in_dim(
             mel_data, c.seek, window_frames, axis=0)
         _eo, xk, xv = M.encode_with_cross_kv(
-            cfg, enc_params, dec_params, window[None], flash=flash)
+            cfg, enc_params, dec_params, window[None], flash=flash,
+            mesh=mesh)
         if quant_kv:
             xk = M.quantize_cross_kv(xk)
             xv = M.quantize_cross_kv(xv)
@@ -242,7 +243,8 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             dwindow = jax.lax.dynamic_slice_in_dim(
                 dmel_data, c.seek, window_frames, axis=0)
             _deo, dxk, dxv = M.encode_with_cross_kv(
-                dcfg, denc_params, ddec_params, dwindow[None], flash=flash)
+                dcfg, denc_params, ddec_params, dwindow[None], flash=flash,
+                mesh=mesh)
             sc, nsp = DS.speculative_core(
                 cfg, dcfg, rc, dec_params, ddec_params, prompt[None],
                 xk, xv, dxk, dxv, base_mask, init_mask,
@@ -261,7 +263,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                 cfg, rc, dec_params, prompt[None], c.kv_k, c.kv_v, xk, xv,
                 base_mask, init_mask, t_real, token_nosp, c.seek, seek_end,
                 n_max=n_max, max_tokens=max_tokens, single_segment=False,
-                no_timestamps=no_timestamps, stub=stub, mega=mega)
+                no_timestamps=no_timestamps, stub=stub, mega=mega, mesh=mesh)
             n_rounds_w = n_acc_w = jnp.int32(0)
 
         # ---- quality gates (whisper_rank / _score_sequence) ----
@@ -372,7 +374,7 @@ def pack_windows_result(res: WindowsResult) -> jnp.ndarray:
     static_argnames=("prompt_init", "K", "n_max", "P",
                      "max_tokens", "no_timestamps", "stub", "window_frames",
                      "fallback_available", "quant_kv", "flash", "dcfg",
-                     "gamma"))
+                     "gamma", "mesh"))
 def decode_windows_packed(*args, **kwargs):
     """decode_windows with the result already packed, in the SAME dispatch.
 

@@ -184,8 +184,8 @@ class WhisperContext:
         """
         if p.megakernel is False or not p.use_device_loops:
             return None
-        if self.mesh is not None:     # pallas is opaque to GSPMD
-            return None
+        # mesh mode: the kernel runs replicated under shard_map
+        # (parallel/mesh.replicated_on_mesh) — no longer excluded
         cfg = self.cfg
         dec = self.params["decoder"]
         from ..ops.quant_matmul import QuantLinear
@@ -222,7 +222,14 @@ class WhisperContext:
             return None                     # auto: dense stays on XLA
         if self._mega is None or self._mega[0] != mode:
             from ..ops.decode_megakernel import prepare_mega
-            self._mega = (mode, prepare_mega(cfg, dec, quant=mode))
+            mp = prepare_mega(cfg, dec, quant=mode)
+            if self.mesh is not None:
+                # pin every plane replicated ONCE: built from tp-sharded
+                # weights they would otherwise re-gather inside the loop
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                mp = jax.tree.map(lambda a: jax.device_put(a, rep), mp)
+            self._mega = (mode, mp)
         return self._mega[1]
 
     def get_vad(self, model_path: str | None):
@@ -296,7 +303,7 @@ class WhisperContext:
             window = jnp.asarray(w)
         return M.encode_with_cross_kv(self.cfg, self.params["encoder"],
                                       self.params["decoder"], window[None],
-                                      flash=self.mesh is None)
+                                      mesh=self.mesh)
 
     def rule_masks(self, p: FullParams):
         key = (p.suppress_blank, p.no_timestamps, p.tdrz_enable, p.suppress_nst,
@@ -478,6 +485,7 @@ def whisper_full(ctx: WhisperContext, p: FullParams,
     # don't pay the per-window draft encode (or lose the fused multi-window
     # path) in configurations that can never take it
     speculating = (p.speculative > 0 and ctx.draft is not None
+                   and ctx.mesh is None
                    and p.use_device_loops and ctx.n_loaded > 0
                    and p.strategy == SamplingStrategy.GREEDY
                    and p.temperature <= 0
@@ -685,7 +693,7 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
             max_tokens=p.max_tokens, no_timestamps=no_timestamps,
             stub=ctx.n_loaded == 0, window_frames=2 * cfg.n_audio_ctx,
             fallback_available=fallback_available, quant_kv=p.cross_kv_int8,
-            flash=ctx.mesh is None, **spec_kw)
+            mesh=ctx.mesh, **spec_kw)
         # past_buf stays on device for the next dispatch
         r = DW.unpack_windows_result(flat, K, n_max)
         # one dispatch covers encode+decode of n_done windows; bucket the
@@ -802,7 +810,7 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
         scalars, beam_size=n_dec, n_max=n_max,
         max_tokens=p.max_tokens, single_segment=p.single_segment,
         no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega,
-        cache_dtype=ctx.dtype)
+        cache_dtype=ctx.dtype, mesh=ctx.mesh)
     r = DB.unpack_beam_result(DB.pack_beam_result(res_dev), n_dec, n_max)
     n_tok = r["n_tokens"]
     for j, d in enumerate(decoders):
@@ -833,7 +841,7 @@ def _device_greedy_window(ctx, p, rc, decoders, prompt, xk, xv,
         scalars, n_max=n_max,
         max_tokens=p.max_tokens, single_segment=p.single_segment,
         no_timestamps=no_timestamps, stub=ctx.n_loaded == 0, mega=mega,
-        grammar=grammar, cache_dtype=ctx.dtype)
+        grammar=grammar, cache_dtype=ctx.dtype, mesh=ctx.mesh)
     r = DL.unpack_segment_result(DL.pack_segment_result(res_dev), n_max)
     n_tok = r["n_tokens"]
     _fill_decoder(decoders[0], r, n_tok)

@@ -268,25 +268,31 @@ _ENC_PAD_MIN_T = 256   # pad-once threshold (= ops.attention._MIN_FLASH_T)
 
 def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray,
                    n_valid: int | None = None,
-                   flash: bool = True) -> jnp.ndarray:
-    from ...ops.attention import mha_full, mha_full_xla
+                   flash: bool = True, mesh=None) -> jnp.ndarray:
+    from ...ops.attention import mha_full, mha_full_tp, mha_full_xla
 
     scale = 1.0 / np.sqrt(cfg.d_audio_head)
     h = _ln(x, p["attn_ln_w"], p["attn_ln_b"], cfg.eps)
     q = _mm(h, p["q_w"]) + p["q_b"]
     k = _mm(h, p["k_w"])  # no key bias (whisper.cpp:2125)
     v = _mm(h, p["v_w"]) + p["v_b"]
-    attn = mha_full if flash else mha_full_xla
-    a = attn(q, k, v, cfg.n_audio_head, scale, kv_valid=n_valid)
+    if mesh is not None:
+        # head-sharded fused attention: keeps the pallas fast path legal
+        # under GSPMD (VERDICT r3 ask #3) instead of dropping to plain XLA
+        a = mha_full_tp(q, k, v, cfg.n_audio_head, scale, mesh,
+                        kv_valid=n_valid)
+    else:
+        attn = mha_full if flash else mha_full_xla
+        a = attn(q, k, v, cfg.n_audio_head, scale, kv_valid=n_valid)
     x = x + _mm(a, p["o_w"]) + p["o_b"]
     h = _ln(x, p["mlp_ln_w"], p["mlp_ln_b"], cfg.eps)
     h = jax.nn.gelu(_mm(h, p["mlp0_w"]) + p["mlp0_b"], approximate=True)
     return x + _mm(h, p["mlp1_w"]) + p["mlp1_b"]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "flash"))
+@functools.partial(jax.jit, static_argnames=("cfg", "flash", "mesh"))
 def encode(cfg: WhisperConfig, enc: Params, mel: jnp.ndarray,
-           flash: bool = True) -> jnp.ndarray:
+           flash: bool = True, mesh=None) -> jnp.ndarray:
     """mel (B, 2*n_ctx, n_mels) -> encoder output (B, n_ctx, n_state).
 
     Mirrors whisper_build_graph_conv + whisper_build_graph_encoder
@@ -322,7 +328,7 @@ def encode(cfg: WhisperConfig, enc: Params, mel: jnp.ndarray,
     def body(h, bp):
         return _encoder_block(cfg, bp, h,
                               n_valid=n_ctx if n_pad else None,
-                              flash=flash), None
+                              flash=flash, mesh=mesh), None
 
     x, _ = jax.lax.scan(body, x, enc["blocks"])
     if n_pad:
@@ -526,12 +532,12 @@ def prepare_decoder(dec: Params) -> Params:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "flash"))
+@functools.partial(jax.jit, static_argnames=("cfg", "flash", "mesh"))
 def encode_with_cross_kv(cfg: WhisperConfig, enc: Params, dec: Params,
-                         mel: jnp.ndarray, flash: bool = True):
+                         mel: jnp.ndarray, flash: bool = True, mesh=None):
     """encode + cross-KV precompute in ONE dispatch (each separate dispatch
     costs a full round trip on a remote-device link)."""
-    enc_out = encode(cfg, enc, mel, flash=flash)
+    enc_out = encode(cfg, enc, mel, flash=flash, mesh=mesh)
     xk, xv = cross_kv(cfg, dec, enc_out)
     return enc_out, xk, xv
 

@@ -169,6 +169,39 @@ def mha_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def mha_full_tp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                n_head: int, scale: float, mesh,
+                kv_valid: int | None = None) -> jnp.ndarray:
+    """mha_full under shard_map: heads sharded on the mesh's `tp` axis,
+    batch on `dp` (when divisible). Attention is head-parallel, so each
+    shard computes its own heads exactly — sharded output == single-chip
+    output, and the fused pallas kernel stays legal inside a GSPMD program
+    (the partitioner cannot see into a pallas_call).
+
+    TPU-native replacement for the reference's split-buffer TP hook
+    (ggml/include/ggml-backend.h:199-201) applied to the encoder's MHA.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    names = mesh.axis_names
+    tp = "tp" if "tp" in names else None
+    dp = "dp" if "dp" in names else None
+    tp_size = int(mesh.shape[tp]) if tp else 1
+    if n_head % tp_size != 0:
+        tp, tp_size = None, 1
+    if dp is not None and q.shape[0] % int(mesh.shape[dp]) != 0:
+        dp = None
+    spec = P(dp, None, tp)
+    n_local = n_head // tp_size
+
+    def local(qs, ks, vs):
+        return mha_full(qs, ks, vs, n_local, scale, kv_valid=kv_valid)
+
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)(q, k, v)
+
+
 def _cross_q8_kernel(ta_valid: int, Tap: int, scale: float):
     """Per-(batch, head) int8 cross-attention cell: K/V stay int8 until the
     VMEM tile, per-position scales fold into scores / probabilities (the

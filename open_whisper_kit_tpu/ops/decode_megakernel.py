@@ -999,15 +999,20 @@ def _make_kernel(cfg, Ta: int, Tc: int, Vp: int, eps: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "interpret", "tile_boost",
-                                    "attend_pv_t"),
+                                    "attend_pv_t", "mesh"),
                    donate_argnames=("kv_k", "kv_v"))
 def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
                      kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                      kv_head: jnp.ndarray,
                      xk: jnp.ndarray, xv: jnp.ndarray,
                      interpret: bool = False, tile_boost: bool = True,
-                     attend_pv_t: bool = False):
+                     attend_pv_t: bool = False, mesh=None):
     """One decode step for R = x0.shape[0] consecutive tokens (B=1).
+
+    `mesh`: when decoding inside a GSPMD-partitioned program, wrap the
+    kernel in a replicated shard_map (parallel/mesh.py) so the opaque
+    pallas_call stays legal — every device computes the identical step
+    (it would otherwise idle while one device decodes).
 
     x0: (R, S) bf16 token + positional embedding rows for positions
     kv_head..kv_head+R-1 (R == 1: the plain greedy step; R in [2, 8]:
@@ -1021,6 +1026,17 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if mesh is not None:
+        from ..parallel.mesh import replicated_on_mesh
+
+        def _step(mp_, x0_, kk_, kv_, head_, xk_, xv_):
+            return mega_decode_step(cfg, mp_, x0_, kk_, kv_, head_, xk_, xv_,
+                                    interpret=interpret,
+                                    tile_boost=tile_boost,
+                                    attend_pv_t=attend_pv_t, mesh=None)
+        return replicated_on_mesh(_step, mesh)(
+            mp, x0, kv_k, kv_v, kv_head, xk, xv)
 
     R = x0.shape[0]
     S = cfg.n_text_state
@@ -1143,7 +1159,7 @@ def mega_decode_step(cfg, mp: MegaParams, x0: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "interpret", "tile_boost",
-                                    "attend_pv_t", "self_blocked"),
+                                    "attend_pv_t", "self_blocked", "mesh"),
                    donate_argnames=("kv_k", "kv_v"))
 def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
@@ -1152,7 +1168,7 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
                           attn_bias: jnp.ndarray | None = None,
                           interpret: bool = False, tile_boost: bool = True,
                           attend_pv_t: bool = False,
-                          self_blocked: bool = True):
+                          self_blocked: bool = True, mesh=None):
     """One beam-search decode step for B <= 8 beams in ONE kernel launch.
 
     The beams ride the M=8 sublane rows through a SINGLE weight stream
@@ -1181,6 +1197,18 @@ def mega_decode_step_beam(cfg, mp: MegaParams, x0: jnp.ndarray,
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if mesh is not None:
+        from ..parallel.mesh import replicated_on_mesh
+
+        def _step(mp_, x0_, kk_, kv_, head_, xk_, xv_, bias_):
+            return mega_decode_step_beam(
+                cfg, mp_, x0_, kk_, kv_, head_, xk_, xv_, attn_bias=bias_,
+                interpret=interpret, tile_boost=tile_boost,
+                attend_pv_t=attend_pv_t, self_blocked=self_blocked,
+                mesh=None)
+        return replicated_on_mesh(_step, mesh)(
+            mp, x0, kv_k, kv_v, kv_head, xk, xv, attn_bias)
 
     S = cfg.n_text_state
     Bm = x0.shape[0]
