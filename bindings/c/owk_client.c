@@ -150,8 +150,10 @@ static size_t owk_emit_json_fields(const char *json, const char *boundary,
     return w;
 }
 
-char *owk_transcribe_buffer(const owk_client *c, const void *wav_bytes,
-                            size_t n_bytes, const char *params_json) {
+/* Multipart POST of (params fields + one file part) to `path`. */
+static char *owk_post_multipart(const owk_client *c, const char *path,
+                                const void *wav_bytes, size_t n_bytes,
+                                const char *params_json) {
     const char *boundary = "owkclientboundary";
     char head[8192];
     size_t hw = owk_emit_json_fields(params_json, boundary, head, sizeof(head) - 512);
@@ -167,10 +169,10 @@ char *owk_transcribe_buffer(const owk_client *c, const void *wav_bytes,
     if (fd < 0) return NULL;
     char req[1024];
     snprintf(req, sizeof(req),
-             "POST /inference HTTP/1.1\r\nHost: %s\r\nConnection: close\r\n"
+             "POST %s HTTP/1.1\r\nHost: %s\r\nConnection: close\r\n"
              "Content-Type: multipart/form-data; boundary=\"%s\"\r\n"
              "Content-Length: %zu\r\n\r\n",
-             c->host, boundary, content_len);
+             path, c->host, boundary, content_len);
     if (owk_send_all(fd, req, strlen(req)) != 0 ||
         owk_send_all(fd, head, hw) != 0 ||
         owk_send_all(fd, wav_bytes, n_bytes) != 0 ||
@@ -188,22 +190,135 @@ char *owk_transcribe_buffer(const owk_client *c, const void *wav_bytes,
     return body;
 }
 
-char *owk_transcribe_file(const owk_client *c, const char *audio_path,
-                          const char *params_json) {
-    FILE *f = fopen(audio_path, "rb");
+/* Raw-body POST (JSON or PCM) to `path`. */
+static char *owk_post_raw(const owk_client *c, const char *path,
+                          const char *content_type, const void *body_bytes,
+                          size_t n_bytes) {
+    int fd = owk_connect(c);
+    if (fd < 0) return NULL;
+    char req[1024];
+    snprintf(req, sizeof(req),
+             "POST %s HTTP/1.1\r\nHost: %s\r\nConnection: close\r\n"
+             "Content-Type: %s\r\nContent-Length: %zu\r\n\r\n",
+             path, c->host, content_type, n_bytes);
+    if (owk_send_all(fd, req, strlen(req)) != 0 ||
+        (n_bytes > 0 && owk_send_all(fd, body_bytes, n_bytes) != 0)) {
+        close(fd);
+        return NULL;
+    }
+    int status = 0;
+    char *body = owk_read_response(fd, &status);
+    close(fd);
+    if (status != 200) {
+        free(body);
+        return NULL;
+    }
+    return body;
+}
+
+static char *owk_read_file(const char *path, size_t *n_out) {
+    FILE *f = fopen(path, "rb");
     if (!f) return NULL;
     fseek(f, 0, SEEK_END);
     long n = ftell(f);
     fseek(f, 0, SEEK_SET);
     if (n <= 0) { fclose(f); return NULL; }
-    void *buf = malloc((size_t)n);
+    char *buf = (char *)malloc((size_t)n);
     if (!buf || fread(buf, 1, (size_t)n, f) != (size_t)n) {
         free(buf);
         fclose(f);
         return NULL;
     }
     fclose(f);
-    char *out = owk_transcribe_buffer(c, buf, (size_t)n, params_json);
+    *n_out = (size_t)n;
+    return buf;
+}
+
+char *owk_transcribe_buffer(const owk_client *c, const void *wav_bytes,
+                            size_t n_bytes, const char *params_json) {
+    return owk_post_multipart(c, "/inference", wav_bytes, n_bytes,
+                              params_json);
+}
+
+char *owk_transcribe_words(const owk_client *c, const char *audio_path,
+                           const char *params_json) {
+    char merged[4096];
+    if (params_json && strlen(params_json) > 2) {
+        /* splice response_format into the caller's object */
+        snprintf(merged, sizeof(merged),
+                 "{\"response_format\": \"verbose_json\", %s",
+                 strchr(params_json, '{') ? strchr(params_json, '{') + 1
+                                          : params_json);
+    } else {
+        snprintf(merged, sizeof(merged),
+                 "{\"response_format\": \"verbose_json\"}");
+    }
+    return owk_transcribe_file(c, audio_path, merged);
+}
+
+char *owk_detect_language(const owk_client *c, const char *audio_path) {
+    size_t n = 0;
+    char *buf = owk_read_file(audio_path, &n);
+    if (!buf) return NULL;
+    char *out = owk_post_multipart(c, "/detect-language", buf, n, NULL);
+    free(buf);
+    return out;
+}
+
+char *owk_diarize_file(const owk_client *c, const char *audio_path,
+                       const char *params_json) {
+    size_t n = 0;
+    char *buf = owk_read_file(audio_path, &n);
+    if (!buf) return NULL;
+    char *out = owk_post_multipart(c, "/diarize", buf, n, params_json);
+    free(buf);
+    return out;
+}
+
+char *owk_stream_start(const owk_client *c, const char *params_json) {
+    const char *payload = params_json ? params_json : "{}";
+    char *body = owk_post_raw(c, "/stream/start", "application/json",
+                              payload, strlen(payload));
+    if (!body) return NULL;
+    /* extract {"session": "sN"} */
+    char *p = strstr(body, "\"session\"");
+    char *out = NULL;
+    if (p && (p = strchr(p + 9, '"')) != NULL) {
+        char *e = strchr(p + 1, '"');
+        if (e) {
+            out = (char *)malloc((size_t)(e - p));
+            if (out) {
+                memcpy(out, p + 1, (size_t)(e - p - 1));
+                out[e - p - 1] = 0;
+            }
+        }
+    }
+    free(body);
+    return out;
+}
+
+char *owk_stream_feed(const owk_client *c, const char *session,
+                      const void *pcm_s16le, size_t n_bytes) {
+    char path[512];
+    snprintf(path, sizeof(path), "/stream/feed?session=%s", session);
+    return owk_post_raw(c, path, "application/octet-stream",
+                        pcm_s16le, n_bytes);
+}
+
+char *owk_stream_finish(const owk_client *c, const char *session,
+                        const void *pcm_s16le, size_t n_bytes) {
+    char path[512];
+    snprintf(path, sizeof(path), "/stream/finish?session=%s", session);
+    return owk_post_raw(c, path, "application/octet-stream",
+                        pcm_s16le, n_bytes);
+}
+
+char *owk_transcribe_file(const owk_client *c, const char *audio_path,
+                          const char *params_json) {
+    size_t n = 0;
+    char *buf = owk_read_file(audio_path, &n);
+    if (!buf) return NULL;
+    char *out = owk_transcribe_buffer(c, buf, n, params_json);
     free(buf);
     return out;
 }

@@ -47,6 +47,35 @@ char *owk_transcribe_file(const owk_client *c, const char *audio_path,
 char *owk_transcribe_buffer(const owk_client *c, const void *wav_bytes,
                             size_t n_bytes, const char *params_json);
 
+/* POST /inference with response_format=verbose_json: the returned JSON
+ * carries per-word timestamps + probabilities ("words" arrays). Caller
+ * frees. */
+char *owk_transcribe_words(const owk_client *c, const char *audio_path,
+                           const char *params_json);
+
+/* POST /detect-language: returns malloc'd JSON
+ * {"detected_language", "language", "probability",
+ *  "language_probabilities"} or NULL. */
+char *owk_detect_language(const owk_client *c, const char *audio_path);
+
+/* POST /diarize (requires the server's --diarize-model): params_json may
+ * set threshold / median_window / preset / response_format ("json"|"rttm")
+ * / file_id. Returns malloc'd body (JSON segments or RTTM text). */
+char *owk_diarize_file(const owk_client *c, const char *audio_path,
+                       const char *params_json);
+
+/* Streaming session (server /stream/{start,feed,finish}).
+ * owk_stream_start: params_json may set step_ms/length_ms/keep_ms/
+ * language/...; returns a malloc'd session id or NULL.
+ * owk_stream_feed: sends 16 kHz mono s16le PCM; returns malloc'd JSON
+ * {"events": [{"text", "t0", "t1", "final"}...]}.
+ * owk_stream_finish: flushes + closes; returns the final events JSON. */
+char *owk_stream_start(const owk_client *c, const char *params_json);
+char *owk_stream_feed(const owk_client *c, const char *session,
+                      const void *pcm_s16le, size_t n_bytes);
+char *owk_stream_finish(const owk_client *c, const char *session,
+                        const void *pcm_s16le, size_t n_bytes);
+
 #ifdef __cplusplus
 }
 #endif

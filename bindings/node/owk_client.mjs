@@ -54,6 +54,89 @@ export class OwkClient {
     const res = await fetch(`${this.baseUrl}/load`, { method: "POST", body: form });
     return res.ok;
   }
+
+  async #postMultipart(path, buf, name, opts = {}) {
+    const form = new FormData();
+    form.append("file", new Blob([buf], { type: "audio/wav" }), name);
+    for (const [k, v] of Object.entries(opts)) form.append(k, String(v));
+    const res = await fetch(`${this.baseUrl}${path}`, {
+      method: "POST",
+      body: form,
+    });
+    if (!res.ok) throw new Error(`${path} failed: HTTP ${res.status}`);
+    return res;
+  }
+
+  /** Transcribe with per-word timestamps (verbose_json): each segment
+   *  carries a "words" array with start/end/probability. */
+  async transcribeWords(path, opts = {}) {
+    return this.transcribeFile(path, {
+      ...opts,
+      response_format: "verbose_json",
+    });
+  }
+
+  /** POST /detect-language -> { detected_language, language, probability,
+   *  language_probabilities }. */
+  async detectLanguage(path) {
+    const buf = await readFile(path);
+    const res = await this.#postMultipart("/detect-language", buf, basename(path));
+    return res.json();
+  }
+
+  /** POST /diarize (server needs --diarize-model). opts: threshold,
+   *  median_window, preset, response_format ("json"|"rttm"), file_id. */
+  async diarize(path, opts = {}) {
+    const buf = await readFile(path);
+    const res = await this.#postMultipart("/diarize", buf, basename(path), opts);
+    return (opts.response_format ?? "json") === "rttm" ? res.text() : res.json();
+  }
+
+  /** Open a live streaming session (the addon.node StreamingSession analog).
+   *  opts: step_ms, length_ms, keep_ms, language, translate, keep_context. */
+  async streamStart(opts = {}) {
+    const res = await fetch(`${this.baseUrl}/stream/start`, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(opts),
+    });
+    if (!res.ok) throw new Error(`stream start failed: HTTP ${res.status}`);
+    const { session } = await res.json();
+    return new OwkStream(this, session);
+  }
+}
+
+/** One live transcription session over /stream/{feed,finish}. */
+export class OwkStream {
+  constructor(client, id) {
+    this.client = client;
+    this.id = id;
+  }
+
+  async #post(kind, pcm) {
+    const res = await fetch(
+      `${this.client.baseUrl}/stream/${kind}?session=${encodeURIComponent(this.id)}`,
+      {
+        method: "POST",
+        headers: { "Content-Type": "application/octet-stream" },
+        body: pcm ?? new Uint8Array(0),
+      },
+    );
+    if (!res.ok) throw new Error(`stream ${kind} failed: HTTP ${res.status}`);
+    const { events } = await res.json();
+    return events;
+  }
+
+  /** Feed 16 kHz mono s16le PCM bytes; resolves to the incremental events
+   *  [{text, t0, t1, final, speaker_turn_next}...]. */
+  async feed(pcmS16le) {
+    return this.#post("feed", pcmS16le);
+  }
+
+  /** Flush + close; resolves to the final events. */
+  async finish(pcmS16le) {
+    return this.#post("finish", pcmS16le);
+  }
 }
 
 // CLI: node owk_client.mjs <wav> [server-url]

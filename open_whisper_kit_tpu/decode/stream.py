@@ -161,6 +161,32 @@ class StreamingTranscriber:
             self._old = window
         return events
 
+    def flush(self) -> list[StreamEvent]:
+        """Decode whatever is buffered as one FINAL window and reset the
+        sliding state (end-of-stream; the server's /stream/finish and the
+        reference addon's session close)."""
+        if self.use_vad:
+            window = self._buf[-self.n_samples_len:]
+            self._buf = np.zeros(0, np.float32)
+            if len(window) < SAMPLE_RATE // 2:
+                return []
+        else:
+            n_take = min(len(self._old),
+                         max(0, self.n_samples_keep + self.n_samples_len
+                             - len(self._buf)))
+            window = np.concatenate(
+                [self._old[len(self._old) - n_take:], self._buf])
+            self._buf = np.zeros(0, np.float32)
+            self._old = np.zeros(0, np.float32)
+            if len(window) < SAMPLE_RATE // 10:
+                return []
+        res = F.whisper_full(self.ctx, self._full_params(), window)
+        self.n_iter += 1
+        return [StreamEvent(s.text, s.t0, s.t1, final=True,
+                            speaker_turn_next=s.speaker_turn_next,
+                            n_iter=self.n_iter)
+                for s in res.segments]
+
     def _feed_vad(self) -> list[StreamEvent]:
         probe_n = 2 * SAMPLE_RATE
         if len(self._buf) < probe_n:

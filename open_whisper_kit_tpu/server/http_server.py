@@ -28,7 +28,8 @@ class ServerState:
                  batch_window_ms: float = 0.0, max_batch: int = 8,
                  vad_model: str | None = None, request_path: str = "",
                  inference_path: str = "/inference",
-                 public_path: str | None = None, convert: bool = False):
+                 public_path: str | None = None, convert: bool = False,
+                 diarize_model: str | None = None):
         # RLock: load() holds it while the transcriber property re-enters
         self.lock = threading.RLock()
         self.model_path = model_path
@@ -40,8 +41,38 @@ class ServerState:
         self.inference_path = inference_path    # server.cpp --inference-path
         self.public_path = public_path          # server.cpp --public
         self.convert = convert                  # server.cpp --convert
+        self.diarize_model = diarize_model      # sortformer GGUF for /diarize
+        self._diarizer = None
+        # streaming sessions (POST /stream/*): id -> _StreamSession
+        self.sessions: dict[str, "_StreamSession"] = {}
+        self._session_seq = 0
         self.batcher = (RequestBatcher(self, batch_window_ms, max_batch)
                         if batch_window_ms > 0 and max_batch > 1 else None)
+
+    @property
+    def diarizer(self):
+        if self._diarizer is None:
+            if not self.diarize_model:
+                raise RuntimeError(
+                    "server started without --diarize-model")
+            with self.lock:
+                if self._diarizer is None:
+                    from ..api import Diarizer
+                    self._diarizer = Diarizer(model_path=self.diarize_model)
+        return self._diarizer
+
+    def new_session(self, params) -> str:
+        from ..decode.stream import StreamingTranscriber
+        with self.lock:
+            self._session_seq += 1
+            sid = f"s{self._session_seq}"
+            st = StreamingTranscriber(self.transcriber.ctx, params)
+            self.sessions[sid] = _StreamSession(sid, st)
+            # bound concurrent sessions; oldest-idle evicted first
+            if len(self.sessions) > 32:
+                oldest = min(self.sessions.values(), key=lambda s: s.last_used)
+                self.sessions.pop(oldest.sid, None)
+        return sid
 
     @property
     def transcriber(self):
@@ -73,6 +104,18 @@ class ServerState:
         with self.lock:
             tr = self.transcriber
             return tr.full(p, audio), tr
+
+
+class _StreamSession:
+    """One /stream session: a StreamingTranscriber + a per-session lock
+    (feeds for the SAME session serialize; different sessions still
+    serialize on the device via the state lock)."""
+
+    def __init__(self, sid: str, st):
+        self.sid = sid
+        self.st = st
+        self.lock = threading.Lock()
+        self.last_used = time.monotonic()
 
 
 class _Req:
@@ -284,10 +327,138 @@ def make_handler(state: ServerState):
             else:
                 self._send(404, json.dumps({"error": "not found"}))
 
+        def _detect_language(self, body):
+            """POST /detect-language: multipart file -> detected language +
+            probabilities (the whisper_lang_auto_detect surface,
+            src/whisper.cpp:4021, for non-Python clients)."""
+            fields = _parse_multipart(
+                body, self.headers.get("Content-Type", ""))
+            if "file" not in fields:
+                self._send(400, json.dumps({"error": "no 'file' field"}))
+                return
+            audio = _load_audio_bytes(fields["file"], convert=state.convert)
+            from ..audio import mel as mel_mod
+            from ..compat import whisper_lang_str_full
+            from ..decode import full as Fmod
+            from ..decode import tokenizer as tok_mod
+            with state.lock:
+                tr = state.transcriber
+                mel = mel_mod.log_mel_spectrogram(audio, tr.ctx.filters)
+                lid, probs = Fmod.detect_language(tr.ctx, mel)
+            self._send(200, json.dumps({
+                "detected_language": whisper_lang_str_full(lid),
+                "language": tok_mod.lang_str(lid),
+                "probability": float(probs[lid]),
+                "language_probabilities": {
+                    tok_mod.LANGUAGES[i][0]: float(probs[i])
+                    for i in range(len(probs)) if probs[i] > 0.001},
+            }))
+
+        def _diarize(self, body):
+            """POST /diarize: multipart file -> RTTM text or JSON speaker
+            segments (sortformer_diarize + sortformer_to_rttm surface,
+            streaming-sortformer/src/sortformer.cpp:2271,2593)."""
+            fields = _parse_multipart(
+                body, self.headers.get("Content-Type", ""))
+            if "file" not in fields:
+                self._send(400, json.dumps({"error": "no 'file' field"}))
+                return
+
+            def fval(key, cast, default):
+                if key in fields:
+                    try:
+                        return cast(fields[key].decode().strip())
+                    except ValueError:
+                        return default
+                return default
+
+            threshold = fval("threshold", float, 0.5)
+            median_win = fval("median_window", int, 11)
+            preset = fval("preset", str, "") or None
+            response_format = fval("response_format", str, "json")
+            file_id = fval("file_id", str, "audio")
+            audio = _load_audio_bytes(fields["file"], convert=state.convert)
+            dz = state.diarizer
+            with state.lock:      # device access serializes
+                _probs, segments = dz.diarize(
+                    audio, stream_config=preset, threshold=threshold,
+                    median_win=median_win, file_id=file_id)
+            if response_format == "rttm":
+                from ..align import rttm as _rttm
+                self._send(200, _rttm.to_rttm(segments),
+                           ctype="text/plain; charset=utf-8")
+            else:
+                self._send(200, json.dumps({"segments": [
+                    {"speaker": s.speaker, "start": s.start,
+                     "duration": s.duration} for s in segments]}))
+
+        def _stream_route(self, path, body):
+            """POST /stream/{start,feed,finish}: chunked streaming sessions
+            (the whisper-stream step/keep engine behind HTTP; the reference
+            addon.node's StreamingSession analog for every HTTP client)."""
+            from urllib.parse import parse_qs, urlsplit
+            q = parse_qs(urlsplit(self.path).query)
+            if path.endswith("/start"):
+                try:
+                    req = json.loads(body or b"{}")
+                except ValueError:
+                    req = {}
+                from ..decode.stream import StreamParams
+                sp = StreamParams(
+                    step_ms=int(req.get("step_ms", 3000)),
+                    length_ms=int(req.get("length_ms", 10000)),
+                    keep_ms=int(req.get("keep_ms", 200)),
+                    max_tokens=int(req.get("max_tokens", 32)),
+                    language=req.get("language", "en"),
+                    translate=bool(req.get("translate", False)),
+                    no_context=not bool(req.get("keep_context", False)),
+                    vad_thold=float(req.get("vad_thold", 0.6)),
+                    no_fallback=True)
+                sid = state.new_session(sp)
+                self._send(200, json.dumps({"session": sid}))
+                return
+            sid = (q.get("session") or [""])[0]
+            sess = state.sessions.get(sid)
+            if sess is None:
+                self._send(404, json.dumps({"error": "unknown session"}))
+                return
+            import numpy as np
+            fmt = (q.get("format") or ["s16le"])[0]
+            if fmt == "f32le":
+                pcm = np.frombuffer(body, dtype="<f4").astype(np.float32)
+            else:
+                pcm = np.frombuffer(body, dtype="<i2").astype(
+                    np.float32) / 32768.0
+            with sess.lock:
+                sess.last_used = time.monotonic()
+                with state.lock:
+                    if path.endswith("/finish"):
+                        events = (sess.st.feed(pcm) if len(pcm) else []
+                                  ) + sess.st.flush()
+                        state.sessions.pop(sid, None)
+                    else:
+                        events = sess.st.feed(pcm)
+            self._send(200, json.dumps({"events": [
+                {"text": e.text, "t0": e.t0, "t1": e.t1, "final": e.final,
+                 "speaker_turn_next": e.speaker_turn_next}
+                for e in events]}))
+
         def do_POST(self):
+            from urllib.parse import urlsplit
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             rp = state.request_path
+            path = urlsplit(self.path).path
+            try:
+                if path == rp + "/detect-language":
+                    return self._detect_language(body)
+                if path == rp + "/diarize":
+                    return self._diarize(body)
+                if path.startswith(rp + "/stream/"):
+                    return self._stream_route(path, body)
+            except Exception as e:  # noqa: BLE001
+                self._send(500, json.dumps({"error": str(e)}))
+                return
             if self.path == rp + "/load":
                 try:
                     ctype = self.headers.get("Content-Type", "")
@@ -485,7 +656,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           dtype=None, mesh=None, batch_window_ms: float = 0.0,
           max_batch: int = 8, vad_model: str | None = None,
           request_path: str = "", inference_path: str = "/inference",
-          public_path: str | None = None, convert: bool = False
+          public_path: str | None = None, convert: bool = False,
+          diarize_model: str | None = None
           ) -> ThreadingHTTPServer:
     """`mesh`: serve with dp/tp-sharded weights (api.Transcriber(mesh=));
     the multi-chip serving entry point (--mesh on the CLI).
@@ -496,7 +668,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
                         batch_window_ms=batch_window_ms, max_batch=max_batch,
                         vad_model=vad_model, request_path=request_path,
                         inference_path=inference_path,
-                        public_path=public_path, convert=convert)
+                        public_path=public_path, convert=convert,
+                        diarize_model=diarize_model)
     server = ThreadingHTTPServer((host, port), make_handler(state))
     server.state = state        # introspection (tests, shutdown hooks)
     return server
@@ -524,6 +697,8 @@ def main(argv=None) -> int:
                     help="max requests per batched dispatch")
     ap.add_argument("-vm", "--vad-model", default=None,
                     help="Silero VAD model for requests with vad=true")
+    ap.add_argument("-dm", "--diarize-model", default=None,
+                    help="SortFormer GGUF enabling POST /diarize")
     ap.add_argument("--request-path", default="",
                     help="prefix for all routes (server.cpp --request-path)")
     ap.add_argument("--inference-path", default="/inference")
@@ -546,7 +721,8 @@ def main(argv=None) -> int:
                    max_batch=args.max_batch, vad_model=args.vad_model,
                    request_path=args.request_path,
                    inference_path=args.inference_path,
-                   public_path=args.public, convert=args.convert)
+                   public_path=args.public, convert=args.convert,
+                   diarize_model=args.diarize_model)
     print(f"whisper server listening on http://{args.host}:{args.port}")
     try:
         server.serve_forever()
