@@ -383,15 +383,66 @@ def quantize_cross_kv(x: jnp.ndarray) -> QuantKV:
     return QuantKV(qs=qs, scale=scale)
 
 
-def _attention_hm_q(q, kq, ks, vq, vs, n_head, scale):
+@jax.tree_util.register_pytree_node_class
+class QuantKVNat:
+    """Int8 cross-KV in NATURAL layout for the fused Pallas batched
+    cross-attention (ops/attention.cross_attention_q8_nat): qs
+    (L,B,Tap,S) int8 slabs (full-lane DMA rows), scale (L,B,Hs,Tap) f32
+    per-(position, head) with heads on sublanes. ta_valid (STATIC pytree
+    aux — the pallas kernel masks with it at trace time) marks the live
+    prefix before the 32-row pad."""
+
+    def __init__(self, qs, scale, ta_valid: int):
+        self.qs = qs
+        self.scale = scale
+        self.ta_valid = ta_valid
+
+    def tree_flatten(self):
+        return (self.qs, self.scale), self.ta_valid
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+@jax.jit
+def _quantize_cross_kv_nat_jit(x: jnp.ndarray):
+    L, B, H, Ta, dh = x.shape
+    Tap = -(-Ta // 32) * 32
+    Hs = -(-H // 8) * 8
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)                  # (L,B,H,Ta)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    q = jnp.clip(jnp.round(x32 * inv[..., None]), -127, 127).astype(jnp.int8)
+    # natural (L,B,Ta,S) slabs
+    qs = jnp.transpose(q, (0, 1, 3, 2, 4)).reshape(L, B, Ta, H * dh)
+    qs = jnp.pad(qs, ((0, 0), (0, 0), (0, Tap - Ta), (0, 0)))
+    # scales transposed: heads on sublanes, positions on lanes
+    sc = jnp.pad(scale, ((0, 0), (0, 0), (0, Hs - H), (0, Tap - Ta)))
+    return qs, sc
+
+
+def quantize_cross_kv_nat(x: jnp.ndarray) -> QuantKVNat:
+    """(L,B,H,Ta,dh) float -> QuantKVNat (numerics == quantize_cross_kv:
+    symmetric per-(position, head) int8)."""
+    qs, sc = _quantize_cross_kv_nat_jit(x)
+    return QuantKVNat(qs=qs, scale=sc, ta_valid=int(x.shape[3]))
+
+
+def _attention_hm_q(q, kq, ks, vq, vs, n_head, scale, mask=None):
     """Head-major attention over int8 K/V planes; scales fold into the
-    scores / probabilities so dequantized K/V never materialize in HBM."""
+    scores / probabilities so dequantized K/V never materialize in HBM.
+    `mask` (additive, broadcastable to (B,H,Tq,Tk)): the causal-with-cache
+    mask when the int8 planes are the SELF cache."""
     B, Tq, S = q.shape
     d = S // n_head
     qh = q.reshape(B, Tq, n_head, d).transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kq.astype(q.dtype),
                         preferred_element_type=jnp.float32)
     scores = scores * ks[:, :, None, :] * scale
+    if mask is not None:
+        scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
     pv = (probs * vs[:, :, None, :]).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", pv, vq.astype(q.dtype),
@@ -404,6 +455,27 @@ def init_kv_cache(cfg: WhisperConfig, n_beams: int, dtype=jnp.bfloat16):
     shape = (cfg.n_text_layer, n_beams, cfg.n_text_head, cfg.n_text_ctx,
              cfg.d_text_head)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def init_kv_cache_q8(cfg: WhisperConfig, n_beams: int):
+    """Int8 self-attention cache (QuantKV pair): halves the dominant
+    per-step self-KV read of batched serving (q8_0-level error — each
+    row quantized per (batch, head, position) over dh)."""
+    shape = (cfg.n_text_layer, n_beams, cfg.n_text_head, cfg.n_text_ctx,
+             cfg.d_text_head)
+    z = lambda: QuantKV(qs=jnp.zeros(shape, jnp.int8),
+                        scale=jnp.zeros(shape[:-1], jnp.float32))
+    return z(), z()
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """(..., dh) float -> (int8 rows, f32 scales) symmetric per-row."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    qs = jnp.clip(jnp.round(x32 * inv[..., None]), -127, 127).astype(jnp.int8)
+    return qs, scale
 
 
 def _layer_params(blocks: Params, il: int) -> Params:
@@ -430,9 +502,13 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
     cache); cross-attention scores scaled by d**-0.25 against the pre-scaled
     cross K.
     """
-    dtype = kv_k.dtype
+    quant_self = isinstance(kv_k, QuantKV)
+    dtype = dec["te"].dtype if quant_self else kv_k.dtype
     B, T = tokens.shape
-    C = kv_k.shape[3]
+    if isinstance(xk, QuantKVNat):
+        assert T == 1 and not collect_cross_qk, \
+            "QuantKVNat drives the single-token serving step only"
+    C = (kv_k.qs if quant_self else kv_k).shape[3]
     H, dh = cfg.n_text_head, cfg.d_text_head
     kqscale = float(cfg.d_text_head) ** -0.25
     positions = kv_head + jnp.arange(T)
@@ -463,17 +539,43 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
         # write head-major (B,H,T,dh) slabs at slot kv_head
         k_hm = k.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
         v_hm = v.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
-        kv_k = jax.lax.dynamic_update_slice(
-            kv_k, k_hm[None].astype(dtype), (il, 0, 0, kv_head, 0))
-        kv_v = jax.lax.dynamic_update_slice(
-            kv_v, v_hm[None].astype(dtype), (il, 0, 0, kv_head, 0))
-
-        a, _ = _attention_hm(q, kv_k[il], kv_v[il], cfg.n_text_head, 1.0, mask)
+        if quant_self:
+            kq8, ksc = _quantize_rows(k_hm)
+            vq8, vsc = _quantize_rows(v_hm)
+            kv_k = QuantKV(
+                jax.lax.dynamic_update_slice(
+                    kv_k.qs, kq8[None], (il, 0, 0, kv_head, 0)),
+                jax.lax.dynamic_update_slice(
+                    kv_k.scale, ksc[None], (il, 0, 0, kv_head)))
+            kv_v = QuantKV(
+                jax.lax.dynamic_update_slice(
+                    kv_v.qs, vq8[None], (il, 0, 0, kv_head, 0)),
+                jax.lax.dynamic_update_slice(
+                    kv_v.scale, vsc[None], (il, 0, 0, kv_head)))
+            a, _ = _attention_hm_q(q, kv_k.qs[il], kv_k.scale[il],
+                                   kv_v.qs[il], kv_v.scale[il],
+                                   cfg.n_text_head, 1.0, mask)
+        else:
+            kv_k = jax.lax.dynamic_update_slice(
+                kv_k, k_hm[None].astype(dtype), (il, 0, 0, kv_head, 0))
+            kv_v = jax.lax.dynamic_update_slice(
+                kv_v, v_hm[None].astype(dtype), (il, 0, 0, kv_head, 0))
+            a, _ = _attention_hm(q, kv_k[il], kv_v[il], cfg.n_text_head,
+                                 1.0, mask)
         x = x + _mm(a, p["o_w"]) + p["o_b"]
 
         h = _ln(x, p["cross_ln_w"], p["cross_ln_b"], cfg.eps)
         cq = _mm(h, p["cq_w"]) + p["cq_b"]
-        if isinstance(xk, QuantKV):
+        if isinstance(xk, QuantKVNat):
+            # fused Pallas batched cross-attention: int8 slabs DMA at
+            # full lane width, dequant in VMEM (the serving lever)
+            from ...ops.attention import cross_attention_q8_nat
+            probs = None
+            ca = cross_attention_q8_nat(
+                cq, xk.qs[il], xk.scale[il], xv.qs[il], xv.scale[il],
+                cfg.n_text_head, kqscale, ta_valid=xk.ta_valid,
+                interpret=jax.devices()[0].platform == "cpu").astype(x.dtype)
+        elif isinstance(xk, QuantKV):
             ca, probs = _attention_hm_q(cq, xk.qs[il], xk.scale[il],
                                         xv.qs[il], xv.scale[il],
                                         cfg.n_text_head, kqscale)

@@ -15,8 +15,20 @@ def enable_compile_cache(default_dir: str | None = None) -> str | None:
     """Enable jax's persistent compilation cache; returns the dir or None.
 
     Best-effort: failures (read-only fs, old jax) never break the caller.
+
+    Also honors OWK_FORCE_CPU=1: pin the CPU backend before any device
+    init. Needed because this image's sitecustomize pins the axon TPU in
+    jax.config at import, which beats the JAX_PLATFORMS env var — CLI
+    subprocess flows (tools/acceptance.sh --dry-run, CI) use this to run
+    device-free.
     """
     import jax
+
+    if os.environ.get("OWK_FORCE_CPU"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001
+            pass
 
     cache = os.environ.get("OWK_JAX_CACHE_DIR")
     if cache == "":

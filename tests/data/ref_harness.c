@@ -18,6 +18,11 @@
  *   ref_harness full   model.bin pcm.f32
  *       whisper_full greedy/t=0/no-fallback; prints one line per segment:
  *       "<t0>\t<t1>\t<text>".
+ *   ref_harness beam   model.bin pcm.f32 beam_size
+ *       whisper_full BEAM_SEARCH/t=0/no-fallback with the given beam
+ *       width; same per-segment output (the composed beam-transcript
+ *       oracle — candidate gathering, dedupe, kv shuffle, scoring,
+ *       whisper.cpp:7020-7352/6519-6592).
  */
 #include "whisper.h"
 
@@ -72,6 +77,24 @@ int main(int argc, char ** argv) {
             fwrite(whisper_get_logits(ctx), sizeof(float), n_vocab, out);
         }
         fclose(out);
+    } else if (strcmp(mode, "beam") == 0) {
+        struct whisper_full_params wparams =
+            whisper_full_default_params(WHISPER_SAMPLING_BEAM_SEARCH);
+        wparams.n_threads             = 1;
+        wparams.temperature           = 0.0f;
+        wparams.temperature_inc       = -1.0f;  /* no fallback */
+        wparams.beam_search.beam_size = argc > 4 ? atoi(argv[4]) : 5;
+        wparams.greedy.best_of        = wparams.beam_search.beam_size;
+        wparams.print_progress        = false;
+        wparams.language              = "en";
+        if (whisper_full(ctx, wparams, pcm, (int) n_samples) != 0) return 1;
+        const int n = whisper_full_n_segments(ctx);
+        for (int i = 0; i < n; i++) {
+            printf("%lld\t%lld\t%s\n",
+                   (long long) whisper_full_get_segment_t0(ctx, i),
+                   (long long) whisper_full_get_segment_t1(ctx, i),
+                   whisper_full_get_segment_text(ctx, i));
+        }
     } else if (strcmp(mode, "full") == 0) {
         struct whisper_full_params wparams =
             whisper_full_default_params(WHISPER_SAMPLING_GREEDY);

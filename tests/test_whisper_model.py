@@ -232,3 +232,56 @@ def test_mha_packed_matches_einsum():
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, T, S)
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_decode_impl_q8_self_kv_matches_bf16():
+    """Int8 self-KV serving cache (init_kv_cache_q8): same tokens as the
+    f32 cache within q8_0-level tolerance."""
+    import jax.numpy as jnp
+    from open_whisper_kit_tpu.models.whisper import model as M
+    cfg = M.WhisperConfig(384, 64, 128, 2, 2, 48, 128, 2, 2, 80)
+    params = M.init_params(cfg, seed=3, dtype=jnp.float32)
+    dec = M.prepare_decoder(params["decoder"])
+    rng = np.random.default_rng(5)
+    enc = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    xk, xv = M.cross_kv(cfg, dec, enc)
+    ka, va = M.init_kv_cache(cfg, 2, dtype=jnp.float32)
+    kb, vb = M.init_kv_cache_q8(cfg, 2)
+    tok = jnp.asarray([[5], [9]], jnp.int32)
+    for i in range(6):
+        la, ka, va, _ = M.decode_impl(cfg, dec, tok, ka, va, jnp.int32(i), xk, xv)
+        lb, kb, vb, _ = M.decode_impl(cfg, dec, tok, kb, vb, jnp.int32(i), xk, xv)
+        ra = np.asarray(la[:, -1], np.float32)
+        rb = np.asarray(lb[:, -1], np.float32)
+        rel = np.abs(ra - rb).max() / (np.abs(ra).max() + 1e-6)
+        assert rel < 5e-2, (i, rel)
+        tok = jnp.asarray(ra.argmax(1)[:, None], jnp.int32)
+    assert isinstance(kb, M.QuantKV) and kb.qs.dtype == np.int8
+
+
+def test_decode_impl_quantkv_nat_matches_quantkv():
+    """QuantKVNat (fused pallas cross path, interpret on CPU) vs the
+    head-major QuantKV einsum path: same int8 quantization -> close
+    logits, identical argmax on peaked rows."""
+    import jax.numpy as jnp
+    from open_whisper_kit_tpu.models.whisper import model as M
+    cfg = M.WhisperConfig(384, 64, 128, 2, 2, 48, 128, 2, 2, 80)
+    params = M.init_params(cfg, seed=3, dtype=jnp.float32)
+    dec = M.prepare_decoder(params["decoder"])
+    rng = np.random.default_rng(7)
+    enc = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    xk, xv = M.cross_kv(cfg, dec, enc)
+    xk8, xv8 = M.quantize_cross_kv(xk), M.quantize_cross_kv(xv)
+    xkn, xvn = M.quantize_cross_kv_nat(xk), M.quantize_cross_kv_nat(xv)
+    ka, va = M.init_kv_cache(cfg, 2, dtype=jnp.float32)
+    kb, vb = M.init_kv_cache(cfg, 2, dtype=jnp.float32)
+    tok = jnp.asarray([[5], [9]], jnp.int32)
+    for i in range(4):
+        la, ka, va, _ = M.decode_impl(cfg, dec, tok, ka, va, jnp.int32(i),
+                                      xk8, xv8)
+        lb, kb, vb, _ = M.decode_impl(cfg, dec, tok, kb, vb, jnp.int32(i),
+                                      xkn, xvn)
+        ra = np.asarray(la[:, -1], np.float32)
+        rb = np.asarray(lb[:, -1], np.float32)
+        np.testing.assert_allclose(rb, ra, atol=5e-3 * np.abs(ra).max())
+        tok = jnp.asarray(ra.argmax(1)[:, None], jnp.int32)
