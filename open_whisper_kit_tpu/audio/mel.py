@@ -106,13 +106,19 @@ def _normalize_jit(logmel: jnp.ndarray, n_len: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(live[:, None], out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks",))
+@functools.partial(jax.jit, static_argnames=("n_chunks", "tail_pad"))
 def _mel_full_jit(padded: jnp.ndarray, window: jnp.ndarray,
                   filters_t: jnp.ndarray, n_len: jnp.ndarray,
-                  n_chunks: int) -> jnp.ndarray:
+                  n_chunks: int, tail_pad: int = 0) -> jnp.ndarray:
     """Whole-audio mel in ONE device program: scan over fixed 1024-frame
     chunks (so one upload + one dispatch per call — each extra dispatch
-    costs a full round trip on a remote-device link), then normalize."""
+    costs a full round trip on a remote-device link), then normalize.
+
+    `tail_pad`: zeros appended ON DEVICE — the 30 s whisper zero tail
+    never crosses the link (halves the upload for a 30 s clip; the relay
+    charges ~10 ms/MB on a bad day)."""
+    if tail_pad:
+        padded = jnp.pad(padded, (0, tail_pad))
     overlap = N_FFT - HOP_LENGTH
     cs = _FRAME_BUCKET * HOP_LENGTH
     idx = (jnp.arange(_FRAME_BUCKET)[:, None] * HOP_LENGTH
@@ -174,17 +180,23 @@ def log_mel_spectrogram(samples: np.ndarray, filters: np.ndarray) -> Mel:
 
     n_chunks = _bucket_chunks(max(1, -(-n_len // _FRAME_BUCKET)))
     padded_len = n_chunks * _FRAME_BUCKET * HOP_LENGTH + (N_FFT - HOP_LENGTH)
-    padded = np.zeros(padded_len, dtype=np.float32)
+    # upload only the live prefix (head pad + audio), bucketed to chunk
+    # quanta so executables stay shared; the zero tail pads ON DEVICE
+    quantum = _FRAME_BUCKET * HOP_LENGTH
+    up_len = min(padded_len,
+                 max(1, -(-(pad_half + n) // quantum)) * quantum)
+    padded = np.zeros(up_len, dtype=np.float32)
     if n > 0:
-        padded[pad_half:pad_half + n] = samples
+        padded[pad_half:pad_half + n] = samples[:up_len - pad_half]
         # reflect-pad the head: padded[0:200] = samples[200:0:-1]
-        m = min(pad_half, n - 1)
+        m = min(pad_half, n - 1, up_len - pad_half)
         if m > 0:
             padded[pad_half - m:pad_half] = samples[m:0:-1]
 
     window, filters_t = _mel_consts(filters)
     data = _mel_full_jit(jnp.asarray(padded), window, filters_t,
-                         jnp.int32(n_len), n_chunks)
+                         jnp.int32(n_len), n_chunks,
+                         tail_pad=padded_len - up_len)
     return Mel(data=data, n_len=n_len, n_len_org=n_len_org)
 
 
