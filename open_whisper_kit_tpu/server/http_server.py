@@ -9,6 +9,20 @@ Route/parameter-compatible port of the reference server
     POST /load       — {"model": path} hot-swap
     GET  /health     — {"status":"ok"}
 
+plus the capability routes the non-Python clients bind (bindings/*):
+
+    POST /detect-language — multipart file -> language + probability map
+                            (whisper_lang_auto_detect, whisper.cpp:4021)
+    POST /diarize         — multipart file -> RTTM text or JSON speaker
+                            segments (requires --diarize-model; the
+                            sortformer_diarize/to_rttm surface)
+    POST /stream/start    — JSON params -> {"session": id}
+    POST /stream/feed?session=ID   — raw s16le (or f32le) PCM body ->
+                            {"events": [...]} incremental transcription
+    POST /stream/finish?session=ID — flush + close -> final events
+                            (the whisper-stream step/keep engine; the
+                            reference addon.node StreamingSession analog)
+
 Python stdlib http.server (threaded); no external web framework.
 """
 
