@@ -152,7 +152,9 @@ def _stream_impl(deadline: float, attempts: list[str]) -> tuple[bool, bool]:
     if remain <= 10:
         attempts.append("no budget left for impl")
         return False, False
-    env = dict(os.environ, OWK_BENCH_IMPL_BUDGET_S=str(max(10.0, remain - 10)))
+    # the child stops BETWEEN sections at its own deadline; leave it real
+    # margin so its final (richest) emit lands before the hard kill
+    env = dict(os.environ, OWK_BENCH_IMPL_BUDGET_S=str(max(10.0, remain - 45)))
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--impl"],
         stdout=subprocess.PIPE, stderr=sys.stderr, text=True, bufsize=1,
