@@ -399,13 +399,17 @@ def impl_main():
     dec_int8_full = M.quantize_decoder_int8(dec_prepared)
 
     def make_batched_round(quant_cross):
+        # staged-width self-KV (128 -> 256), same as the production
+        # no-context batched path (decode/batch.py::_kv_stage_widths):
+        # masked tail columns are exact softmax zeros, so the narrow
+        # stages are bit-identical while reading less self-KV per step
         @jax.jit
         def batched_round(p, melB):
             enc = M.encode(cfg, p["encoder"], melB)
             xkB, xvB = M.cross_kv(cfg, p["decoder"], enc)
             if quant_cross:
                 xkB, xvB = M.quantize_cross_kv(xkB), M.quantize_cross_kv(xvB)
-            kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16)
+            kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=jnp.bfloat16, width=128)
             tok = jnp.zeros((B, 1), jnp.int32)
 
             def body(carry, _):
@@ -415,9 +419,16 @@ def impl_main():
                 tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
                 return (tok, kv_k, kv_v, head + 1), ()
 
-            (tok, _, _, _), _ = jax.lax.scan(
-                body, (tok, kv_k, kv_v, jnp.int32(0)), None, length=N_DEC_TOKENS)
-            return jnp.sum(tok)
+            carry = (tok, kv_k, kv_v, jnp.int32(0))
+            carry, _ = jax.lax.scan(body, carry, None,
+                                    length=min(128, N_DEC_TOKENS))
+            if N_DEC_TOKENS > 128:
+                tok, kv_k, kv_v, head = carry
+                carry = (tok, M.widen_kv_cache(kv_k, 256),
+                         M.widen_kv_cache(kv_v, 256), head)
+                carry, _ = jax.lax.scan(body, carry, None,
+                                        length=N_DEC_TOKENS - 128)
+            return jnp.sum(carry[0])
         return batched_round
 
     def batched():

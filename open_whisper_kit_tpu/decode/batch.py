@@ -92,6 +92,22 @@ class _StaticArgs:
     cross_kv_int8: bool = False
     mesh: object = None          # jax.sharding.Mesh: dp-shard the chunk axis
     flash: bool = True           # pallas flash encoder (off under GSPMD)
+    # staged self-KV cache widths: the decode runs entirely inside one
+    # device program, but as a CHAIN of while_loops whose cache is only as
+    # wide as positions reached so far (128 -> 256 covers the whole
+    # no-context batched decode, n_max = n_text_ctx/2 - 4). Masked columns
+    # contribute exact zeros to the softmax, so every stage is
+    # bit-identical to the full-width loop while reading ~60% less
+    # self-KV HBM per step on average.
+    kv_stages: tuple = ()
+
+
+def _kv_stage_widths(full: int, need: int) -> tuple:
+    """Stage widths (ascending) ending at the narrowest of {128, 256, full}
+    that covers `need` positions."""
+    need = min(need, full)
+    last = min(next((w for w in (128, 256) if w >= need), full), full)
+    return tuple(w for w in (128, 256) if w < last) + (last,)
 
 
 def _make_batch_step(sa: _StaticArgs):
@@ -255,7 +271,21 @@ def _make_batch_step(sa: _StaticArgs):
                 has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
                 completed=completed, failed=failed)
 
-        c = jax.lax.while_loop(cond, body, carry)
+        if mega is None and sa.kv_stages:
+            # staged-width self-KV: chain while_loops, widening the cache
+            # between stages (all inside this one device program)
+            c = carry
+            for idx, w in enumerate(sa.kv_stages):
+                if idx == len(sa.kv_stages) - 1:
+                    c = jax.lax.while_loop(cond, body, c)
+                else:
+                    c = jax.lax.while_loop(
+                        lambda c, w=w: cond(c) & (c.kv_head < w), body, c)
+                    nxt = sa.kv_stages[idx + 1]
+                    c = c._replace(kv_k=M.widen_kv_cache(c.kv_k, nxt),
+                                   kv_v=M.widen_kv_cache(c.kv_v, nxt))
+        else:
+            c = jax.lax.while_loop(cond, body, carry)
         return BatchResult(
             tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,
             tid=c.tid, n_tokens=jnp.broadcast_to(c.i, (B,)),
@@ -304,11 +334,17 @@ def _lockstep_chunks(ctx: F.WhisperContext, p: FullParams,
     # tp-sharded weights still give multi-chip execution, batch replicated
     dp_shard = (ctx.mesh is not None
                 and B % ctx.mesh.shape.get("dp", 1) == 0)
+    # no-context lockstep decode: positions never pass prompt + n_max (+1
+    # for the bonus write slot), so the self-KV cache can start narrow and
+    # widen in stages — see _StaticArgs.kv_stages
+    kv_stages = _kv_stage_widths(cfg.n_text_ctx,
+                                 len(prompt_init) + n_max + 1)
     sa = _StaticArgs(cfg=cfg, rc=rc, n_max=n_max, max_tokens=p.max_tokens,
                      no_timestamps=p.no_timestamps, stub=ctx.n_loaded == 0,
                      cross_kv_int8=cross_kv_int8,
                      mesh=ctx.mesh if dp_shard else None,
-                     flash=ctx.mesh is None)
+                     flash=ctx.mesh is None,
+                     kv_stages=kv_stages)
     step = _make_batch_step(sa)
     # one-weight-stream batched megakernel (B <= 8 sublane rows); the
     # int8 cross-KV path keeps the XLA step (QuantKV not in-kernel).
@@ -339,7 +375,8 @@ def _lockstep_chunks(ctx: F.WhisperContext, p: FullParams,
                               cfg.n_text_state), jnp.bfloat16)
             kv_v = kv_k
         else:
-            kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=ctx.dtype)
+            kv_k, kv_v = M.init_kv_cache(cfg, B, dtype=ctx.dtype,
+                                         width=kv_stages[0])
             if dp_shard:
                 from ..parallel.mesh import kv_sharding
                 kv_k = jax.device_put(kv_k, kv_sharding(ctx.mesh))

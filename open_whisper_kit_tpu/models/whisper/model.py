@@ -450,11 +450,28 @@ def _attention_hm_q(q, kq, ks, vq, vs, n_head, scale, mask=None):
     return out.transpose(0, 2, 1, 3).reshape(B, Tq, S), probs
 
 
-def init_kv_cache(cfg: WhisperConfig, n_beams: int, dtype=jnp.bfloat16):
-    """Static self-attention cache, head-major (L, B, H, n_ctx, dh)."""
-    shape = (cfg.n_text_layer, n_beams, cfg.n_text_head, cfg.n_text_ctx,
-             cfg.d_text_head)
+def init_kv_cache(cfg: WhisperConfig, n_beams: int, dtype=jnp.bfloat16,
+                  width: int | None = None):
+    """Static self-attention cache, head-major (L, B, H, width, dh).
+
+    `width` defaults to the full n_text_ctx (448). Decode paths that never
+    carry a prompt past position `width` may allocate narrower: attention
+    reads the whole cache each step, so a no-context batched decode
+    (result capped at n_text_ctx/2 - 4 tokens) only ever needs 256 columns
+    — the masked tail contributes exact zeros to the softmax, so narrower
+    is bit-identical and reads ~43% less self-KV HBM per step."""
+    shape = (cfg.n_text_layer, n_beams, cfg.n_text_head,
+             width or cfg.n_text_ctx, cfg.d_text_head)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def widen_kv_cache(kv: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Zero-pad a (L,B,H,C,dh) cache on the position axis to `width`
+    (bit-exact stage transition for staged-width decode loops)."""
+    C = kv.shape[3]
+    if C >= width:
+        return kv
+    return jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, width - C), (0, 0)))
 
 
 def init_kv_cache_q8(cfg: WhisperConfig, n_beams: int):

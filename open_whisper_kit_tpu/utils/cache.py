@@ -43,7 +43,12 @@ def enable_compile_cache(default_dir: str | None = None) -> str | None:
         platforms = jax.config.jax_platforms
     except AttributeError:  # very old jax
         platforms = None
-    if platforms and "cpu" in str(platforms):
+    # Only the FIRST platform in the priority list matters: this image's
+    # sitecustomize pins "axon,cpu" (TPU with CPU fallback), and the old
+    # substring check ("cpu" in "axon,cpu") silently disabled the cache on
+    # the real chip — every bench run re-paid minutes of remote compiles.
+    first = str(platforms).split(",")[0].strip() if platforms else ""
+    if first == "cpu":
         return None
     if cache is None:
         root = default_dir or os.path.join(

@@ -285,3 +285,49 @@ def test_decode_impl_quantkv_nat_matches_quantkv():
         rb = np.asarray(lb[:, -1], np.float32)
         np.testing.assert_allclose(rb, ra, atol=5e-3 * np.abs(ra).max())
         tok = jnp.asarray(ra.argmax(1)[:, None], jnp.int32)
+
+
+def test_staged_kv_width_bit_exact(params):
+    """A narrow self-KV cache widened in stages is BIT-identical to the
+    full-width cache: masked tail columns are exact softmax zeros.
+
+    This is the staged-width batched-serving path
+    (decode/batch.py::_kv_stage_widths): no-context decodes never reach
+    past prompt+n_max positions, so reads start at width 8 here
+    (128 in production) and widen on schedule instead of paying the full
+    n_text_ctx self-KV read every step."""
+    dec = M.prepare_decoder(params["decoder"])
+    rng = np.random.default_rng(11)
+    enc = jnp.asarray(rng.standard_normal((3, CFG.n_audio_ctx,
+                                           CFG.n_audio_state)), jnp.float32)
+    xk, xv = M.cross_kv(CFG, dec, enc)
+
+    def run(width0, widen_at):
+        # widen_at: {step: new_width} applied AFTER that step
+        kv_k, kv_v = M.init_kv_cache(CFG, 3, dtype=jnp.float32, width=width0)
+        tok = jnp.zeros((3, 1), jnp.int32)
+        logits_all = []
+        for i in range(CFG.n_text_ctx):
+            logits, kv_k, kv_v, _ = M.decode_impl(
+                CFG, dec, tok, kv_k, kv_v, jnp.int32(i), xk, xv)
+            logits_all.append(np.asarray(logits[:, -1]))
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            if i in widen_at:
+                kv_k = M.widen_kv_cache(kv_k, widen_at[i])
+                kv_v = M.widen_kv_cache(kv_v, widen_at[i])
+        return logits_all
+
+    full = run(CFG.n_text_ctx, {})
+    staged = run(8, {7: 16, 15: CFG.n_text_ctx})
+    for a, b in zip(full, staged):
+        assert np.array_equal(a, b)
+
+
+def test_kv_stage_widths():
+    from open_whisper_kit_tpu.decode.batch import _kv_stage_widths
+    assert _kv_stage_widths(448, 224) == (128, 256)
+    assert _kv_stage_widths(448, 225) == (128, 256)
+    assert _kv_stage_widths(448, 100) == (128,)
+    assert _kv_stage_widths(448, 300) == (128, 256, 448)
+    assert _kv_stage_widths(64, 50) == (64,)
+    assert _kv_stage_widths(32, 40) == (32,)
