@@ -403,6 +403,10 @@ def impl_main():
         # no-context batched path (decode/batch.py::_kv_stage_widths):
         # masked tail columns are exact softmax zeros, so the narrow
         # stages are bit-identical while reading less self-KV per step
+        # the hand-rolled 128->256 stage pair below is only bit-identical
+        # while every decoded position fits the widened cache
+        assert N_DEC_TOKENS <= 256, "staged widths assume N_DEC_TOKENS <= 256"
+
         @jax.jit
         def batched_round(p, melB):
             enc = M.encode(cfg, p["encoder"], melB)

@@ -50,6 +50,17 @@ def enable_compile_cache(default_dir: str | None = None) -> str | None:
     first = str(platforms).split(",")[0].strip() if platforms else ""
     if first == "cpu":
         return None
+    # The platform list states INTENT; if TPU init already happened and
+    # fell back to CPU (dead tunnel), gate on the real backend so the cache
+    # never fills with host-fragile CPU executables. Probe without forcing
+    # backend init: only consult devices if a backend already exists.
+    try:
+        from jax._src import xla_bridge as _xb
+        if _xb.backends_are_initialized() and \
+                jax.devices()[0].platform == "cpu":
+            return None
+    except Exception:  # noqa: BLE001 - introspection is best-effort
+        pass
     if cache is None:
         root = default_dir or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
