@@ -105,7 +105,8 @@ class WhisperContext:
     def __init__(self, cfg: M.WhisperConfig, params: M.Params,
                  vocab: tok_mod.WhisperVocab, filters: np.ndarray,
                  n_loaded: int, dtype=jnp.bfloat16, model_type: str = "custom",
-                 decoder_int8: bool = False, mesh=None):
+                 decoder_int8: bool = False, encoder_int8: bool = False,
+                 mesh=None):
         self.cfg = cfg
         # fuse the decoder qkv projections for the per-token hot path
         params = dict(params)
@@ -113,6 +114,13 @@ class WhisperContext:
         if decoder_int8 and n_loaded > 0:
             # runtime W8: int8-stream the decode matvecs (q8_0-level error)
             params["decoder"] = M.quantize_decoder_int8(params["decoder"])
+        if encoder_int8 and n_loaded > 0 and mesh is None:
+            # W8A8 MXU encoder (ops/encoder_int8): ~2x the bf16 systolic
+            # rate on the compute-bound stack; q8_0-class error. M.encode
+            # detects the plane pytree, so every downstream path (fused
+            # window loop, batched serving, DTW) picks it up transparently
+            from ..ops.encoder_int8 import prepare_encoder_int8
+            params["encoder"] = prepare_encoder_int8(cfg, params["encoder"])
         self.mesh = mesh
         if mesh is not None:
             # multi-chip: head/MLP TP over the mesh's `tp` axis, batch over
@@ -250,8 +258,8 @@ class WhisperContext:
 
     @classmethod
     def from_file(cls, path: str | bytes, dtype=jnp.bfloat16,
-                  decoder_int8: bool = False, mesh=None,
-                  checkpoint=None) -> "WhisperContext":
+                  decoder_int8: bool = False, encoder_int8: bool = False,
+                  mesh=None, checkpoint=None) -> "WhisperContext":
         """`mesh` (jax.sharding.Mesh with dp/tp axes, parallel/mesh.py):
         shard the weights for multi-chip execution. `checkpoint`: a
         pre-parsed ggml_whisper.Checkpoint (skips re-reading `path`)."""
@@ -266,11 +274,12 @@ class WhisperContext:
             params = M.params_from_checkpoint(ck, dtype=dtype)
         return cls(cfg, params, vocab, ck.mel_filters, ck.n_loaded, dtype,
                    ck.hparams.model_type, decoder_int8=decoder_int8,
-                   mesh=mesh)
+                   encoder_int8=encoder_int8, mesh=mesh)
 
     @classmethod
     def from_preset(cls, name: str, seed: int = 0, dtype=jnp.bfloat16,
-                    decoder_int8: bool = False, mesh=None) -> "WhisperContext":
+                    decoder_int8: bool = False, encoder_int8: bool = False,
+                    mesh=None) -> "WhisperContext":
         """Random-weight real-shape model (benches, shape tests)."""
         cfg = M.PRESETS[name]
         params = M.init_params(cfg, seed=seed, dtype=dtype)
@@ -279,7 +288,8 @@ class WhisperContext:
         vocab = tok_mod.build_vocab(tokens, cfg.n_vocab)
         filters = _synthetic_mel_filters(cfg.n_mels)
         return cls(cfg, params, vocab, filters, n_loaded=1, dtype=dtype,
-                   model_type=name, decoder_int8=decoder_int8, mesh=mesh)
+                   model_type=name, decoder_int8=decoder_int8,
+                   encoder_int8=encoder_int8, mesh=mesh)
 
     # -- compute wrappers ---------------------------------------------------
 

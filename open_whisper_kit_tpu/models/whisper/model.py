@@ -301,7 +301,16 @@ def encode(cfg: WhisperConfig, enc: Params, mel: jnp.ndarray,
 
     `flash=False` keeps every op XLA-native (no opaque pallas calls) so
     GSPMD can partition the whole program — the mesh / multi-chip path.
+
+    W8A8 encoder params (prepare_encoder_int8 pytrees, detected by their
+    int8 qkv planes) route to ops.encoder_int8.encode_int8 — same graph,
+    MXU s8 matmuls. Not mesh-partitionable; mesh mode keeps dense params.
     """
+    if "qkv_q" in enc["blocks"]:
+        from ...ops.encoder_int8 import encode_int8
+        assert mesh is None, "int8 encoder is single-chip (mesh keeps dense)"
+        return encode_int8(cfg, enc, mel,
+                           interpret=jax.devices()[0].platform == "cpu")
     dtype = enc["conv1_w"].dtype
     x = mel.astype(dtype)
     dn = ("NWC", "WIO", "NWC")
