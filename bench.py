@@ -445,11 +445,43 @@ def impl_main():
             B * 30.0 / (time.perf_counter() - t0), 1)
     _try("batched16", batched)
 
+    enc8_params = None
+
+    def get_enc8():
+        nonlocal enc8_params
+        if enc8_params is None:
+            from open_whisper_kit_tpu.ops.encoder_int8 import (
+                prepare_encoder_int8)
+            enc8_params = prepare_encoder_int8(cfg, params["encoder"])
+        return enc8_params
+
+    def enc_int8():
+        # W8A8 MXU encoder (ops/encoder_int8): the VERDICT r4 #1 lever —
+        # the bf16 encoder is compute-bound at ~57% MFU; int8 systolic
+        # peak is ~2x. Numerics pinned in tests/test_encoder_int8.py.
+        e8 = get_enc8()
+
+        @jax.jit
+        def enc8_loop(e8, mel0):
+            def body(x, _):
+                out = M.encode(cfg, e8, x)
+                x2 = mel0 + jnp.mean(out).astype(mel0.dtype) * 1e-6
+                return x2, ()
+            x, _ = jax.lax.scan(body, mel0, None, length=N_ENC)
+            return jnp.sum(x)
+
+        float(enc8_loop(e8, mel))
+        t0 = time.perf_counter()
+        float(enc8_loop(e8, mel))
+        detail["enc_int8_ms"] = round((time.perf_counter() - t0) / N_ENC * 1e3, 2)
+    _try("enc_int8", enc_int8)
+
     def batched_q8():
-        # quantized serving mode: int8 logits planes + int8 cross-KV (opt-in
-        # decoder_int8 / cross_kv_int8 flags; q8_0-level numerics)
+        # quantized serving mode: int8 ENCODER + int8 logits planes +
+        # int8 cross-KV (decoder_int8 / cross_kv_int8 / encoder_int8;
+        # q8_0-level numerics end to end)
         fn = make_batched_round(True)
-        p = {"encoder": params["encoder"], "decoder": dec_int8_full}
+        p = {"encoder": get_enc8(), "decoder": dec_int8_full}
         float(fn(p, melB))
         t0 = time.perf_counter()
         float(fn(p, melB))
@@ -488,6 +520,22 @@ def impl_main():
         fp4.temperature_inc = 0
         e2e_best_of_3(fp4, "e2e_whisper_full_int4_rtf")
     _try("e2e_int4", e2e_int4)
+
+    def e2e_int4_enc8():
+        # full quantized serving: W8A8 encoder + int4 megakernel decoder
+        ctx8 = F.WhisperContext.from_preset(MODEL, dtype=jnp.bfloat16,
+                                            encoder_int8=True)
+        fp = FullParams(print_progress=False, megakernel="int4")
+        fp.greedy.best_of = 1
+        fp.temperature_inc = 0
+        F.whisper_full(ctx8, fp, audio)      # warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            F.whisper_full(ctx8, fp, audio)
+            best = min(best, time.perf_counter() - t0)
+        detail["e2e_whisper_full_int4_enc8_rtf"] = round(30.0 / best, 1)
+    _try("e2e_int4_enc8", e2e_int4_enc8)
 
     def e2e_beam5():
         # beam-5 quality mode end-to-end, through the beam megakernel
@@ -603,24 +651,251 @@ def impl_main():
 
     # ---- diarization: offline RTF through the device-resident AOSC loop
     # (full-size 117M SortFormer, random weights — same compute as real).
-    # Baseline: ~110x RT CoreML/ANE (streaming-sortformer/README.md:21). ----
+    # Baseline: ~110x RT CoreML/ANE (streaming-sortformer/README.md:21).
+    # 10 MINUTES of audio (VERDICT r4 #7: the 2-minute clip's ~457 ms
+    # wall measurement swung 2.4x between runs); both runs reported so
+    # the artifact itself shows the spread. ----
     def sortformer_rtf():
         from open_whisper_kit_tpu.models.sortformer import model as SM
         from open_whisper_kit_tpu.models.sortformer.streaming import (
             SortformerDiarizer)
         scfg = SM.SortformerConfig()
         dz = SortformerDiarizer(scfg, SM.init_params(scfg, seed=0))
+        SECS = 600
         sf_audio = np.random.default_rng(1).standard_normal(
-            16000 * 120).astype(np.float32) * 0.1
+            16000 * SECS).astype(np.float32) * 0.1
         dz.diarize(sf_audio, device_state=True)       # warm
-        best = 1e9
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             dz.diarize(sf_audio, device_state=True)
-            best = min(best, time.perf_counter() - t0)
-        detail["sortformer_rtf_offline"] = round(120.0 / best, 1)
+            runs.append(time.perf_counter() - t0)
+        detail["sortformer_rtf_offline"] = round(SECS / min(runs), 1)
+        detail["sortformer_rtf_run2"] = round(SECS / max(runs), 1)
+        # per-chunk cost: the AOSC machine consumes 188 x 80 ms frames per
+        # iteration (StreamConfig.chunk_len) — audio-length-invariant work
+        n_chunks = -(-int(SECS / 0.08) // 188)
+        detail["sortformer_ms_per_chunk"] = round(
+            min(runs) / n_chunks * 1e3, 2)
         detail["sortformer_baseline_rtf"] = BASELINE_SORTFORMER_RTF
     _try("sortformer", sortformer_rtf)
+
+    # ---- streaming latency (VERDICT r4 #8): replay a synthetic WAV
+    # through the streaming transcriber at the 2 s preset; p50/p95 ms
+    # from chunk arrival to emitted partial (the stream.cpp step_ms
+    # contract made measurable, examples/stream/stream.cpp:18-44) ----
+    def stream_latency():
+        from open_whisper_kit_tpu.decode.stream import (
+            StreamingTranscriber, StreamParams)
+        ctx_s = F.WhisperContext.from_preset(
+            "base.en" if "base.en" in M.PRESETS else "base",
+            dtype=jnp.bfloat16)
+        sp = StreamParams(step_ms=2000, length_ms=8000, keep_ms=200,
+                          no_context=True, no_fallback=True)
+        st = StreamingTranscriber(ctx_s, sp)
+        s_audio = np.random.default_rng(5).standard_normal(
+            16000 * 30).astype(np.float32) * 0.1
+        # warm the compile path with the first few feeds, then measure
+        lat = []
+        chunk = 16000 // 4                        # 250 ms feeds
+        for i in range(0, len(s_audio), chunk):
+            t0 = time.perf_counter()
+            ev = st.feed(s_audio[i:i + chunk])
+            dt = (time.perf_counter() - t0) * 1e3
+            if ev:                                # a step ran and emitted
+                lat.append(dt)
+        lat = lat[1:]                             # drop the compile feed
+        if lat:
+            lat.sort()
+            detail["stream_p50_latency_ms"] = round(
+                lat[len(lat) // 2], 1)
+            detail["stream_p95_latency_ms"] = round(
+                lat[min(len(lat) - 1, int(len(lat) * 0.95))], 1)
+            detail["stream_steps_measured"] = len(lat)
+    _try("stream_latency", stream_latency)
+
+    # ---- speculative decoding MEASURED end-to-end (VERDICT r4 #5):
+    # peaked synthetic target (the beam-A/B fixture recipe: 6x token
+    # embedding -> peaked softmax) + a weight-perturbed draft of the
+    # same shape; real accept-rate, real ms, output == plain greedy by
+    # the speculative contract (pinned in tests/test_speculative.py).
+    # Real-weight turbo spec numbers join the acceptance runway. ----
+    def spec_e2e():
+        ctx_t = F.WhisperContext.from_preset("tiny.en", dtype=jnp.bfloat16)
+        ctx_t.params["decoder"]["te"] = ctx_t.params["decoder"]["te"] * 6.0
+        ctx_d = F.WhisperContext.from_preset("tiny.en", dtype=jnp.bfloat16)
+        ctx_d.params["decoder"]["te"] = ctx_d.params["decoder"]["te"] * 6.0
+        key = jax.random.PRNGKey(0)
+
+        def perturb(w):
+            nonlocal key
+            if not hasattr(w, "dtype") or w.dtype not in (jnp.bfloat16,
+                                                          jnp.float32):
+                return w
+            key, k2 = jax.random.split(key)
+            return w + (0.02 * jnp.abs(w)
+                        * jax.random.normal(k2, w.shape, w.dtype))
+        ctx_d.params = jax.tree.map(perturb, ctx_d.params)
+        ctx_t.set_draft(ctx_d)
+
+        s_audio = np.random.default_rng(6).standard_normal(
+            16000 * 30).astype(np.float32) * 0.1
+        fp = FullParams(print_progress=False, speculative=4)
+        fp.greedy.best_of = 1
+        fp.temperature_inc = 0
+        res = F.whisper_full(ctx_t, fp, s_audio)     # warm
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = F.whisper_full(ctx_t, fp, s_audio)
+            best = min(best, time.perf_counter() - t0)
+        t = res.timings
+        detail["spec_e2e_rtf_tinyen_peaked"] = round(30.0 / best, 1)
+        if t.n_sample > 0:
+            detail["spec_accept_rate"] = round(
+                t.n_spec_accepted / max(1, t.n_sample), 3)
+        # the plain-greedy A/B on the same target
+        fp0 = FullParams(print_progress=False)
+        fp0.greedy.best_of = 1
+        fp0.temperature_inc = 0
+        F.whisper_full(ctx_t, fp0, s_audio)
+        t0 = time.perf_counter()
+        F.whisper_full(ctx_t, fp0, s_audio)
+        detail["plain_e2e_rtf_tinyen_peaked"] = round(
+            30.0 / (time.perf_counter() - t0), 1)
+    _try("spec_e2e", spec_e2e)
+
+    # ---- multi-size bench matrix (VERDICT r4 #3): the reference's
+    # bench-all table rows (scripts/bench-all-gg.txt:114-167) — per size:
+    # Enc ms, Dec bf16/int8/int4 ms per token, Bch5, PP ----
+    def matrix():
+        from open_whisper_kit_tpu.ops import decode_megakernel as MKx
+        Kx = 64
+        for preset in ("tiny", "base", "small", "medium", "large-v2"):
+            if time.monotonic() >= impl_deadline:
+                errors[f"matrix_{preset}"] = "skipped (budget)"
+                continue
+            try:
+                mcfg = M.PRESETS[preset]
+                mparams = M.init_params(mcfg, seed=0, dtype=jnp.bfloat16)
+                mdec = M.prepare_decoder(mparams["decoder"])
+                mmel = jnp.asarray(rng.standard_normal(
+                    (1, 2 * mcfg.n_audio_ctx, mcfg.n_mels)).astype(np.float32))
+
+                @jax.jit
+                def m_enc_loop(enc_params, mel0, mcfg=mcfg):
+                    def body(x, _):
+                        out = M.encode(mcfg, enc_params, x)
+                        return mel0 + jnp.mean(out).astype(
+                            mel0.dtype) * 1e-6, ()
+                    x, _ = jax.lax.scan(body, mel0, None, length=4)
+                    return jnp.sum(x)
+
+                float(m_enc_loop(mparams["encoder"], mmel))
+                t0 = time.perf_counter()
+                float(m_enc_loop(mparams["encoder"], mmel))
+                key = preset.replace("-", "_").replace(".", "_")
+                detail[f"mx_{key}_enc_ms"] = round(
+                    (time.perf_counter() - t0) / 4 * 1e3, 2)
+
+                menc = M.encode(mcfg, mparams["encoder"], mmel)
+                mxk, mxv = M.cross_kv(mcfg, mdec, menc)
+
+                def dec_loop_n(batch, mcfg=mcfg, mdec=mdec, mxk=mxk,
+                               mxv=mxv):
+                    xkb = (jnp.repeat(mxk, batch, axis=1) if batch > 1
+                           else mxk)
+                    xvb = (jnp.repeat(mxv, batch, axis=1) if batch > 1
+                           else mxv)
+
+                    @jax.jit
+                    def loop(d):
+                        kv_k, kv_v = M.init_kv_cache(mcfg, batch,
+                                                     dtype=jnp.bfloat16)
+                        tok0 = jnp.zeros((batch, 1), jnp.int32)
+
+                        def body(carry, _):
+                            tok, kv_k, kv_v, head = carry
+                            logits, kv_k, kv_v, _ = M.decode_impl(
+                                mcfg, d, tok, kv_k, kv_v, head, xkb, xvb)
+                            tok = jnp.argmax(
+                                logits[:, -1], -1).astype(jnp.int32)[:, None]
+                            return (tok, kv_k, kv_v, head + 1), ()
+
+                        (tok, _, _, _), _ = jax.lax.scan(
+                            body, (tok0, kv_k, kv_v, jnp.int32(0)), None,
+                            length=Kx)
+                        return jnp.sum(tok)
+                    return loop
+
+                lp = dec_loop_n(1)
+                float(lp(mdec))
+                t0 = time.perf_counter()
+                float(lp(mdec))
+                detail[f"mx_{key}_dec_ms"] = round(
+                    (time.perf_counter() - t0) / Kx * 1e3, 3)
+
+                lp5 = dec_loop_n(5)
+                float(lp5(mdec))
+                t0 = time.perf_counter()
+                float(lp5(mdec))
+                detail[f"mx_{key}_bch5_ms"] = round(
+                    (time.perf_counter() - t0) / Kx * 1e3, 3)
+
+                @jax.jit
+                def m_pp(d):
+                    kv_k, kv_v = M.init_kv_cache(mcfg, 1, dtype=jnp.bfloat16)
+                    toks = jnp.zeros((1, 256), jnp.int32)
+                    logits, _, _, _ = M.decode_impl(
+                        mcfg, d, toks, kv_k, kv_v, jnp.int32(0), mxk, mxv)
+                    return jnp.sum(logits[:, -1])
+
+                float(m_pp(mdec))
+                t0 = time.perf_counter()
+                float(m_pp(mdec))
+                detail[f"mx_{key}_pp_ms"] = round(
+                    (time.perf_counter() - t0) / 256 * 1e3, 4)
+
+                # int8 + int4 single-kernel decode (grouped for L > 8)
+                to_nat = MKx.hm_to_natural
+                mxkn, mxvn = to_nat(mxk), to_nat(mxv)
+                Lm, Sm, Tcm = (mcfg.n_text_layer, mcfg.n_text_state,
+                               mcfg.n_text_ctx)
+                for qmode, tag in (("all", "int8"), ("int4", "int4")):
+                    if time.monotonic() >= impl_deadline:
+                        break
+                    if qmode == "int4" and Sm % 256:
+                        continue        # tiny: lane-slice constraint
+                    mpq = MKx.prepare_mega(mcfg, mdec, quant=qmode)
+
+                    @jax.jit
+                    def mq_loop(mp, te, pe, xkn, xvn, mcfg=mcfg, Lm=Lm,
+                                Sm=Sm, Tcm=Tcm):
+                        nk = jnp.zeros((Lm, Tcm, Sm), jnp.bfloat16)
+                        nv = jnp.zeros((Lm, Tcm, Sm), jnp.bfloat16)
+
+                        def body(carry, i):
+                            tok, nk, nv = carry
+                            x0 = (te[tok] + pe[i])[None].astype(jnp.bfloat16)
+                            logits, nk, nv = MKx.mega_decode_step(
+                                mcfg, mp, x0, nk, nv, i, xkn, xvn)
+                            return (jnp.argmax(logits[0]).astype(jnp.int32),
+                                    nk, nv), ()
+
+                        (tok, _, _), _ = jax.lax.scan(
+                            body, (jnp.int32(0), nk, nv), jnp.arange(Kx))
+                        return tok
+
+                    args = (mpq, mdec["te"], mdec["pe"], mxkn, mxvn)
+                    float(mq_loop(*args))
+                    t0 = time.perf_counter()
+                    float(mq_loop(*args))
+                    detail[f"mx_{key}_dec_{tag}_ms"] = round(
+                        (time.perf_counter() - t0) / Kx * 1e3, 3)
+            except Exception as e:  # noqa: BLE001 — a size never sinks the rest
+                errors[f"matrix_{preset}"] = repr(e)[:200]
+            emit()                  # checkpoint after every size
+    _try("matrix", matrix)
 
     # ---- deep-decoder grouped megakernel (medium, L=24 -> 3 chained
     # <=8-layer kernels) vs its XLA step — the models the reference is
@@ -690,86 +965,17 @@ def impl_main():
         detail["baseline_medium_dec_ms"] = 5.14
     _try("grouped_medium", grouped_medium)
 
-    # ---- speculative-decode round components (mechanical; acceptance
-    # needs real weights — tools/bench_spec_ab.py has the full matrix).
-    # Records the tiny mega draft step and the turbo (γ+1)-row int4 mega
-    # verify pass, plus the modeled per-token at 0.8 acceptance. ----
-    def spec_components():
-        if mp4 is None:
-            raise RuntimeError("int4 mega params unavailable")
-        GAMMA = 4
-        dcfg = M.PRESETS["tiny"]
-        dparams = M.init_params(dcfg, seed=0, dtype=jnp.bfloat16)
-        ddec = M.prepare_decoder(dparams["decoder"])
-        denc = jnp.asarray(rng.standard_normal(
-            (1, dcfg.n_audio_ctx, dcfg.n_audio_state)), jnp.bfloat16)
-        dxk, dxv = M.cross_kv(dcfg, ddec, denc)
-        dxkn, dxvn = MK.hm_to_natural(dxk), MK.hm_to_natural(dxv)
-        dmp = MK.prepare_mega(dcfg, ddec, quant="all")
-        dL, dS, dTc = dcfg.n_text_layer, dcfg.n_text_state, dcfg.n_text_ctx
-
-        @jax.jit
-        def draft_loop(mp, te, pe, xkn, xvn):
-            nk = jnp.zeros((dL, dTc, dS), jnp.bfloat16)
-            nv = jnp.zeros((dL, dTc, dS), jnp.bfloat16)
-
-            def body(carry, i):
-                tok, nk, nv = carry
-                x0 = (te[tok][None] + pe[i][None]).astype(jnp.bfloat16)
-                logits, nk, nv = MK.mega_decode_step(dcfg, mp, x0, nk, nv,
-                                                     i, xkn, xvn)
-                return (jnp.argmax(logits[0]).astype(jnp.int32), nk, nv), ()
-
-            (tok, _, _), _ = jax.lax.scan(body, (jnp.int32(0), nk, nv),
-                                          jnp.arange(K))
-            return tok
-
-        Kv = Tc // (GAMMA + 1) - 1
-
-        @jax.jit
-        def verify_loop(mp, te, pe, xkn, xvn):
-            nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
-            nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
-
-            def body(carry, i):
-                tok, nk, nv = carry
-                pos = i * (GAMMA + 1) + jnp.arange(GAMMA + 1)
-                x0 = (te[jnp.broadcast_to(tok, (GAMMA + 1,))]
-                      + pe[pos]).astype(jnp.bfloat16)
-                logits, nk, nv = MK.mega_decode_step(
-                    cfg, mp, x0, nk, nv, i * (GAMMA + 1), xkn, xvn)
-                return (jnp.argmax(logits[-1]).astype(jnp.int32), nk, nv), ()
-
-            (tok, _, _), _ = jax.lax.scan(body, (jnp.int32(0), nk, nv),
-                                          jnp.arange(Kv))
-            return tok
-
-        dargs = (dmp, ddec["te"], ddec["pe"], dxkn, dxvn)
-        float(draft_loop(*dargs))
-        t0 = time.perf_counter()
-        float(draft_loop(*dargs))
-        t_draft = (time.perf_counter() - t0) / K * 1e3
-        vargs = (mp4, dec_prepared["te"], dec_prepared["pe"], xk_nat, xv_nat)
-        float(verify_loop(*vargs))
-        t0 = time.perf_counter()
-        float(verify_loop(*vargs))
-        t_verify = (time.perf_counter() - t0) / Kv * 1e3
-        detail["spec_draft_tiny_int8_ms_per_token"] = round(t_draft, 3)
-        detail["spec_verify_int4_ms_per_pass"] = round(t_verify, 3)
-        a = 0.8
-        emitted = sum(a ** j for j in range(GAMMA)) + a ** GAMMA
-        detail["spec_modeled_ms_per_token_at_accept_0p8"] = round(
-            ((GAMMA + 1) * t_draft + t_verify) / emitted, 3)
-    _try("spec_components", spec_components)
 
     # priority order (VERDICT r3 #1c): headline already emitted, then
     # megakernel serving numbers -> beam -> end-to-end -> sortformer ->
     # extras. Budget exhaustion skips from wherever we are.
     for name in ("mega_int8", "mega_int4", "mega_beam5",
-                 "e2e_greedy", "e2e_int4", "e2e_beam5",
-                 "sortformer",
-                 "batched16", "batched16_int8", "bch5", "pp", "dec_int8",
-                 "grouped_medium", "spec_components"):
+                 "enc_int8",
+                 "e2e_greedy", "e2e_int4", "e2e_int4_enc8", "e2e_beam5",
+                 "batched16", "batched16_int8",
+                 "sortformer", "stream_latency", "spec_e2e",
+                 "bch5", "pp", "dec_int8",
+                 "matrix", "grouped_medium"):
         _run(name)
     emit()                      # final, richest artifact line
 
