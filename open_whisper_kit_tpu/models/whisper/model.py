@@ -595,7 +595,7 @@ def decode_impl(cfg: WhisperConfig, dec: Params, tokens: jnp.ndarray,
         if isinstance(xk, QuantKVNat):
             # fused Pallas batched cross-attention: int8 slabs DMA at
             # full lane width, dequant in VMEM (the serving lever)
-            from ...ops.attention import cross_attention_q8_nat
+            from ...ops.experiments import cross_attention_q8_nat
             probs = None
             ca = cross_attention_q8_nat(
                 cq, xk.qs[il], xk.scale[il], xv.qs[il], xv.scale[il],

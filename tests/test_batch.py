@@ -74,7 +74,7 @@ def test_cross_attention_q8_kernel_parity():
     """ops.attention.cross_attention_q8 (fused decode-step kernel) matches
     the XLA einsum path bit-for-bit (identical int8 math, f32 accums)."""
     from open_whisper_kit_tpu.models.whisper import model as M
-    from open_whisper_kit_tpu.ops.attention import cross_attention_q8
+    from open_whisper_kit_tpu.ops.experiments import cross_attention_q8
     rng = np.random.default_rng(7)
     B, H, Ta, dh = 3, 4, 100, 64          # Ta not a multiple of 32: pad path
     S = H * dh
