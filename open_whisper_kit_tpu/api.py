@@ -39,7 +39,8 @@ class Transcriber:
 
     def __init__(self, model_path: str | Path | None = None,
                  preset: str | None = None, dtype=jnp.bfloat16,
-                 decoder_int8: bool = False, mesh=None,
+                 decoder_int8: bool = False, encoder_int8: bool = False,
+                 mesh=None,
                  draft_model_path: str | Path | None = None,
                  draft_preset: str | None = None):
         """`mesh`: a jax.sharding.Mesh with (dp, tp) axes (parallel/mesh.py
@@ -49,15 +50,21 @@ class Transcriber:
         role of ggml_backend_sched placement + ggml-rpc,
         ggml/include/ggml-backend.h:251-306).
 
+        `encoder_int8`: W8A8 MXU encoder (ops/encoder_int8, q8_0-class
+        error) — the quantized-encoder serving mode (the reference benches
+        q5_0 encoders, scripts/bench-all-gg.txt:137).
+
         `draft_model_path`/`draft_preset`: attach a smaller same-vocab
         model for speculative greedy decoding (FullParams.speculative)."""
         if model_path is not None:
             self.ctx = WhisperContext.from_file(str(model_path), dtype=dtype,
                                                 decoder_int8=decoder_int8,
+                                                encoder_int8=encoder_int8,
                                                 mesh=mesh)
         elif preset is not None:
             self.ctx = WhisperContext.from_preset(preset, dtype=dtype,
                                                   decoder_int8=decoder_int8,
+                                                  encoder_int8=encoder_int8,
                                                   mesh=mesh)
         else:
             raise ValueError("model_path or preset required")

@@ -111,7 +111,7 @@ def _entropy_last32(tokens: jnp.ndarray, result_len: jnp.ndarray):
     static_argnames=("cfg", "rc", "prompt_init", "K", "n_max", "P",
                      "max_tokens", "no_timestamps", "stub", "window_frames",
                      "fallback_available", "quant_kv", "flash", "dcfg",
-                     "gamma", "mesh"))
+                     "gamma", "beam_size", "mesh"))
 def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    enc_params: M.Params, dec_params: M.Params,
                    mel_data: jnp.ndarray,
@@ -126,13 +126,15 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                    fallback_available: bool = True,
                    quant_kv: bool = False, flash: bool = True,
                    dcfg: M.WhisperConfig | None = None,
-                   gamma: int = 0, mesh=None) -> WindowsResult:
+                   gamma: int = 0, beam_size: int = 0,
+                   mesh=None) -> WindowsResult:
     """Decode up to K windows greedily in one dispatch.
 
     mel_data (n_pad, n_mels) whole-audio device mel, zero past n_len
     (audio/mel.py); past_buf (P,) right-aligned rolling prompt context.
     iscalars i32: [token_nosp, token_prev, seek, seek_start, seek_end,
-    past_len]. fscalars f32: [logprob_thold, entropy_thold, no_speech_thold].
+    past_len]. fscalars f32: [logprob_thold, entropy_thold, no_speech_thold]
+    (+ fscalars[3] = length_penalty in beam mode).
 
     dcfg + gamma > 0 (speculative mode): each window decodes through
     speculative_core (decode/device_speculative.py) instead of
@@ -142,7 +144,14 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     decoding compose: a draft model no longer costs the multi-window
     dispatch amortization. Outputs are identical to the greedy path by
     the speculative contract (every emitted token is the target's own
-    argmax)."""
+    argmax).
+
+    beam_size > 1 (beam mode, VERDICT r4 #4): each window runs the fused
+    beam loop (decode/device_beam.decode_segment_beam) and the sequence
+    ranking (whisper_rank / _score_sequence, whisper.cpp:7545-7605) runs
+    IN-TRACE — best-beam selection, entropy gate, length penalty — so K
+    beam windows cost ONE dispatch like greedy instead of 2-3 round
+    trips per window."""
     token_nosp, token_prev = iscalars[0], iscalars[1]
     seek0, seek_start, seek_end, past_len0 = (
         iscalars[2], iscalars[3], iscalars[4], iscalars[5])
@@ -152,6 +161,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
     init_arr = jnp.asarray(np.array(prompt_init, np.int32))
     speculating = dcfg is not None and gamma > 0
     assert not (speculating and stub)  # gate: spec needs loaded weights
+    assert not (speculating and beam_size > 1)  # spec is greedy-only
     cache_dtype = enc_params["conv1_w"].dtype
 
     if speculating:
@@ -258,6 +268,55 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                            seek_delta=sc.ms.seek_delta, failed=sc.failed,
                            kv_k=sc.kv_k, kv_v=sc.kv_v)
             n_rounds_w, n_acc_w = sc.n_rounds, sc.n_accepted
+        elif beam_size > 1:
+            from . import device_beam as DB
+            Bn = beam_size
+            scalars_b = jnp.stack(
+                [t_real, token_nosp, c.seek, seek_end]).astype(jnp.int32)
+            if quant_kv:
+                xk_b = M.QuantKV(jnp.repeat(xk.qs, Bn, axis=1),
+                                 jnp.repeat(xk.scale, Bn, axis=1))
+                xv_b = M.QuantKV(jnp.repeat(xv.qs, Bn, axis=1),
+                                 jnp.repeat(xv.scale, Bn, axis=1))
+                bmega = None
+            else:
+                bmega = mega
+                if bmega is not None:   # cross-KV shared in-kernel
+                    xk_b, xv_b = xk, xv
+                else:
+                    xk_b = jnp.repeat(xk, Bn, axis=1)
+                    xv_b = jnp.repeat(xv, Bn, axis=1)
+            bres = DB.decode_segment_beam(
+                cfg, rc, dec_params, prompt[None], xk_b, xv_b,
+                base_mask, init_mask, scalars_b, beam_size=Bn, n_max=n_max,
+                max_tokens=max_tokens, single_segment=False,
+                no_timestamps=no_timestamps, stub=stub, mega=bmega,
+                cache_dtype=cache_dtype, mesh=mesh)
+            nsp = bres.no_speech_prob
+            # in-trace whisper_rank: score + entropy gate per beam
+            # (_rank_decoders / _score_sequence, whisper.cpp:7545-7605)
+            rl_b = bres.result_len
+            live_b = jnp.arange(n_max)[None, :] < rl_b[:, None]
+            total_lp_b = jnp.sum(jnp.where(live_b, bres.plog, 0.0), axis=1)
+            ent_b = jnp.stack([_entropy_last32(bres.tokens[j], rl_b[j])
+                               for j in range(Bn)])
+            failed_b = bres.failed | ((rl_b > 32) & (ent_b < ent_thold))
+            len_pen = fscalars[3]
+            rlf = rl_b.astype(jnp.float32)
+            pen = jnp.where(len_pen > 0.0,
+                            ((5.0 + rlf) / 6.0) ** len_pen, rlf)
+            score_b = jnp.where(failed_b | (rl_b == 0), -jnp.inf,
+                                total_lp_b / jnp.maximum(pen, 1e-6))
+            best = jnp.argmax(score_b).astype(jnp.int32)
+            pick = lambda a: jnp.take(a, best, axis=0)
+            seg = _SegView(tokens=pick(bres.tokens), p=pick(bres.p),
+                           plog=pick(bres.plog), pt=pick(bres.pt),
+                           ptsum=pick(bres.ptsum), tid=pick(bres.tid),
+                           i=bres.n_tokens, result_len=pick(rl_b),
+                           seek_delta=pick(bres.seek_delta),
+                           failed=pick(failed_b),
+                           kv_k=c.kv_k, kv_v=c.kv_v)
+            n_rounds_w = n_acc_w = jnp.int32(0)
         else:
             seg, nsp = segment_core(
                 cfg, rc, dec_params, prompt[None], c.kv_k, c.kv_v, xk, xv,
@@ -374,7 +433,7 @@ def pack_windows_result(res: WindowsResult) -> jnp.ndarray:
     static_argnames=("prompt_init", "K", "n_max", "P",
                      "max_tokens", "no_timestamps", "stub", "window_frames",
                      "fallback_available", "quant_kv", "flash", "dcfg",
-                     "gamma", "mesh"))
+                     "gamma", "beam_size", "mesh"))
 def decode_windows_packed(*args, **kwargs):
     """decode_windows with the result already packed, in the SAME dispatch.
 

@@ -626,12 +626,16 @@ def _remap_vad(result: TranscribeResult, vad_mapping) -> None:
 
 def _multiwindow_eligible(ctx: WhisperContext, p: FullParams,
                           temperatures, audio_ctx: int) -> bool:
-    """The fused K-windows-per-dispatch loop covers the common greedy t=0
-    configuration; anything needing per-window host intervention (grammar,
-    DTW re-decode, per-window veto callbacks, beam search) uses the
-    one-window-at-a-time drivers."""
+    """The fused K-windows-per-dispatch loop covers the common greedy AND
+    t=0 beam-search configurations (beam ranking runs in-trace,
+    device_windows.py beam mode); anything needing per-window host
+    intervention (grammar, DTW re-decode, per-window veto callbacks,
+    ref-exact mt19937 sampling) uses the one-window-at-a-time drivers."""
+    beam_ok = (p.strategy == SamplingStrategy.BEAM_SEARCH
+               and p.beam_search.beam_size > 1
+               and not p.ref_sampling)
     return (p.use_device_loops and p.device_windows > 1
-            and p.strategy == SamplingStrategy.GREEDY
+            and (p.strategy == SamplingStrategy.GREEDY or beam_ok)
             and temperatures[0] < 1e-6
             and audio_ctx == 0
             and not p.single_segment
@@ -664,8 +668,12 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
     K = p.device_windows
     fallback_available = len(temperatures) > 1
     fscal = jnp.asarray(np.array(
-        [p.logprob_thold, p.entropy_thold, p.no_speech_thold], np.float32))
-    gamma = int(p.speculative) if draft_mel is not None else 0
+        [p.logprob_thold, p.entropy_thold, p.no_speech_thold,
+         p.length_penalty], np.float32))
+    beam_size = (p.beam_search.beam_size
+                 if p.strategy == SamplingStrategy.BEAM_SEARCH else 0)
+    gamma = (int(p.speculative)
+             if draft_mel is not None and beam_size == 0 else 0)
     spec_kw = {}
     if gamma > 0:
         spec_kw = dict(
@@ -695,15 +703,16 @@ def _run_device_windows(ctx: WhisperContext, p: FullParams,
         iscal = jnp.asarray(np.array(
             [vocab.token_nosp, vocab.token_prev, seek, seek_start, seek_end,
              past_len], np.int32))
+        mega_ok = gamma == 0 and (beam_size == 0 or beam_size <= 8)
         flat, past_buf = DW.decode_windows_packed(
             cfg, rc, ctx.params["encoder"], ctx.params["decoder"], mel.data,
             base_mask, init_mask, past_buf, iscal, fscal,
-            mega=ctx.mega_params(p) if gamma == 0 else None,
+            mega=ctx.mega_params(p) if mega_ok else None,
             prompt_init=tuple(prompt_init), K=K, n_max=n_max, P=P,
             max_tokens=p.max_tokens, no_timestamps=no_timestamps,
             stub=ctx.n_loaded == 0, window_frames=2 * cfg.n_audio_ctx,
             fallback_available=fallback_available, quant_kv=p.cross_kv_int8,
-            mesh=ctx.mesh, **spec_kw)
+            beam_size=beam_size, mesh=ctx.mesh, **spec_kw)
         # past_buf stays on device for the next dispatch
         r = DW.unpack_windows_result(flat, K, n_max)
         # one dispatch covers encode+decode of n_done windows; bucket the
