@@ -266,6 +266,27 @@ def _attention_hm(q, kh, vh, n_head, scale, mask=None):
 _ENC_PAD_MIN_T = 256   # pad-once threshold (= ops.attention._MIN_FLASH_T)
 
 
+def conv1d_mm(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """1-D conv (kernel 3, pad 1) as an im2col MXU matmul, f32 accumulate.
+
+    x (B, T, Cin), w (3, Cin, Cout) -> (B, T_out, Cout), identical math to
+    lax.conv_general_dilated NWC/WIO (the encoder front-end,
+    whisper.cpp:1976-2030): XLA's TPU conv lowering for these long-skinny
+    shapes costs several ms while the equivalent (T, 3*Cin) @ (3*Cin, Cout)
+    matmul is MXU-shaped. The k-shifted views are strided slices (no
+    gather)."""
+    B, T, Ci = x.shape
+    Co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    To = (T - 1) // stride + 1
+    taps = [jax.lax.slice(xp, (0, k, 0), (B, k + 1 + (To - 1) * stride, Ci),
+                          (1, stride, 1)) for k in range(3)]
+    # tap order [t-1 | t | t+1] matches w's (3, Ci, Co) row-major flatten
+    xw = jnp.concatenate(taps, axis=-1)            # (B, To, 3*Ci)
+    return jnp.dot(xw, w.reshape(3 * Ci, Co),
+                   preferred_element_type=jnp.float32)
+
+
 def _encoder_block(cfg: WhisperConfig, p: Params, x: jnp.ndarray,
                    n_valid: int | None = None,
                    flash: bool = True, mesh=None) -> jnp.ndarray:
@@ -313,14 +334,9 @@ def encode(cfg: WhisperConfig, enc: Params, mel: jnp.ndarray,
                            interpret=jax.devices()[0].platform == "cpu")
     dtype = enc["conv1_w"].dtype
     x = mel.astype(dtype)
-    dn = ("NWC", "WIO", "NWC")
-    x = jax.lax.conv_general_dilated(x, enc["conv1_w"], (1,), [(1, 1)],
-                                     dimension_numbers=dn,
-                                     preferred_element_type=jnp.float32)
+    x = conv1d_mm(x, enc["conv1_w"], 1)
     x = jax.nn.gelu((x + enc["conv1_b"].astype(jnp.float32)), approximate=True).astype(dtype)
-    x = jax.lax.conv_general_dilated(x, enc["conv2_w"], (2,), [(1, 1)],
-                                     dimension_numbers=dn,
-                                     preferred_element_type=jnp.float32)
+    x = conv1d_mm(x, enc["conv2_w"], 2)
     x = jax.nn.gelu((x + enc["conv2_b"].astype(jnp.float32)), approximate=True).astype(dtype)
 
     n_ctx = x.shape[1]

@@ -209,17 +209,14 @@ def encode_int8(cfg, enc8, mel: jnp.ndarray,
     from ..models.whisper.model import _ENC_PAD_MIN_T
     from ..ops.layers import layer_norm as _ln
 
+    from ..models.whisper.model import conv1d_mm
+
     dtype = jnp.bfloat16
     x = mel.astype(dtype)
-    dn = ("NWC", "WIO", "NWC")
-    x = jax.lax.conv_general_dilated(x, enc8["conv1_w"].astype(dtype), (1,),
-                                     [(1, 1)], dimension_numbers=dn,
-                                     preferred_element_type=jnp.float32)
+    x = conv1d_mm(x, enc8["conv1_w"].astype(dtype), 1)
     x = jax.nn.gelu(x + enc8["conv1_b"].astype(jnp.float32),
                     approximate=True).astype(dtype)
-    x = jax.lax.conv_general_dilated(x, enc8["conv2_w"].astype(dtype), (2,),
-                                     [(1, 1)], dimension_numbers=dn,
-                                     preferred_element_type=jnp.float32)
+    x = conv1d_mm(x, enc8["conv2_w"].astype(dtype), 2)
     x = jax.nn.gelu(x + enc8["conv2_b"].astype(jnp.float32),
                     approximate=True).astype(dtype)
 

@@ -114,6 +114,23 @@ def test_encoder_int8_greedy_tokens_match_bf16():
     assert agree > 0.95, agree
 
 
+def test_conv1d_mm_matches_lax_conv():
+    """The im2col conv front-end == lax.conv_general_dilated (NWC/WIO,
+    pad 1, kernel 3) at both encoder strides."""
+    rng = np.random.default_rng(0)
+    for stride, T, Ci, Co in ((1, 64, 12, 16), (2, 64, 12, 16),
+                              (1, 17, 5, 7), (2, 17, 5, 7)):
+        x = jnp.asarray(rng.standard_normal((2, T, Ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, Ci, Co)) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (stride,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        got = M.conv1d_mm(x, w, stride)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_prepare_encoder_int8_keeps_front_end_dense():
     cfg = M.PRESETS["tiny"]
     params = M.init_params(cfg, seed=0, dtype=jnp.bfloat16)
