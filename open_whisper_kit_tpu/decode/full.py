@@ -192,6 +192,17 @@ class WhisperContext:
         """
         if p.megakernel is False or not p.use_device_loops:
             return None
+        # memoize the resolution: it re-runs per decode_windows round and
+        # its structural checks measured ~2 ms host per warm call
+        mkey = (p.megakernel, p.cross_kv_int8, draft)
+        cached = getattr(self, "_mega_resolve_cache", None)
+        if cached is not None and cached[0] == mkey:
+            return cached[1]
+        mp = self._resolve_mega(p, draft)
+        self._mega_resolve_cache = (mkey, mp)
+        return mp
+
+    def _resolve_mega(self, p: FullParams, draft: bool):
         # mesh mode: the kernel runs replicated under shard_map
         # (parallel/mesh.replicated_on_mesh) — no longer excluded
         cfg = self.cfg
