@@ -771,6 +771,15 @@ def impl_main():
     def matrix():
         from open_whisper_kit_tpu.ops import decode_megakernel as MKx
         Kx = 64
+        # reference M2 Ultra Metal FA=1 rows (Enc/Dec/Bch5/PP ms,
+        # scripts/bench-all-gg.txt:144-167) for side-by-side judging
+        detail["mx_baseline_m2ultra_fa1"] = {
+            "tiny": [6.19, 0.93, 0.21, 0.01],
+            "base": [10.89, 1.31, 0.32, 0.02],
+            "small": [32.06, 2.41, 0.64, 0.04],
+            "medium": [89.22, 5.14, 1.46, 0.09],
+            "large_v2": [170.73, 7.50, 2.12, 0.16],
+        }
         for preset in ("tiny", "base", "small", "medium", "large-v2"):
             if time.monotonic() >= impl_deadline:
                 errors[f"matrix_{preset}"] = "skipped (budget)"
