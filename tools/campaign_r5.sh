@@ -20,6 +20,9 @@ run int8_mxu python tools/bench_int8_mxu.py
 run enc8_ab python tools/bench_enc8_ab.py large-v3-turbo 1
 run enc8_ab_b16 python tools/bench_enc8_ab.py large-v3-turbo 16
 
+# 2b. batched serving A/B: encoder x decoder quant variants at B=16
+run batched_ab python tools/bench_batched_ab.py 16
+
 # 3. full bench artifact (also pre-warms the persistent compile cache
 #    for the driver's own run)
 JOB_TIMEOUT=1100 run bench env OWK_BENCH_BUDGET_S=1000 python bench.py
