@@ -64,7 +64,14 @@ PROBE_SLEEPS_S = tuple(
     int(s) for s in os.environ.get(
         "OWK_BENCH_PROBE_SLEEPS", "0,20,40").split(","))
 
-_PROBE_SRC = """
+# plumbing-test escape hatch: the environment's sitecustomize pins
+# jax.config to the axon tunnel (beats JAX_PLATFORMS), so CPU smoke runs
+# need an explicit config override on every subprocess in the chain
+FORCE_CPU = bool(os.environ.get("OWK_BENCH_FORCE_CPU"))
+_CPU_PIN = ('import jax\njax.config.update("jax_platforms", "cpu")\n'
+            if FORCE_CPU else "")
+
+_PROBE_SRC = _CPU_PIN + """
 import jax, jax.numpy as jnp
 x = jnp.ones((512, 512), jnp.bfloat16)
 (x @ x).block_until_ready()
@@ -246,6 +253,8 @@ def main() -> None:
 
 def impl_main():
     import jax
+    if FORCE_CPU:
+        jax.config.update("jax_platforms", "cpu")
 
     # hard per-child budget handed down by the wrapper: once past the
     # deadline, remaining (lower-priority) sections are skipped so the
@@ -264,6 +273,20 @@ def impl_main():
 
     errors: dict[str, str] = {}
 
+    # ---- relay round-trip time: on tunneled sessions a single host
+    # fetch costs 5-30 ms (measured 26 ms on a bad session) — every
+    # "wall time of one call" number below carries one RTT. Record it
+    # so the artifact itself says how much of e2e is tunnel, not TPU.
+    _rtt_f = jax.jit(lambda x: x * 2.0)
+    float(_rtt_f(jnp.float32(1.0)))
+    _rtts = []
+    for _i in range(8):
+        _t0 = time.perf_counter()
+        float(_rtt_f(jnp.float32(1.0 + _i)))
+        _rtts.append(time.perf_counter() - _t0)
+    _rtts.sort()
+    relay_rtt_ms = round(_rtts[len(_rtts) // 2] * 1e3, 2)
+
     cfg = M.PRESETS[MODEL]
     params = M.init_params(cfg, seed=0, dtype=jnp.bfloat16)
 
@@ -271,8 +294,9 @@ def impl_main():
     mel = jnp.asarray(rng.standard_normal(
         (1, 2 * cfg.n_audio_ctx, cfg.n_mels)).astype(np.float32))
 
-    # ---- encoder: N chained passes in one dispatch ----
-    N_ENC = 8
+    # ---- encoder: N chained passes in one dispatch (N large enough
+    # that the single result fetch's RTT is <1 ms of per-pass bias) ----
+    N_ENC = 48
 
     @jax.jit
     def enc_loop(enc_params, mel0):
@@ -295,30 +319,42 @@ def impl_main():
     enc_out = M.encode(cfg, params["encoder"], mel)
     xk, xv = M.cross_kv(cfg, dec_prepared, enc_out)
 
-    def make_dec_loop(batch, length):
+    def make_dec_loop(batch, length, repeats=3):
+        # `repeats` full decodes (cache re-initialized each time) per
+        # dispatch: one fetch per length*repeats steps keeps the relay
+        # RTT bias on ms/token under 0.04 ms
         @jax.jit
         def dec_loop(dec_params, xk, xv):
-            kv_k, kv_v = M.init_kv_cache(cfg, batch, dtype=jnp.bfloat16)
-            tok0 = jnp.zeros((batch, 1), jnp.int32)
+            def one(seed):
+                kv_k, kv_v = M.init_kv_cache(cfg, batch, dtype=jnp.bfloat16)
+                tok0 = jnp.full((batch, 1), seed, jnp.int32)
 
-            def body(carry, _):
-                tok, kv_k, kv_v, head = carry
-                logits, kv_k, kv_v, _ = M.decode_impl(
-                    cfg, dec_params, tok, kv_k, kv_v, head, xk, xv)
-                tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
-                return (tok, kv_k, kv_v, head + 1), ()
+                def body(carry, _):
+                    tok, kv_k, kv_v, head = carry
+                    logits, kv_k, kv_v, _ = M.decode_impl(
+                        cfg, dec_params, tok, kv_k, kv_v, head, xk, xv)
+                    tok = jnp.argmax(logits[:, -1], axis=-1).astype(
+                        jnp.int32)[:, None]
+                    return (tok, kv_k, kv_v, head + 1), ()
 
-            (tok, _, _, _), _ = jax.lax.scan(
-                body, (tok0, kv_k, kv_v, jnp.int32(0)), None, length=length)
-            return jnp.sum(tok)
+                (tok, _, _, _), _ = jax.lax.scan(
+                    body, (tok0, kv_k, kv_v, jnp.int32(0)), None,
+                    length=length)
+                return jnp.sum(tok)
+
+            acc, _ = jax.lax.scan(
+                lambda a, s: (a + one(s), ()),
+                jnp.int32(0), jnp.arange(repeats, dtype=jnp.int32))
+            return acc
         return dec_loop
 
     K = 256
-    dec_loop = make_dec_loop(1, K)
+    R_DEC = 3
+    dec_loop = make_dec_loop(1, K, R_DEC)
     float(dec_loop(dec_prepared, xk, xv))
     t0 = time.perf_counter()
     float(dec_loop(dec_prepared, xk, xv))
-    dec_s = (time.perf_counter() - t0) / K
+    dec_s = (time.perf_counter() - t0) / (K * R_DEC)
 
     # headline is now available; everything further is best-effort
     rtf = 30.0 / (enc_s + N_DEC_TOKENS * dec_s)
@@ -330,6 +366,7 @@ def impl_main():
         "baseline_dec_ms": BASELINE_DEC_MS,
         "baseline_rtf": round(baseline_rtf, 1),
         "device": str(jax.devices()[0]),
+        "relay_rtt_ms": relay_rtt_ms,
     }
 
     def emit():
@@ -370,11 +407,12 @@ def impl_main():
     def bch5():
         xk5 = jnp.repeat(xk, 5, axis=1)
         xv5 = jnp.repeat(xv, 5, axis=1)
-        dec5_loop = make_dec_loop(5, K)
+        dec5_loop = make_dec_loop(5, K, 2)
         float(dec5_loop(dec_prepared, xk5, xv5))
         t0 = time.perf_counter()
         float(dec5_loop(dec_prepared, xk5, xv5))
-        detail["bch5_ms_per_token"] = round((time.perf_counter() - t0) / K * 1e3, 3)
+        detail["bch5_ms_per_token"] = round(
+            (time.perf_counter() - t0) / (K * 2) * 1e3, 3)
     _try("bch5", bch5)
 
     # ---- prompt processing (PP column): 256 tokens in one pass ----
@@ -523,8 +561,7 @@ def impl_main():
 
     def e2e_int4_enc8():
         # full quantized serving: W8A8 encoder + int4 megakernel decoder
-        ctx8 = F.WhisperContext.from_preset(MODEL, dtype=jnp.bfloat16,
-                                            encoder_int8=True)
+        ctx8 = get_ctx8()
         fp = FullParams(print_progress=False, megakernel="int4")
         fp.greedy.best_of = 1
         fp.temperature_inc = 0
@@ -536,6 +573,45 @@ def impl_main():
             best = min(best, time.perf_counter() - t0)
         detail["e2e_whisper_full_int4_enc8_rtf"] = round(30.0 / best, 1)
     _try("e2e_int4_enc8", e2e_int4_enc8)
+
+    _ctx8_cache = {}
+
+    def get_ctx8():
+        if "c" not in _ctx8_cache:
+            _ctx8_cache["c"] = F.WhisperContext.from_preset(
+                MODEL, dtype=jnp.bfloat16, encoder_int8=True)
+        return _ctx8_cache["c"]
+
+    def e2e_120s():
+        # steady-state serving e2e: a 120 s clip amortizes the per-call
+        # relay RTT (recorded above as relay_rtt_ms; one RTT is ~11% of
+        # the 30 s clip's wall at 170x RTF but ~3% here) — this is the
+        # number a long-file user sees, with identical per-window work
+        audio_l = np.random.default_rng(7).standard_normal(
+            16000 * 120).astype(np.float32) * 0.1
+        fp = FullParams(print_progress=False)
+        fp.greedy.best_of = 1
+        fp.temperature_inc = 0
+        F.whisper_full(ctx, fp, audio_l)     # warm
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            F.whisper_full(ctx, fp, audio_l)
+            best = min(best, time.perf_counter() - t0)
+        detail["e2e_120s_rtf"] = round(120.0 / best, 1)
+
+        fp4 = FullParams(print_progress=False, megakernel="int4")
+        fp4.greedy.best_of = 1
+        fp4.temperature_inc = 0
+        ctx8 = get_ctx8()
+        F.whisper_full(ctx8, fp4, audio_l)   # warm
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            F.whisper_full(ctx8, fp4, audio_l)
+            best = min(best, time.perf_counter() - t0)
+        detail["e2e_120s_int4_enc8_rtf"] = round(120.0 / best, 1)
+    _try("e2e_120s", e2e_120s)
 
     def e2e_beam5():
         # beam-5 quality mode end-to-end, through the beam megakernel
@@ -549,11 +625,12 @@ def impl_main():
 
     # ---- decoder with runtime int8 logits (decoder_int8 path) ----
     def dec_int8():
-        dec8_loop = make_dec_loop(1, K)
+        dec8_loop = make_dec_loop(1, K, R_DEC)
         float(dec8_loop(dec_int8_full, xk, xv))
         t0 = time.perf_counter()
         float(dec8_loop(dec_int8_full, xk, xv))
-        detail["dec_int8_ms_per_token"] = round((time.perf_counter() - t0) / K * 1e3, 3)
+        detail["dec_int8_ms_per_token"] = round(
+            (time.perf_counter() - t0) / (K * R_DEC) * 1e3, 3)
     _try("dec_int8", dec_int8)
 
     # ---- single-kernel decoder (ops/decode_megakernel): all layers + logits
@@ -568,19 +645,25 @@ def impl_main():
 
     @jax.jit
     def mega_loop(mp, te, pe, xkn, xvn):
-        nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
-        nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
+        def one(seed):
+            nk = jnp.zeros((L, Tc, S), jnp.bfloat16)
+            nv = jnp.zeros((L, Tc, S), jnp.bfloat16)
 
-        def body(carry, i):
-            tok, nk, nv = carry
-            x0 = (te[tok] + pe[i])[None].astype(jnp.bfloat16)
-            logits, nk, nv = MK.mega_decode_step(cfg, mp, x0, nk, nv, i,
-                                                 xkn, xvn)
-            return (jnp.argmax(logits[0]).astype(jnp.int32), nk, nv), ()
+            def body(carry, i):
+                tok, nk, nv = carry
+                x0 = (te[tok] + pe[i])[None].astype(jnp.bfloat16)
+                logits, nk, nv = MK.mega_decode_step(cfg, mp, x0, nk, nv, i,
+                                                     xkn, xvn)
+                return (jnp.argmax(logits[0]).astype(jnp.int32), nk, nv), ()
 
-        (tok, _, _), _ = jax.lax.scan(
-            body, (jnp.int32(0), nk, nv), jnp.arange(K))
-        return tok
+            (tok, _, _), _ = jax.lax.scan(
+                body, (seed, nk, nv), jnp.arange(K))
+            return tok
+
+        acc, _ = jax.lax.scan(lambda a, s: (a + one(s), ()),
+                              jnp.int32(0),
+                              jnp.arange(R_DEC, dtype=jnp.int32))
+        return acc
 
     def mega_int8():
         mp = MK.prepare_mega(cfg, dec_prepared, quant="all")
@@ -589,7 +672,7 @@ def impl_main():
         t0 = time.perf_counter()
         float(mega_loop(*args))
         detail["dec_mega_int8_ms_per_token"] = round(
-            (time.perf_counter() - t0) / K * 1e3, 3)
+            (time.perf_counter() - t0) / (K * R_DEC) * 1e3, 3)
     _try("mega_int8", mega_int8)
 
     mp4 = None
@@ -603,7 +686,7 @@ def impl_main():
         t0 = time.perf_counter()
         float(mega_loop(*args4))
         detail["dec_mega_int4_ms_per_token"] = round(
-            (time.perf_counter() - t0) / K * 1e3, 3)
+            (time.perf_counter() - t0) / (K * R_DEC) * 1e3, 3)
     _try("mega_int4", mega_int4)
 
     # ---- beam-5 megakernel: all beams in one kernel launch through one
@@ -618,35 +701,43 @@ def impl_main():
         BB = 5
         src = jnp.asarray((np.arange(BB) + 1) % BB, jnp.int32)
 
+        R_B = 2
+
         @jax.jit
         def mega_beam_loop(mp, te, pe, xkn, xvn):
-            nk = jnp.zeros((L, Tc * BB, S), jnp.bfloat16)
-            nv = jnp.zeros((L, Tc * BB, S), jnp.bfloat16)
-            origin = jnp.broadcast_to(
-                jnp.arange(BB, dtype=jnp.int32)[:, None], (BB, Tc))
+            def one(seed):
+                nk = jnp.zeros((L, Tc * BB, S), jnp.bfloat16)
+                nv = jnp.zeros((L, Tc * BB, S), jnp.bfloat16)
+                origin = jnp.broadcast_to(
+                    jnp.arange(BB, dtype=jnp.int32)[:, None], (BB, Tc))
 
-            def body(carry, i):
-                toks, nk, nv, origin = carry
-                origin = jnp.take(origin, src, axis=0).at[:, i].set(
-                    jnp.arange(BB, dtype=jnp.int32))
-                bias = MK.beam_attn_bias(origin, i, Tc)
-                x0 = (te[toks] + pe[i][None]).astype(jnp.bfloat16)
-                logits, nk, nv = MK.mega_decode_step_beam(
-                    cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias)
-                return (jnp.argmax(logits, -1).astype(jnp.int32), nk, nv,
-                        origin), ()
+                def body(carry, i):
+                    toks, nk, nv, origin = carry
+                    origin = jnp.take(origin, src, axis=0).at[:, i].set(
+                        jnp.arange(BB, dtype=jnp.int32))
+                    bias = MK.beam_attn_bias(origin, i, Tc)
+                    x0 = (te[toks] + pe[i][None]).astype(jnp.bfloat16)
+                    logits, nk, nv = MK.mega_decode_step_beam(
+                        cfg, mp, x0, nk, nv, i, xkn, xvn, attn_bias=bias)
+                    return (jnp.argmax(logits, -1).astype(jnp.int32), nk, nv,
+                            origin), ()
 
-            (toks, _, _, _), _ = jax.lax.scan(
-                body, (jnp.zeros((BB,), jnp.int32), nk, nv, origin),
-                jnp.arange(K))
-            return jnp.sum(toks)
+                (toks, _, _, _), _ = jax.lax.scan(
+                    body, (jnp.full((BB,), seed, jnp.int32), nk, nv, origin),
+                    jnp.arange(K))
+                return jnp.sum(toks)
+
+            acc, _ = jax.lax.scan(lambda a, s: (a + one(s), ()),
+                                  jnp.int32(0),
+                                  jnp.arange(R_B, dtype=jnp.int32))
+            return acc
 
         argsb = (mp4, dec_prepared["te"], dec_prepared["pe"], xk_nat, xv_nat)
         float(mega_beam_loop(*argsb))
         t0 = time.perf_counter()
         float(mega_beam_loop(*argsb))
         detail["dec_mega_beam5_ms_per_token"] = round(
-            (time.perf_counter() - t0) / K * 1e3, 3)
+            (time.perf_counter() - t0) / (K * R_B) * 1e3, 3)
     _try("mega_beam5", mega_beam5)
 
     # ---- diarization: offline RTF through the device-resident AOSC loop
@@ -981,6 +1072,7 @@ def impl_main():
     for name in ("mega_int8", "mega_int4", "mega_beam5",
                  "enc_int8",
                  "e2e_greedy", "e2e_int4", "e2e_int4_enc8", "e2e_beam5",
+                 "e2e_120s",
                  "batched16", "batched16_int8",
                  "sortformer", "stream_latency", "spec_e2e",
                  "bch5", "pp", "dec_int8",

@@ -24,7 +24,7 @@ from open_whisper_kit_tpu.utils.cache import enable_compile_cache
 
 PRESET = sys.argv[1] if len(sys.argv) > 1 else "large-v3-turbo"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-N = 8
+N = 32 if (len(sys.argv) <= 2 or int(sys.argv[2]) == 1) else 8
 ROUNDS = 4
 
 
@@ -59,10 +59,27 @@ def main():
             dt = (time.perf_counter() - t0) / N * 1e3
             best[k] = min(best[k], dt)
             print(f"round {r} {k:6s} {dt:8.2f} ms/pass", flush=True)
+    # relay RTT: one scalar fetch is 5-30 ms on tunneled sessions;
+    # each timed loop above pays exactly one — report it so per-pass
+    # numbers can be read net of the tunnel
+    rf = jax.jit(lambda x: x * 2.0)
+    float(rf(jnp.float32(1.0)))
+    rtts = sorted(
+        _time_fetch(rf, jnp.float32(float(i + 2))) for i in range(6))
+    rtt = rtts[len(rtts) // 2]
     print("---")
+    print(f"relay rtt {rtt * 1e3:.1f} ms (median of 6)")
     for k, v in best.items():
-        print(f"BEST {PRESET} B={BATCH} {k:6s} {v:8.2f} ms/pass", flush=True)
+        net = v - rtt * 1e3 / N
+        print(f"BEST {PRESET} B={BATCH} {k:6s} {v:8.2f} ms/pass"
+              f"  (net of rtt: {net:8.2f})", flush=True)
     print(f"speedup w8a8 vs bf16: {best['bf16'] / best['w8a8']:.3f}x")
+
+
+def _time_fetch(fn, x):
+    t0 = time.perf_counter()
+    float(fn(x))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
