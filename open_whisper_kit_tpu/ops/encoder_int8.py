@@ -55,12 +55,15 @@ def quantize_w_cols(w: jnp.ndarray):
     return q.astype(jnp.int8), s
 
 
-def quantize_act_rows(x: jnp.ndarray):
+def quantize_act_rows(x: jnp.ndarray, pre_bf16: bool = False):
     """(M, K) float activation -> (int8 (M,K), f32 (M,1)) per-row symmetric.
 
     Uses the reciprocal form round(x * 127/amax) — the exact formula the
     kernel applies in VMEM, so host- and kernel-side quantization agree
-    bit-for-bit."""
+    bit-for-bit. `pre_bf16` mirrors the kernel's wide-K mode (K > 2048),
+    where activation blocks stream as bf16 to halve VMEM pressure."""
+    if pre_bf16:
+        x = x.astype(jnp.bfloat16)
     x32 = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     r = jnp.where(amax == 0, 0.0, 127.0 / amax)
@@ -111,7 +114,9 @@ def _w8a8_mm(x: jnp.ndarray, wq: jnp.ndarray,
     M, K = x.shape
     N = wq.shape[1]
     Mp = -(-M // _M_PAD) * _M_PAD
-    bm = min(_BM, Mp)
+    # cap the activation block at ~3.4 MB bf16 (wide-K MLP2 blocks blew
+    # VMEM at batch 16: (512, 5120) f32 x double-buffering)
+    bm = min(_BM if K <= 2048 else _BM // 2, Mp)
     Mp = -(-Mp // bm) * bm
     bn = min(_BN, N)
     Np = -(-N // bn) * bn
@@ -149,9 +154,12 @@ def w8a8_matmul(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
     lead = x.shape[:-1]
     if interpret is None:
         interpret = _on_cpu()
-    out = _w8a8_mm(x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-                   if x.dtype not in (jnp.bfloat16, jnp.float32)
-                   else x.reshape(-1, x.shape[-1]),
+    K = x.shape[-1]
+    # wide-K blocks (MLP2) stream as bf16: a (bm, 5120) f32 block x
+    # double-buffering blew VMEM at batch 16; int8 quantization needs
+    # ~7 mantissa bits so the bf16 pre-cast is within the W8A8 envelope
+    blk_dtype = jnp.bfloat16 if K > 2048 else jnp.float32
+    out = _w8a8_mm(x.reshape(-1, K).astype(blk_dtype),
                    wq, ws, interpret=interpret)
     return out.reshape(*lead, out.shape[-1])
 

@@ -42,6 +42,23 @@ def test_w8a8_mm_quantization_error_envelope():
     assert rel < 0.02, rel   # both tensors int8: ~sqrt(2)*0.4% typical
 
 
+def test_w8a8_mm_wide_k_bf16_stream_matches_formula():
+    """K > 2048 streams activation blocks as bf16 (VMEM cap at batch 16);
+    host quantize_act_rows(pre_bf16=True) mirrors it bit-for-bit."""
+    rng = np.random.default_rng(7)
+    M_, K, N = 16, 2176, 64
+    x = jnp.asarray(rng.standard_normal((M_, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)) * K ** -0.5, jnp.float32)
+    wq, ws = E8.quantize_w_cols(w)
+    out = E8.w8a8_matmul(x, wq, ws, interpret=True)
+
+    xq, xs = E8.quantize_act_rows(x, pre_bf16=True)
+    ref = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)
+           ).astype(np.float32) * np.asarray(xs) * np.asarray(ws)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_w8a8_mm_padding_paths():
     # M not a multiple of 8, N not a multiple of the tile
     rng = np.random.default_rng(2)
