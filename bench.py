@@ -255,6 +255,10 @@ def impl_main():
     import jax
     if FORCE_CPU:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # generate all random-weight trees on device: host init + upload
+        # of a turbo-sized tree is minutes through a degraded tunnel
+        os.environ.setdefault("OWK_DEVICE_INIT", "1")
 
     # hard per-child budget handed down by the wrapper: once past the
     # deadline, remaining (lower-priority) sections are skipped so the

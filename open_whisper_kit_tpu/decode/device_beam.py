@@ -39,6 +39,11 @@ class BeamSegmentResult(NamedTuple):
     n_tokens: jnp.ndarray     # scalar: steps taken
     sum_lp: jnp.ndarray       # (B,) sum_logprobs_all
     result_len: jnp.ndarray   # (B,)
+    n_valid: jnp.ndarray      # (B,) tokens appended before the beam ended --
+                              # a FAILED beam's full sequence (the reference
+                              # only resizes to result_len for non-failed
+                              # decoders, whisper.cpp:7556; a failed best
+                              # decoder emits its whole stream, :7615)
     seek_delta: jnp.ndarray
     has_ts: jnp.ndarray
     completed: jnp.ndarray
@@ -66,6 +71,7 @@ class _Carry(NamedTuple):
     has_ts: jnp.ndarray
     seek_delta: jnp.ndarray
     result_len: jnp.ndarray
+    n_valid: jnp.ndarray
     completed: jnp.ndarray
     failed: jnp.ndarray
 
@@ -167,6 +173,7 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         has_ts=jnp.zeros((B,), bool),
         seek_delta=jnp.full((B,), CHUNK_FRAMES, jnp.int32),
         result_len=jnp.zeros((B,), jnp.int32),
+        n_valid=jnp.zeros((B,), jnp.int32),
         completed=jnp.zeros((B,), bool), failed=jnp.zeros((B,), bool))
 
     def cond(c: _Carry):
@@ -282,6 +289,7 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
         pts_buf = pts_buf.at[:, i].set(jnp.where(wr, pts_src, pts_buf[:, i]))
         tid_buf = tid_buf.at[:, i].set(jnp.where(wr, tid_new, tid_buf[:, i]))
         sum_lp = jnp.where(wr, sum_lp + new_lp, sum_lp)
+        n_valid = jnp.where(wr, i + 1, g(c.n_valid))
         h1 = jnp.where(wr, h1 * jnp.uint32(_H1) + new_tok.astype(jnp.uint32), h1)
         h2 = jnp.where(wr, h2 * jnp.uint32(_H2) + new_tok.astype(jnp.uint32), h2)
 
@@ -338,14 +346,14 @@ def decode_segment_beam(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             last_was_ts=jnp.where(wr, is_ts_tok, last_was),
             penult_was_ts=jnp.where(wr, last_was | (i == 0), c.penult_was_ts[new_src]),
             has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
-            completed=completed, failed=failed)
+            n_valid=n_valid, completed=completed, failed=failed)
 
     c = jax.lax.while_loop(cond, body, carry)
     return BeamSegmentResult(
         tokens=c.tokens, p=c.p, plog=c.plog, pt=c.pt, ptsum=c.ptsum,
         tid=c.tid, n_tokens=c.i, sum_lp=c.sum_lp, result_len=c.result_len,
-        seek_delta=c.seek_delta, has_ts=c.has_ts, completed=c.completed,
-        failed=c.failed, no_speech_prob=nsp)
+        n_valid=c.n_valid, seek_delta=c.seek_delta, has_ts=c.has_ts,
+        completed=c.completed, failed=c.failed, no_speech_prob=nsp)
 
 
 @jax.jit
@@ -357,7 +365,8 @@ def pack_beam_result(res: BeamSegmentResult) -> jnp.ndarray:
         res.sum_lp, res.result_len.astype(jnp.float32),
         res.seek_delta.astype(jnp.float32), res.has_ts.astype(jnp.float32),
         res.completed.astype(jnp.float32), res.failed.astype(jnp.float32),
-    ])  # (6, B)
+        res.n_valid.astype(jnp.float32),
+    ])  # (7, B)
     return jnp.concatenate([
         res.tokens.astype(jnp.float32).reshape(-1), res.p.reshape(-1),
         res.plog.reshape(-1), res.pt.reshape(-1), res.ptsum.reshape(-1),
@@ -370,11 +379,12 @@ def unpack_beam_result(flat, beam_size: int, n_max: int):
     flat = np.asarray(flat)
     n = beam_size * n_max
     f = lambda i: flat[i * n:(i + 1) * n].reshape(beam_size, n_max)
-    pb = flat[6 * n:6 * n + 6 * beam_size].reshape(6, beam_size)
-    tail = flat[6 * n + 6 * beam_size:]
+    pb = flat[6 * n:6 * n + 7 * beam_size].reshape(7, beam_size)
+    tail = flat[6 * n + 7 * beam_size:]
     return dict(
         tokens=f(0).astype(np.int64), p=f(1), plog=f(2), pt=f(3), ptsum=f(4),
         tid=f(5).astype(np.int64), sum_lp=pb[0],
         result_len=pb[1].astype(np.int64), seek_delta=pb[2].astype(np.int64),
         has_ts=pb[3] > 0.5, completed=pb[4] > 0.5, failed=pb[5] > 0.5,
+        n_valid=pb[6].astype(np.int64),
         n_tokens=int(tail[0]), no_speech_prob=float(tail[1]))

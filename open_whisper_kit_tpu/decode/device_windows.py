@@ -267,6 +267,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                            result_len=sc.ms.result_len,
                            seek_delta=sc.ms.seek_delta, failed=sc.failed,
                            kv_k=sc.kv_k, kv_v=sc.kv_v)
+            full_len = seg.i
             n_rounds_w, n_acc_w = sc.n_rounds, sc.n_accepted
         elif beam_size > 1:
             from . import device_beam as DB
@@ -316,6 +317,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                            seek_delta=pick(bres.seek_delta),
                            failed=pick(failed_b),
                            kv_k=c.kv_k, kv_v=c.kv_v)
+            full_len = pick(bres.n_valid)
             n_rounds_w = n_acc_w = jnp.int32(0)
         else:
             seg, nsp = segment_core(
@@ -323,6 +325,7 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
                 base_mask, init_mask, t_real, token_nosp, c.seek, seek_end,
                 n_max=n_max, max_tokens=max_tokens, single_segment=False,
                 no_timestamps=no_timestamps, stub=stub, mega=mega, mesh=mesh)
+            full_len = seg.i
             n_rounds_w = n_acc_w = jnp.int32(0)
 
         # ---- quality gates (whisper_rank / _score_sequence) ----
@@ -378,7 +381,11 @@ def decode_windows(cfg: M.WhisperConfig, rc: LR.RuleConfig,
             plog=row(o.plog, seg.plog), pt=row(o.pt, seg.pt),
             ptsum=row(o.ptsum, seg.ptsum), tid=row(o.tid, seg.tid),
             n_tokens=sca(o.n_tokens, seg.i),
-            result_len=sca(o.result_len, rl),
+            # a failed best decoder emits its FULL sequence (the reference
+            # resizes tokens to result_len only for NON-failed decoders,
+            # whisper.cpp:7556, and emission iterates tokens_cur, :7615);
+            # the rolling context above still extends by the true rl only
+            result_len=sca(o.result_len, jnp.where(failed, full_len, rl)),
             seek=sca(o.seek, c.seek),
             seek_delta=sca(o.seek_delta, seek_delta),
             no_speech_prob=sca(o.no_speech_prob, nsp),

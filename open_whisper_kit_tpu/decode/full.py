@@ -844,7 +844,9 @@ def _device_beam_window(ctx, p, rc, decoders, prompt, xk, xv,
     r = DB.unpack_beam_result(DB.pack_beam_result(res_dev), n_dec, n_max)
     n_tok = r["n_tokens"]
     for j, d in enumerate(decoders):
-        _fill_decoder(d, r, n_tok, j)
+        # each beam's own sequence length: an early-ended beam's buffer
+        # tail is stale (the reference keeps per-decoder token vectors)
+        _fill_decoder(d, r, int(r["n_valid"][j]), j)
     timings.t_decode_ms += (time.perf_counter() - t0) * 1e3
     timings.n_decode += n_tok + 1
     timings.n_sample += n_tok

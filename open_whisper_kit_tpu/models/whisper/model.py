@@ -82,14 +82,85 @@ from ...ops.layers import layer_norm as _ln  # noqa: E402
 
 
 def init_params(cfg: WhisperConfig, seed: int = 0,
-                dtype: jnp.dtype = jnp.bfloat16) -> Params:
-    """Random-init params with the real model shapes (bench / shape tests)."""
+                dtype: jnp.dtype = jnp.bfloat16,
+                device: bool | None = None) -> Params:
+    """Random-init params with the real model shapes (bench / shape tests).
+
+    `device=True` (or OWK_DEVICE_INIT=1 with a non-CPU backend) generates
+    the tree ON DEVICE in one jitted builder instead of host numpy +
+    upload: a turbo-sized tree is ~600 MB of bf16, minutes through a
+    degraded tunnel, one compile + milliseconds on device. Values differ
+    from the host path (different RNG); shapes and scales are identical.
+    """
+    if device is None:
+        import os as _os
+        device = (bool(_os.environ.get("OWK_DEVICE_INIT"))
+                  and jax.devices()[0].platform != "cpu")
+    if device:
+        return _init_params_device(cfg, seed, dtype)
     rng = np.random.default_rng(seed)
     s, v = cfg.n_audio_state, cfg.n_vocab
 
     def w(*shape, scale=None):
         scale = scale if scale is not None else (shape[-2] if len(shape) > 1 else 1) ** -0.5
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale, dtype)
+
+    def enc_block():
+        return {
+            "attn_ln_w": w(s, scale=1.0) * 0 + 1, "attn_ln_b": w(s, scale=0.02),
+            "q_w": w(s, s), "q_b": w(s, scale=0.02), "k_w": w(s, s),
+            "v_w": w(s, s), "v_b": w(s, scale=0.02),
+            "o_w": w(s, s), "o_b": w(s, scale=0.02),
+            "mlp_ln_w": w(s, scale=1.0) * 0 + 1, "mlp_ln_b": w(s, scale=0.02),
+            "mlp0_w": w(s, 4 * s), "mlp0_b": w(4 * s, scale=0.02),
+            "mlp1_w": w(4 * s, s), "mlp1_b": w(s, scale=0.02),
+        }
+
+    def dec_block():
+        d = enc_block()
+        d.update({
+            "cross_ln_w": w(s, scale=1.0) * 0 + 1, "cross_ln_b": w(s, scale=0.02),
+            "cq_w": w(s, s), "cq_b": w(s, scale=0.02), "ck_w": w(s, s),
+            "cv_w": w(s, s), "cv_b": w(s, scale=0.02),
+            "co_w": w(s, s), "co_b": w(s, scale=0.02),
+        })
+        return d
+
+    def stack(blocks):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    enc = {
+        "conv1_w": w(3, cfg.n_mels, s, scale=(3 * cfg.n_mels) ** -0.5),
+        "conv1_b": w(s, scale=0.02),
+        "conv2_w": w(3, s, s, scale=(3 * s) ** -0.5),
+        "conv2_b": w(s, scale=0.02),
+        "pos": w(cfg.n_audio_ctx, s, scale=0.02),
+        "blocks": stack([enc_block() for _ in range(cfg.n_audio_layer)]),
+        "ln_post_w": w(s, scale=1.0) * 0 + 1, "ln_post_b": w(s, scale=0.02),
+    }
+    dec = {
+        "te": w(v, s, scale=0.02),
+        "pe": w(cfg.n_text_ctx, s, scale=0.02),
+        "blocks": stack([dec_block() for _ in range(cfg.n_text_layer)]),
+        "ln_w": w(s, scale=1.0) * 0 + 1, "ln_b": w(s, scale=0.02),
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _init_params_device(cfg: WhisperConfig, seed, dtype) -> Params:
+    """Device-side analog of init_params: same shapes/scales, jax.random
+    values (one compile per cfg, no host->device weight upload)."""
+    s, v = cfg.n_audio_state, cfg.n_vocab
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def w(*shape, scale=None):
+        scale = scale if scale is not None else (
+            shape[-2] if len(shape) > 1 else 1) ** -0.5
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
     def enc_block():
         return {
