@@ -255,10 +255,12 @@ def impl_main():
     import jax
     if FORCE_CPU:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        # generate all random-weight trees on device: host init + upload
-        # of a turbo-sized tree is minutes through a degraded tunnel
-        os.environ.setdefault("OWK_DEVICE_INIT", "1")
+    # NOTE on init: fixed-length loop sections (enc/dec/mega/batched/
+    # matrix) use device-side init_params(device=True) — values are
+    # irrelevant there and host init uploads hundreds of MB through the
+    # tunnel. e2e sections keep HOST init (seed 0): their wall time
+    # depends on the decoded trajectory, so the weights must stay the
+    # same draw across rounds to be comparable.
 
     # hard per-child budget handed down by the wrapper: once past the
     # deadline, remaining (lower-priority) sections are skipped so the
@@ -292,7 +294,8 @@ def impl_main():
     relay_rtt_ms = round(_rtts[len(_rtts) // 2] * 1e3, 2)
 
     cfg = M.PRESETS[MODEL]
-    params = M.init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    params = M.init_params(cfg, seed=0, dtype=jnp.bfloat16,
+                           device=not FORCE_CPU)
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal(
@@ -581,9 +584,21 @@ def impl_main():
     _ctx8_cache = {}
 
     def get_ctx8():
+        # share ctx's device-resident tree: a second from_preset would
+        # host-init + upload another ~600 MB through the tunnel. Only the
+        # encoder plane pytree differs (M.encode dispatches on it), and
+        # prepare_encoder_int8 runs device-side on the shared weights.
         if "c" not in _ctx8_cache:
-            _ctx8_cache["c"] = F.WhisperContext.from_preset(
-                MODEL, dtype=jnp.bfloat16, encoder_int8=True)
+            import copy
+            from open_whisper_kit_tpu.ops.encoder_int8 import (
+                prepare_encoder_int8)
+            c8 = copy.copy(ctx)
+            c8.params = dict(ctx.params)
+            c8.params["encoder"] = prepare_encoder_int8(
+                cfg, ctx.params["encoder"])
+            c8._mask_cache = {}
+            c8._mega = None
+            _ctx8_cache["c"] = c8
         return _ctx8_cache["c"]
 
     def e2e_120s():
@@ -881,7 +896,8 @@ def impl_main():
                 continue
             try:
                 mcfg = M.PRESETS[preset]
-                mparams = M.init_params(mcfg, seed=0, dtype=jnp.bfloat16)
+                mparams = M.init_params(mcfg, seed=0, dtype=jnp.bfloat16,
+                                        device=not FORCE_CPU)
                 mdec = M.prepare_decoder(mparams["decoder"])
                 mmel = jnp.asarray(rng.standard_normal(
                     (1, 2 * mcfg.n_audio_ctx, mcfg.n_mels)).astype(np.float32))
@@ -905,15 +921,13 @@ def impl_main():
                 menc = M.encode(mcfg, mparams["encoder"], mmel)
                 mxk, mxv = M.cross_kv(mcfg, mdec, menc)
 
-                def dec_loop_n(batch, mcfg=mcfg, mdec=mdec, mxk=mxk,
-                               mxv=mxv):
-                    xkb = (jnp.repeat(mxk, batch, axis=1) if batch > 1
-                           else mxk)
-                    xvb = (jnp.repeat(mxv, batch, axis=1) if batch > 1
-                           else mxv)
-
+                def dec_loop_n(batch, mcfg=mcfg):
+                    # cross-KV passed as ARGUMENTS: closing over a device
+                    # array bakes it into the HLO as a constant, and the
+                    # remote compile helper rejects the oversized request
+                    # body (HTTP 413) from small upward
                     @jax.jit
-                    def loop(d):
+                    def loop(d, xkb, xvb):
                         kv_k, kv_v = M.init_kv_cache(mcfg, batch,
                                                      dtype=jnp.bfloat16)
                         tok0 = jnp.zeros((batch, 1), jnp.int32)
@@ -933,30 +947,32 @@ def impl_main():
                     return loop
 
                 lp = dec_loop_n(1)
-                float(lp(mdec))
+                float(lp(mdec, mxk, mxv))
                 t0 = time.perf_counter()
-                float(lp(mdec))
+                float(lp(mdec, mxk, mxv))
                 detail[f"mx_{key}_dec_ms"] = round(
                     (time.perf_counter() - t0) / Kx * 1e3, 3)
 
                 lp5 = dec_loop_n(5)
-                float(lp5(mdec))
+                mxk5 = jnp.repeat(mxk, 5, axis=1)
+                mxv5 = jnp.repeat(mxv, 5, axis=1)
+                float(lp5(mdec, mxk5, mxv5))
                 t0 = time.perf_counter()
-                float(lp5(mdec))
+                float(lp5(mdec, mxk5, mxv5))
                 detail[f"mx_{key}_bch5_ms"] = round(
                     (time.perf_counter() - t0) / Kx * 1e3, 3)
 
                 @jax.jit
-                def m_pp(d):
+                def m_pp(d, mxk, mxv, mcfg=mcfg):
                     kv_k, kv_v = M.init_kv_cache(mcfg, 1, dtype=jnp.bfloat16)
                     toks = jnp.zeros((1, 256), jnp.int32)
                     logits, _, _, _ = M.decode_impl(
                         mcfg, d, toks, kv_k, kv_v, jnp.int32(0), mxk, mxv)
                     return jnp.sum(logits[:, -1])
 
-                float(m_pp(mdec))
+                float(m_pp(mdec, mxk, mxv))
                 t0 = time.perf_counter()
-                float(m_pp(mdec))
+                float(m_pp(mdec, mxk, mxv))
                 detail[f"mx_{key}_pp_ms"] = round(
                     (time.perf_counter() - t0) / 256 * 1e3, 4)
 
@@ -1007,7 +1023,8 @@ def impl_main():
     # Runs LAST among compute sections: ~2 extra cold compiles. ----
     def grouped_medium():
         mcfg = M.PRESETS["medium"]
-        mparams = M.init_params(mcfg, seed=0, dtype=jnp.bfloat16)
+        mparams = M.init_params(mcfg, seed=0, dtype=jnp.bfloat16,
+                                device=not FORCE_CPU)
         mdec = M.prepare_decoder(mparams["decoder"])
         from open_whisper_kit_tpu.ops import decode_megakernel as MKm
         Lm, Sm, Tcm = (mcfg.n_text_layer, mcfg.n_text_state,
